@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a 1000-executor cluster reading ~100 TB; tested on local[N].
+All knobs here are plain Spark SQL configs — nothing cluster-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "quackosm-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with AQE + Arrow enabled.
+
+    Defaults follow the environment contract: ``local[$SPARK_GRAFT_CPUS]``
+    with ``spark.sql.shuffle.partitions`` sized to the core count — at
+    cluster scale these come from the deploy config instead, and AQE
+    coalesces/splits partitions at runtime regardless.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, and dynamic join-strategy switching. This replaces the
+        # reference's hand-rolled memory ladders (pbf_file_reader.py:138-159).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas UDF / mapInPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 128 MB scan splits — matches the reference's intermediate parquet
+        # FILE_SIZE_BYTES '128MB' (pbf_file_reader.py:2686-2699) and is the
+        # right granularity for 100 TB of parquet on a real cluster.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Sane timestamps regardless of cluster TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,402 @@
+"""Pure-Python OSM PBF (ProtocolBuffer Binary Format) decoder.
+
+Implements the publicly documented OSM PBF container + osmformat messages
+(https://wiki.openstreetmap.org/wiki/PBF_Format) with a hand-rolled protobuf
+wire-format reader — the ``protobuf`` package is not required.
+
+Produces, per decoded ``OSMData`` blob, columnar dicts matching the element
+schema of the reference's scan primitive (DuckDB-spatial ``ST_READOSM``,
+reference quackosm/pbf_file_reader.py:1199; SURVEY §1.1):
+
+    kind: node|way|relation, id, tags, refs, ref_types, ref_roles, lat, lon
+
+Design notes for scale: PBF files are a sequence of independently decodable
+blobs (~8 MB raw each), so the blob is the natural Spark split unit.
+``index_blobs`` does a cheap header-only scan (seek over payloads); decoding
+happens inside executor tasks. Varint parsing is a tight Python loop, but
+delta/zigzag accumulation and coordinate scaling are vectorized with numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Any, BinaryIO, Iterator
+
+import numpy as np
+
+MEMBER_TYPES = ("node", "way", "relation")  # osmformat enum NODE=0, WAY=1, RELATION=2
+
+NANODEGREE = 1e-9
+
+
+# --------------------------------------------------------------------------
+# protobuf wire format primitives
+# --------------------------------------------------------------------------
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _skip_field(buf: memoryview, pos: int, wire_type: int) -> int:
+    if wire_type == 0:
+        _, pos = _read_varint(buf, pos)
+        return pos
+    if wire_type == 1:
+        return pos + 8
+    if wire_type == 2:
+        length, pos = _read_varint(buf, pos)
+        return pos + length
+    if wire_type == 5:
+        return pos + 4
+    raise ValueError(f"Unsupported wire type {wire_type}")
+
+
+def iter_fields(buf: memoryview) -> Iterator[tuple[int, int, Any]]:
+    """Yield (field_number, wire_type, value) over one message.
+
+    Length-delimited values are returned as memoryview slices; varints as int.
+    """
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        field = tag >> 3
+        wire = tag & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+            yield field, wire, val
+        elif wire == 2:
+            length, pos = _read_varint(buf, pos)
+            yield field, wire, buf[pos : pos + length]
+            pos += length
+        elif wire == 1:
+            yield field, wire, buf[pos : pos + 8]
+            pos += 8
+        elif wire == 5:
+            yield field, wire, buf[pos : pos + 4]
+            pos += 4
+        else:
+            pos = _skip_field(buf, pos, wire)
+
+
+def _decode_packed_varints(buf: memoryview) -> np.ndarray:
+    """Packed varint payload → int64 array (two's-complement wraparound for
+    values that overflow 64 bits, matching protobuf int64 semantics)."""
+    out: list[int] = []
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        v, pos = _read_varint(buf, pos)
+        out.append(v & 0xFFFFFFFFFFFFFFFF)
+    arr = np.array(out, dtype=np.uint64)
+    return arr.view(np.int64)
+
+
+def _zigzag_decode(arr: np.ndarray) -> np.ndarray:
+    u = arr.view(np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(arr & 1)
+
+
+# --------------------------------------------------------------------------
+# Blob container
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BlobRef:
+    """Location of one blob inside a PBF file (header already parsed)."""
+
+    offset: int  # file offset of the blob payload (after BlobHeader)
+    size: int  # payload byte length
+    kind: str  # "OSMHeader" | "OSMData"
+
+
+def index_blobs(path: str) -> list[BlobRef]:
+    """Header-only scan: read each 4-byte length + BlobHeader, seek over data."""
+    refs: list[BlobRef] = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            (header_len,) = struct.unpack(">I", head)
+            header = memoryview(f.read(header_len))
+            blob_type = ""
+            datasize = 0
+            for field, wire, val in iter_fields(header):
+                if field == 1 and wire == 2:
+                    blob_type = bytes(val).decode("utf-8")
+                elif field == 3 and wire == 0:
+                    datasize = val
+            offset = f.tell()
+            refs.append(BlobRef(offset=offset, size=datasize, kind=blob_type))
+            f.seek(datasize, 1)
+    return refs
+
+
+def read_blob_payload(f: BinaryIO, ref: BlobRef) -> bytes:
+    """Read + decompress one blob's raw protobuf payload."""
+    f.seek(ref.offset)
+    blob = memoryview(f.read(ref.size))
+    raw: bytes | None = None
+    zlib_data: memoryview | None = None
+    for field, wire, val in iter_fields(blob):
+        if field == 1 and wire == 2:
+            raw = bytes(val)
+        elif field == 3 and wire == 2:
+            zlib_data = val
+    if raw is not None:
+        return raw
+    if zlib_data is not None:
+        return zlib.decompress(bytes(zlib_data))
+    raise ValueError("Blob has no raw or zlib_data payload (unsupported compression)")
+
+
+# --------------------------------------------------------------------------
+# PrimitiveBlock → columnar element dicts
+# --------------------------------------------------------------------------
+
+def decode_primitive_block(payload: bytes) -> list[dict[str, Any]]:
+    """Decode one OSMData payload into per-group columnar dicts.
+
+    Each dict has keys: kind (str), ids (np.int64 array), tags (list of
+    list[(k, v)] or None), lats/lons (np arrays, nodes only), refs /
+    ref_types / ref_roles (lists, ways+relations only).
+    """
+    buf = memoryview(payload)
+    string_table: list[str] = []
+    groups: list[memoryview] = []
+    granularity = 100
+    lat_offset = 0
+    lon_offset = 0
+    for field, wire, val in iter_fields(buf):
+        if field == 1 and wire == 2:  # stringtable
+            for f2, w2, v2 in iter_fields(val):
+                if f2 == 1 and w2 == 2:
+                    string_table.append(bytes(v2).decode("utf-8", errors="replace"))
+        elif field == 2 and wire == 2:
+            groups.append(val)
+        elif field == 17:
+            granularity = val
+        elif field == 19:
+            lat_offset = val
+        elif field == 20:
+            lon_offset = val
+
+    out: list[dict[str, Any]] = []
+    for group in groups:
+        for field, wire, val in iter_fields(group):
+            if field == 1 and wire == 2:  # plain Node (rare)
+                out.append(_decode_plain_nodes([val], string_table, granularity, lat_offset, lon_offset))
+            elif field == 2 and wire == 2:  # DenseNodes
+                out.append(_decode_dense_nodes(val, string_table, granularity, lat_offset, lon_offset))
+            elif field == 3 and wire == 2:  # Way
+                out.append(_decode_ways([val], string_table))
+            elif field == 4 and wire == 2:  # Relation
+                out.append(_decode_relations([val], string_table))
+            # field 5 = changesets: ignored (ST_READOSM exposes none)
+    # merge consecutive chunks of the same kind to keep batch counts low
+    return _coalesce_groups(out)
+
+
+def _coalesce_groups(chunks: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    merged: list[dict[str, Any]] = []
+    for chunk in chunks:
+        if merged and merged[-1]["kind"] == chunk["kind"]:
+            prev = merged[-1]
+            prev["ids"] = np.concatenate([prev["ids"], chunk["ids"]])
+            prev["tags"].extend(chunk["tags"])
+            for key in ("lats", "lons"):
+                if key in prev:
+                    prev[key] = np.concatenate([prev[key], chunk[key]])
+            for key in ("refs", "ref_types", "ref_roles"):
+                if key in prev:
+                    prev[key].extend(chunk[key])
+        else:
+            merged.append(chunk)
+    return merged
+
+
+def _decode_kv(keys: np.ndarray, vals: np.ndarray, st: list[str]) -> list[tuple[str, str]] | None:
+    if len(keys) == 0:
+        return None
+    return [(st[k], st[v]) for k, v in zip(keys.tolist(), vals.tolist())]
+
+
+def _decode_plain_nodes(
+    node_bufs: list[memoryview],
+    st: list[str],
+    granularity: int,
+    lat_offset: int,
+    lon_offset: int,
+) -> dict[str, Any]:
+    ids: list[int] = []
+    lats: list[float] = []
+    lons: list[float] = []
+    tags: list[list[tuple[str, str]] | None] = []
+    for nb in node_bufs:
+        nid = 0
+        keys: np.ndarray = np.array([], dtype=np.int64)
+        vals: np.ndarray = np.array([], dtype=np.int64)
+        lat_raw = 0
+        lon_raw = 0
+        def _zz(v: int) -> int:
+            u = v & 0xFFFFFFFFFFFFFFFF
+            return (u >> 1) ^ -(u & 1)
+
+        for field, wire, val in iter_fields(nb):
+            if field == 1:
+                nid = _zz(val)
+            elif field == 2 and wire == 2:
+                keys = _decode_packed_varints(val)
+            elif field == 3 and wire == 2:
+                vals = _decode_packed_varints(val)
+            elif field == 8:
+                lat_raw = _zz(val)
+            elif field == 9:
+                lon_raw = _zz(val)
+        ids.append(int(nid))
+        lats.append(NANODEGREE * (lat_offset + granularity * int(lat_raw)))
+        lons.append(NANODEGREE * (lon_offset + granularity * int(lon_raw)))
+        tags.append(_decode_kv(keys, vals, st))
+    return {
+        "kind": "node",
+        "ids": np.array(ids, dtype=np.int64),
+        "lats": np.array(lats, dtype=np.float64),
+        "lons": np.array(lons, dtype=np.float64),
+        "tags": tags,
+    }
+
+
+def _decode_dense_nodes(
+    buf: memoryview,
+    st: list[str],
+    granularity: int,
+    lat_offset: int,
+    lon_offset: int,
+) -> dict[str, Any]:
+    ids = np.array([], dtype=np.int64)
+    lats = np.array([], dtype=np.int64)
+    lons = np.array([], dtype=np.int64)
+    keys_vals = np.array([], dtype=np.int64)
+    for field, wire, val in iter_fields(buf):
+        if field == 1 and wire == 2:
+            ids = _zigzag_decode(_decode_packed_varints(val))
+        elif field == 8 and wire == 2:
+            lats = _zigzag_decode(_decode_packed_varints(val))
+        elif field == 9 and wire == 2:
+            lons = _zigzag_decode(_decode_packed_varints(val))
+        elif field == 10 and wire == 2:
+            keys_vals = _decode_packed_varints(val)
+    ids = np.cumsum(ids, dtype=np.int64)
+    lat_deg = NANODEGREE * (lat_offset + granularity * np.cumsum(lats, dtype=np.int64))
+    lon_deg = NANODEGREE * (lon_offset + granularity * np.cumsum(lons, dtype=np.int64))
+
+    tags: list[list[tuple[str, str]] | None]
+    if keys_vals.size == 0:
+        tags = [None] * len(ids)
+    else:
+        tags = []
+        kv = keys_vals.tolist()
+        i = 0
+        n = len(kv)
+        for _ in range(len(ids)):
+            if i >= n:
+                tags.append(None)
+                continue
+            row: list[tuple[str, str]] | None = None
+            while i < n and kv[i] != 0:
+                if row is None:
+                    row = []
+                row.append((st[kv[i]], st[kv[i + 1]]))
+                i += 2
+            i += 1  # skip the 0 delimiter
+            tags.append(row)
+    return {
+        "kind": "node",
+        "ids": ids,
+        "lats": lat_deg,
+        "lons": lon_deg,
+        "tags": tags,
+    }
+
+
+def _decode_ways(way_bufs: list[memoryview], st: list[str]) -> dict[str, Any]:
+    ids: list[int] = []
+    tags: list[list[tuple[str, str]] | None] = []
+    refs: list[list[int]] = []
+    for wb in way_bufs:
+        wid = 0
+        keys = np.array([], dtype=np.int64)
+        vals = np.array([], dtype=np.int64)
+        way_refs = np.array([], dtype=np.int64)
+        for field, wire, val in iter_fields(wb):
+            if field == 1:
+                wid = val
+            elif field == 2 and wire == 2:
+                keys = _decode_packed_varints(val)
+            elif field == 3 and wire == 2:
+                vals = _decode_packed_varints(val)
+            elif field == 8 and wire == 2:
+                way_refs = np.cumsum(_zigzag_decode(_decode_packed_varints(val)), dtype=np.int64)
+        ids.append(wid)
+        tags.append(_decode_kv(keys, vals, st))
+        refs.append(way_refs.tolist())
+    return {
+        "kind": "way",
+        "ids": np.array(ids, dtype=np.int64),
+        "tags": tags,
+        "refs": refs,
+        "ref_types": [None] * len(ids),
+        "ref_roles": [None] * len(ids),
+    }
+
+
+def _decode_relations(rel_bufs: list[memoryview], st: list[str]) -> dict[str, Any]:
+    ids: list[int] = []
+    tags: list[list[tuple[str, str]] | None] = []
+    refs: list[list[int]] = []
+    ref_types: list[list[str] | None] = []
+    ref_roles: list[list[str] | None] = []
+    for rb in rel_bufs:
+        rid = 0
+        keys = np.array([], dtype=np.int64)
+        vals = np.array([], dtype=np.int64)
+        roles_sid = np.array([], dtype=np.int64)
+        memids = np.array([], dtype=np.int64)
+        types = np.array([], dtype=np.int64)
+        for field, wire, val in iter_fields(rb):
+            if field == 1:
+                rid = val
+            elif field == 2 and wire == 2:
+                keys = _decode_packed_varints(val)
+            elif field == 3 and wire == 2:
+                vals = _decode_packed_varints(val)
+            elif field == 8 and wire == 2:
+                roles_sid = _decode_packed_varints(val)
+            elif field == 9 and wire == 2:
+                memids = np.cumsum(_zigzag_decode(_decode_packed_varints(val)), dtype=np.int64)
+            elif field == 10 and wire == 2:
+                types = _decode_packed_varints(val)
+        ids.append(rid)
+        tags.append(_decode_kv(keys, vals, st))
+        refs.append(memids.tolist())
+        ref_types.append([MEMBER_TYPES[t] for t in types.tolist()] or None)
+        ref_roles.append([st[s] for s in roles_sid.tolist()] or None)
+    return {
+        "kind": "relation",
+        "ids": np.array(ids, dtype=np.int64),
+        "tags": tags,
+        "refs": refs,
+        "ref_types": ref_types,
+        "ref_roles": ref_roles,
+    }
