@@ -240,9 +240,12 @@ def strip_metadata_tags(tags: Union[str, Column] = "tags") -> Column:
     """
     col = F.col(tags) if isinstance(tags, str) else tags
     ignore = F.array(*[F.lit(t) for t in METADATA_TAGS_TO_IGNORE])
+    def _starts_with(prefix: str):
+        return lambda k: k.startswith(prefix)
+
     prefix_hit = reduce(
         Column.__or__,
-        [F.exists(F.map_keys(col), lambda k, p=p: k.startswith(p))
+        [F.exists(F.map_keys(col), _starts_with(p))
          for p in METADATA_TAG_PREFIXES_TO_IGNORE],
     )
     needs_rebuild = (F.size(F.array_intersect(F.map_keys(col), ignore)) > 0) | prefix_hit

@@ -1,0 +1,213 @@
+"""Output shaping (C11) + empty-column drop (P11) + multi-file dedup (J6/C12)
++ spatial sort key (O3).
+
+Reference: quackosm/pbf_file_reader.py:3699-3946 (shaping), 3991-4004
+(empty-column drop), 1082-1095/4327-4351 (dedup), 4021-4043 (sort dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from quackosm_spark.constants import FEATURES_INDEX
+from quackosm_spark.filters.tags import (
+    GroupedOsmTagsFilter,
+    OsmTagsFilter,
+    merge_osm_tags_filter,
+)
+from quackosm_spark.geometry import wkb as wkb_codec
+
+
+def explode_tags_to_columns(
+    features: DataFrame,
+    tags_filter: Optional[OsmTagsFilter] = None,
+    keep_all_tags: bool = False,
+) -> DataFrame:
+    """Compact map → one STRING column per tag key (exploded mode).
+
+    Column set: the filter's keys when a positive filter exists and
+    ``keep_all_tags`` is off; otherwise discovered from the data with a
+    distinct-keys pass (reference pbf_file_reader.py:3713-3728 — the same
+    two-phase dynamic-schema shape).
+    """
+    if tags_filter and not keep_all_tags:
+        keys = sorted(
+            {k for k, v in tags_filter.items() if v is not False}, key=str.casefold
+        )
+    else:
+        keys = sorted(
+            (
+                r["key"]
+                for r in features.select(
+                    F.explode(F.map_keys("tags")).alias("key")
+                )
+                .distinct()
+                .collect()
+            ),
+            key=str.casefold,
+        )
+    cols = [F.col(FEATURES_INDEX)]
+    cols += [F.col("tags")[k].alias(k) for k in keys]
+    cols.append(F.col("geometry"))
+    return features.select(*cols)
+
+
+def group_tags_to_columns(
+    features: DataFrame, grouped_filter: GroupedOsmTagsFilter
+) -> DataFrame:
+    """Grouped mode: one STRING column per group holding ``'key=value'`` for
+    the first matching tag (reference `_parse_features_relation_to_groups`,
+    pbf_file_reader.py:3811-3946)."""
+    cols: list[Column] = [F.col(FEATURES_INDEX)]
+    for group_name, flat in grouped_filter.items():
+        clauses: list[Column] = []
+        for key, value in flat.items():
+            tag_val = F.col("tags")[key]
+            if value is True:
+                match = tag_val.isNotNull()
+            elif value is False:
+                continue
+            elif isinstance(value, str):
+                match = tag_val == value
+            else:
+                match = tag_val.isin(list(value))
+            clauses.append(F.when(match, F.concat(F.lit(key + "="), tag_val)))
+        col = F.coalesce(*clauses) if clauses else F.lit(None).cast("string")
+        cols.append(col.alias(group_name))
+    cols.append(F.col("geometry"))
+    return features.select(*cols)
+
+
+def keep_relevant_tags(
+    features: DataFrame, tags_filter: Optional[OsmTagsFilter]
+) -> DataFrame:
+    """Compact mode with a positive filter: keep only tags matched by the
+    filter (reference pbf_file_reader.py:3755-3762)."""
+    if not tags_filter:
+        return features
+    merged = merge_osm_tags_filter(tags_filter)
+    positive_keys = [k for k, v in merged.items() if v is not False]
+    if not positive_keys:
+        return features
+
+    def _match(k: Column, v: Column) -> Column:
+        clause = F.lit(False)
+        for key, value in merged.items():
+            if value is False:
+                continue
+            if value is True:
+                clause = clause | (k == key)
+            else:
+                values = [value] if isinstance(value, str) else value
+                exact = [x for x in values if "*" not in x]
+                like = [x for x in values if "*" in x]
+                sub = F.lit(False)
+                if exact:
+                    sub = sub | v.isin(exact)
+                for pattern in like:
+                    from quackosm_spark.filters.tags import star_to_like_pattern
+
+                    sub = sub | v.like(star_to_like_pattern(pattern))
+                clause = clause | ((k == key) & sub)
+        return clause
+
+    return features.withColumn("tags", F.map_filter("tags", _match)).where(
+        F.size(F.map_keys("tags")) > 0
+    )
+
+
+def drop_empty_columns(features: DataFrame, protected: tuple[str, ...] = (FEATURES_INDEX, "geometry")) -> DataFrame:
+    """P11: drop exploded columns that are entirely NULL — one aggregate pass
+    (reference pbf_file_reader.py:3991-4004)."""
+    candidates = [c for c in features.columns if c not in protected]
+    if not candidates:
+        return features
+    counts = features.select(
+        [F.count(F.col(f"`{c}`")).alias(c) for c in candidates]
+    ).collect()[0]
+    empty = [c for c in candidates if counts[c] == 0]
+    return features.drop(*[f"{c}" for c in empty]) if empty else features
+
+
+def dedup_features(features: DataFrame) -> DataFrame:
+    """J6: cross-file duplicate feature removal."""
+    return features.dropDuplicates([FEATURES_INDEX])
+
+
+@F.pandas_udf(LongType())
+def _hilbert_key_udf(geometry: pd.Series, extent_minx: pd.Series, extent_miny: pd.Series,
+                     extent_maxx: pd.Series, extent_maxy: pd.Series) -> pd.Series:
+    from quackosm_spark.geometry import model
+    from quackosm_spark.geometry.ops import hilbert_index
+
+    n = len(geometry)
+    xs = np.empty(n)
+    ys = np.empty(n)
+    for i, blob in enumerate(geometry):
+        b = model.bounds(wkb_codec.loads(bytes(blob)))
+        xs[i] = (b[0] + b[2]) / 2.0
+        ys[i] = (b[1] + b[3]) / 2.0
+    ext = (
+        float(extent_minx.iloc[0]),
+        float(extent_miny.iloc[0]),
+        float(extent_maxx.iloc[0]),
+        float(extent_maxy.iloc[0]),
+    )
+    return pd.Series(hilbert_index(xs, ys, ext))
+
+
+def spatial_sort(features: DataFrame, extent: tuple[float, float, float, float] | None = None) -> DataFrame:
+    """O3 Hilbert spatial sort: curve key of the geometry centroid →
+    ``repartitionByRange`` + ``sortWithinPartitions`` so readers get
+    row-group pruning by locality. ``extent`` defaults to the dataset bbox
+    (computed with one agg pass — A7)."""
+    if extent is None:
+        row = features.select(
+            F.min(_geom_minx("geometry")).alias("minx"),
+            F.min(_geom_miny("geometry")).alias("miny"),
+            F.max(_geom_maxx("geometry")).alias("maxx"),
+            F.max(_geom_maxy("geometry")).alias("maxy"),
+        ).collect()[0]
+        extent = (row["minx"], row["miny"], row["maxx"], row["maxy"])
+    keyed = features.withColumn(
+        "__hilbert",
+        _hilbert_key_udf(
+            F.col("geometry"),
+            F.lit(extent[0]),
+            F.lit(extent[1]),
+            F.lit(extent[2]),
+            F.lit(extent[3]),
+        ),
+    )
+    return (
+        keyed.repartitionByRange("__hilbert")
+        .sortWithinPartitions("__hilbert")
+        .drop("__hilbert")
+    )
+
+
+def _geom_bounds_udf_factory(idx: int):
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _bound(geometry: pd.Series) -> pd.Series:
+        from quackosm_spark.geometry import model
+
+        return pd.Series(
+            [model.bounds(wkb_codec.loads(bytes(b)))[idx] if b is not None else None
+             for b in geometry]
+        )
+
+    return _bound
+
+
+_geom_minx = _geom_bounds_udf_factory(0)
+_geom_miny = _geom_bounds_udf_factory(1)
+_geom_maxx = _geom_bounds_udf_factory(2)
+_geom_maxy = _geom_bounds_udf_factory(3)

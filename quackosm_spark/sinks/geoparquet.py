@@ -1,0 +1,161 @@
+"""GeoParquet 1.1.0 sink (S6): Spark parquet write + 'geo' footer metadata.
+
+Reference: quackosm/_geoparquet_metadata.py:7-30 (metadata construction),
+pbf_file_reader.py:4124-4197 (bbox/geometry-type aggregation before write).
+
+Spark's parquet writer cannot attach file-level key-value metadata, so the
+write is two-phase: (1) distributed ``df.write.parquet`` (zstd, bounded file
+sizes — this is the 100 TB path, all heavy lifting stays on executors), then
+(2) a footer-rewrite pass stamping the ``geo`` entry into each part file.
+The rewrite streams row groups through pyarrow without decoding values and is
+embarrassingly parallel over part files (thread pool here; a ``foreach`` over
+files on a real cluster).
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Literal
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quackosm_spark.constants import GEOMETRY_COLUMN
+
+# PROJJSON for OGC:CRS84 (lon/lat WGS84) — the fixed output CRS (§1.3).
+CRS_LONLAT = {
+    "$schema": "https://proj.org/schemas/v0.5/projjson.schema.json",
+    "type": "GeographicCRS",
+    "name": "WGS 84 longitude-latitude",
+    "datum": {
+        "type": "GeodeticReferenceFrame",
+        "name": "World Geodetic System 1984",
+        "ellipsoid": {
+            "name": "WGS 84",
+            "semi_major_axis": 6378137,
+            "inverse_flattening": 298.257223563,
+        },
+    },
+    "coordinate_system": {
+        "subtype": "ellipsoidal",
+        "axis": [
+            {
+                "name": "Geodetic longitude",
+                "abbreviation": "Lon",
+                "direction": "east",
+                "unit": "degree",
+            },
+            {
+                "name": "Geodetic latitude",
+                "abbreviation": "Lat",
+                "direction": "north",
+                "unit": "degree",
+            },
+        ],
+    },
+    "id": {"authority": "OGC", "code": "CRS84"},
+}
+
+_WKB_TYPE_NAMES = {
+    "Point": "Point",
+    "LineString": "LineString",
+    "Polygon": "Polygon",
+    "MultiPoint": "MultiPoint",
+    "MultiLineString": "MultiLineString",
+    "MultiPolygon": "MultiPolygon",
+    "GeometryCollection": "GeometryCollection",
+}
+
+
+def build_geo_metadata(
+    geometry_types: list[str],
+    bbox: tuple[float, float, float, float],
+    encoding: Literal["WKB", "WKT"] = "WKB",
+) -> dict:
+    return {
+        "version": "1.1.0",
+        "primary_column": GEOMETRY_COLUMN,
+        "columns": {
+            GEOMETRY_COLUMN: {
+                "encoding": encoding,
+                "crs": CRS_LONLAT,
+                "geometry_types": geometry_types,
+                "bbox": list(bbox),
+            }
+        },
+        "creator": {"library": "quackosm_spark", "version": "0.1.0"},
+    }
+
+
+def collect_geo_stats(features: DataFrame) -> tuple[list[str], tuple[float, float, float, float]]:
+    """A7 extent agg + A8 distinct geometry types, one job each on the
+    geometry column (WKB headers only for the type sniff)."""
+    from quackosm_spark.plans.output import (
+        _geom_maxx,
+        _geom_maxy,
+        _geom_minx,
+        _geom_miny,
+    )
+
+    if features.isEmpty():
+        return [], (0.0, 0.0, 0.0, 0.0)
+
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _geom_type(geometry: pd.Series) -> pd.Series:
+        from quackosm_spark.geometry.wkb import geometry_type
+
+        return pd.Series(
+            [geometry_type(bytes(b)) if b is not None else None for b in geometry]
+        )
+
+    stats = features.select(
+        F.collect_set(_geom_type(GEOMETRY_COLUMN)).alias("types"),
+        F.min(_geom_minx(GEOMETRY_COLUMN)).alias("minx"),
+        F.min(_geom_miny(GEOMETRY_COLUMN)).alias("miny"),
+        F.max(_geom_maxx(GEOMETRY_COLUMN)).alias("maxx"),
+        F.max(_geom_maxy(GEOMETRY_COLUMN)).alias("maxy"),
+    ).collect()[0]
+    types = sorted(_WKB_TYPE_NAMES.get(t, t) for t in stats["types"])
+    return types, (stats["minx"], stats["miny"], stats["maxx"], stats["maxy"])
+
+
+def _stamp_footer(path: Path, geo_json: str) -> None:
+    table = pq.read_table(path)
+    meta = dict(table.schema.metadata or {})
+    meta[b"geo"] = geo_json.encode()
+    pq.write_table(
+        table.replace_schema_metadata(meta),
+        path,
+        compression="zstd",
+        row_group_size=100_000,
+    )
+
+
+def write_geoparquet(
+    features: DataFrame,
+    path: str | Path,
+    geometry_types: list[str] | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> Path:
+    """Distributed parquet write + geo footer stamping. Returns the directory."""
+    path = Path(path)
+    if geometry_types is None or bbox is None:
+        computed_types, computed_bbox = collect_geo_stats(features)
+        geometry_types = geometry_types or computed_types
+        bbox = bbox or computed_bbox
+    (
+        features.write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(str(path))
+    )
+    geo_json = json.dumps(build_geo_metadata(geometry_types, bbox))
+    parts = sorted(path.glob("*.parquet"))
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda p: _stamp_footer(p, geo_json), parts))
+    return path

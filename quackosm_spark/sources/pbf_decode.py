@@ -391,7 +391,10 @@ def _decode_relations(rel_bufs: list[memoryview], st: list[str]) -> dict[str, An
         tags.append(_decode_kv(keys, vals, st))
         refs.append(memids.tolist())
         ref_types.append([MEMBER_TYPES[t] for t in types.tolist()] or None)
-        ref_roles.append([st[s] for s in roles_sid.tolist()] or None)
+        # sid 0 points at the string table's mandatory "" entry — an absent
+        # role; surface as NULL so role-default semantics (COALESCE → 'outer')
+        # apply downstream.
+        ref_roles.append([st[s] if s != 0 else None for s in roles_sid.tolist()] or None)
     return {
         "kind": "relation",
         "ids": np.array(ids, dtype=np.int64),
