@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q01_pricing_summary",   # wide grouped aggregation
+    "q05_ordered_collect",   # ordered list agg (way-assembly idiom)
+    "q07_window_rank",       # partitioned window
+    "q14_way_assembly",      # the big shuffle join + ordered collect
+    "q17_ngram_jaccard",     # inverted-index near-dup
+    "q18_minhash_lsh",       # minhash banding
+    "q20_ann_topk",          # brute-force ANN baseline
+    "q21_text_analysis",     # JVM-side text ops
+    "q23_fingerprint",       # fold-based hashing
+    "q25_sessionize",        # lag/gap sessionization
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from quackosm_spark.session import get_spark
+
+    spark = get_spark(app_name="quackosm-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

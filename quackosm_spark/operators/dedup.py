@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines, designed for 100 TB.
+
+Every variant avoids the O(n²) all-pairs trap:
+
+- exact:          hash-groupBy (one shuffle on the digest)
+- minhash LSH:    shingle → minhash → band → bucket-join (pairs only within
+                  colliding buckets)
+- simhash:        64-bit sign-aggregated fingerprint, banded the same way
+- n-gram jaccard: inverted-index join on shared shingles (pairs must share
+                  ≥1 shingle), then exact jaccard on the candidates
+- embedding:      LSH-bucketed cosine (see operators.similarity for ANN)
+
+Hash functions are md5-derived so the DuckDB oracle can reproduce scores
+exactly (md5 is identical in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 5  # character shingle width
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (digest, keep_id, dup_ids, n_dups).
+
+    One shuffle on md5(text); the canonical survivor is the smallest id.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the smallest id per digest — window variant (W3 shape)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + deterministic md5-based hash family
+# --------------------------------------------------------------------------
+
+def char_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct character k-shingles of lower(text) as an array."""
+    lowered = F.lower(text)
+    n = F.length(lowered)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substr(lowered, i, F.lit(k)))
+    )
+
+
+def _hash64(col: Column) -> Column:
+    """Deterministic 32-bit-ish hash from md5 prefix (oracle-reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — min over shingles of md5(seed‖shingle).
+
+    All Column expressions (explode → groupBy(min) per seed would need
+    num_hashes aggregates; instead the min-fold runs inside ``aggregate`` on
+    the shingle array — no extra shuffle at all).
+    """
+    def _seeded_hash(seed: int):
+        return lambda s: _hash64(F.concat(F.lit(f"seed{seed}:"), s))
+
+    shingles = char_shingles(F.col(text_col), shingle)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banding: docs sharing any full band
+    of their minhash signature. Returns (doc_a, doc_b, n_bands_matched).
+
+    Scale shape: explode to (band_key, doc) then self-join per bucket —
+    pair blowup is bounded by bucket sizes, not corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram jaccard (exact, via inverted index)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact jaccard over char shingles for pairs sharing ≥1 shingle.
+
+    inverted index (shingle → docs) self-join → |∩| per pair via groupBy →
+    jaccard with |A∪B| = |A|+|B|−|∩|. Never materializes non-overlapping
+    pairs. Returns (doc_a, doc_b, jaccard).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), shingle)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """64-bit SimHash: per bit, sign of Σ±1 over shingle hashes.
+
+    Bit b of shingle hash decides +1/−1; fingerprint bit b = 1 iff the sum is
+    positive. Pure Column expressions: two md5-derived 32-bit halves give the
+    64 bits. Returns (doc_id, simhash: bigint).
+    """
+    shingles = char_shingles(F.col(text_col), shingle)
+    # two independent 32-bit hashes per shingle (md5 chars 1-8 and 9-16)
+    h_lo = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    h_hi = lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("bigint")  # noqa: E731
+    def _vote_fn(half, shift):
+        return lambda acc, s: acc + F.when(
+            F.shiftright(half(s), shift) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    fingerprint = F.lit(0).cast("bigint")
+    for b in range(bits):
+        half, shift = (h_lo, b) if b < 32 else (h_hi, b - 32)
+        vote = F.aggregate(shingles, F.lit(0), _vote_fn(half, shift))
+        fingerprint = fingerprint + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine of two array<float|double> Columns — pure ``aggregate`` +
+    ``zip_with``, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold. Brute-force pair join — the
+    correctness baseline; use similarity.lsh_buckets to pre-bucket at scale.
+    Returns (id_a, id_b, cosine)."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

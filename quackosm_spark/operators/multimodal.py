@@ -1,0 +1,167 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata structs; all
+Spark-side mechanics — schema, partition sizing, Arrow batch shape, UDF
+signatures — are real and tested. The codec step itself is stubbed (the
+image/audio libraries are not available in this environment): decoding runs
+through ``_decode_stub``, a deterministic fake keyed on the payload bytes, and
+raises ``NotImplementedError`` when ``strict=True`` so production wiring is
+explicit.
+
+Scale notes: media rows are large and row-group-skewed — ``mapInPandas`` is
+used (not a scalar UDF) so one task streams whole Arrow batches and can bound
+its own memory; repartition by size-bucket before heavy codecs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, strict: bool) -> np.ndarray:
+    """Deterministic fake decode: payload bytes → pseudo-pixel array.
+
+    STUB — replace with a real codec (PIL / libav) in production. The fake is
+    a stable function of the bytes so tests can assert end-to-end values.
+    """
+    if strict:
+        raise NotImplementedError(
+            "Media codecs are not available in this environment; "
+            "wire a real decoder here (PIL/pyav) or run with strict=False."
+        )
+    arr = np.frombuffer(payload[:256], dtype=np.uint8).astype(np.float32)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.float32)
+    return arr
+
+
+def extract_image_features(
+    media: DataFrame, feature_dim: int = 8, strict: bool = False
+) -> DataFrame:
+    """binary payload → fixed-size feature vector via ``mapInPandas``.
+
+    Batch shape: one Arrow batch in, one out; constant memory per task."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, widths, heights = [], [], []
+            for payload in pdf["payload"]:
+                pixels = _decode_stub(bytes(payload), strict)
+                # deterministic "embedding": histogram of the fake pixels
+                hist, _ = np.histogram(pixels, bins=feature_dim, range=(0, 256))
+                total = max(hist.sum(), 1)
+                feats.append((hist / total).astype(np.float32).tolist())
+                widths.append(int(pixels.size))
+                heights.append(1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": widths,
+                    "height": heights,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, strict: bool = False
+) -> DataFrame:
+    """video rows → (media_id, frame_idx, frame) rows; fan-out inside
+    ``mapInPandas`` keeps the expansion streaming (never one giant row)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload, duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                _ = _decode_stub(bytes(payload), strict)
+                n_frames = max(int(duration or 0) // every_ms, 1)
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * step : (i + 1) * step]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        _sample, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-Column metadata aggregation — no decode needed (the common
+    'survey the corpus' query must not touch payloads)."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.avg(F.length("payload")).alias("avg_bytes"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
+def synthesize_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (seeded, no randomness)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes((i * 7 + j) % 256 for j in range(64 + (i % 5) * 32))
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64,
+                64,
+                (i + 1) * 500 if kind == "video" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,163 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline. One
+  broadcast of the (small) query set against the corpus; the corpus side
+  never shuffles.
+- ``lsh_bucket_topk``: random-hyperplane LSH bucketing — the 100 TB path.
+  Hyperplane signs come from a deterministic md5-derived pseudo-random
+  projection so runs (and the DuckDB oracle) are reproducible without a
+  stored model.
+- ``ivf_topk``: IVF-style two-stage search with k-means-lite centroids
+  (deterministic seeded sample), probing the nearest ``nprobe`` cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from quackosm_spark.operators.dedup import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast(queries) ⋈ corpus → window top-k.
+
+    Returns (query_id, match_id, cosine, rank). The join is a broadcast
+    nested loop over the small query side — corpus stays partition-local;
+    the only shuffle is the final per-query top-k (tiny: k rows per query
+    after partial aggregation)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("match_id")).select(
+        "query_id",
+        "match_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signs(vec: Column, num_planes: int = 8, dim: int = 32) -> Column:
+    """Deterministic random-hyperplane signature as a bit-string key.
+
+    Plane p's coefficient for dimension d is ±1 from one md5 bit of
+    ``"p:d"`` — reproducible anywhere, including the SQL oracle."""
+    import hashlib
+
+    bits = []
+    for p in range(num_planes):
+        coeffs = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            coeffs.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in coeffs]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 32,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: compare only within matching hyperplane buckets.
+
+    At 100 TB the bucket key pre-partitions the corpus; each query touches
+    ~corpus/2^planes vectors. Recall can be raised with multi-probe (flip one
+    bit) — left as the natural extension."""
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", hyperplane_signs(F.col("cv"), num_planes, dim))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", hyperplane_signs(F.col("qv"), num_planes, dim))
+    scored = c.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("match_id")
+    ).select(
+        "query_id",
+        "match_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-lite ANN: centroids = deterministic corpus sample (lowest ids),
+    every vector assigned to its nearest centroid; queries probe the
+    ``nprobe`` nearest cells. Exact within probed cells."""
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    centroids = [
+        (int(r["match_id"]), [float(x) for x in r["cv"]])
+        for r in c.orderBy("match_id").limit(num_cells).collect()
+    ]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine_similarity(vec, F.array(*[F.lit(x) for x in cv]))).alias("neg"),
+                    F.lit(cid).alias("cell"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+        return F.slice(
+            F.transform(F.sort_array(scored), lambda s: s["cell"]), 1, n
+        )
+
+    c_cells = c.withColumn("cell", nearest_cells(F.col("cv"), 1)[0])
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(nearest_cells(F.col("qv"), nprobe)))
+    scored = c_cells.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("match_id")
+    ).select(
+        "query_id",
+        "match_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Column functions (JVM-side, codegen) —
+no Python UDFs — so they scale to 100 TB of documents unchanged. Each
+operator's formula is deliberately expressible in ANSI SQL so the DuckDB
+oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic (shared with the SQL oracle).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+# Modulus small enough that h*31 + c never overflows int64 under ANSI SQL
+# (h < 2^30, h*31 + c < 2^36).
+FINGERPRINT_MOD = 1000000007
+
+
+def token_count(text: Column | str = "text") -> Column:
+    """Whitespace token count (the cheap tokenizer)."""
+    col = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column | str = "text") -> Column:
+    """BPE-flavored token estimate: runs of word chars count ceil(len/4),
+    each punctuation char counts 1. Pure Column arithmetic."""
+    col = F.col(text) if isinstance(text, str) else text
+    word_chars = F.length(F.regexp_replace(col, r"[^0-9A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(col, r"[0-9A-Za-z\s]", ""))
+    return (F.ceil(word_chars / F.lit(4.0)) + punct_chars).cast("bigint")
+
+
+def quality_score(text: Column | str = "text") -> Column:
+    """Heuristic quality in [0,1]: length score x alpha ratio x
+    (1 - punctuation ratio). Deterministic, SQL-replicable."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = F.length(col)
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[^A-Za-z ]", "")) / n
+    )
+    punct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[0-9A-Za-z\s]", "")) / n
+    )
+    return F.round(length_score * alpha_ratio * (1.0 - punct_ratio), 6)
+
+
+def language_id(text: Column | str = "text") -> Column:
+    """Stopword-marker language ID: argmax over per-language marker hits.
+
+    Ties break by language code order ('de' < 'en' < 'es' < 'fr' < 'zh');
+    zero hits → 'und'. The scoring is a fixed arithmetic expression so the
+    DuckDB oracle reproduces it exactly (see language_id_sql)."""
+    col = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.lower(col), r"\s+")
+    def _marker_test(markers):
+        # factory keeps the lambda single-arg (default args would change the
+        # arity Spark infers for higher-order functions)
+        return lambda t: F.array_contains(markers, t)
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(tokens, _marker_test(markers)))
+        scores.append((lang, hits))
+    # deterministic argmax: sort (−hits, lang) structs, take the head
+    pairs = F.array(
+        *[F.struct((-hits).alias("neg"), F.lit(lang).alias("lang")) for lang, hits in scores]
+    )
+    top = F.sort_array(pairs)[0]
+    return F.when(-top["neg"] > 0, top["lang"]).otherwise(F.lit("und"))
+
+
+def language_id_sql(text_expr: str = "text") -> str:
+    """DuckDB SQL replica of language_id (same tie-break, same markers)."""
+    structs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ",".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        hits = (
+            f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+            f" t -> list_contains([{markers}], t)))"
+        )
+        structs.append(f"{{'neg': -({hits}), 'lang': '{lang}'}}")
+    arr = f"list_sort([{', '.join(structs)}])"
+    return (
+        f"CASE WHEN -({arr}[1].neg) > 0 THEN {arr}[1].lang ELSE 'und' END"
+    )
+
+
+def fingerprint(text: str = "text") -> Column:
+    """Deterministic 61-bit rolling polynomial document fingerprint:
+    fold(h*31 + codepoint mod 2^61-1) over characters — pure Column
+    ``aggregate``, reproducible in DuckDB via list_reduce.
+
+    ``text`` is a column name (the expression composes via Spark SQL)."""
+    return F.expr(
+        f"aggregate(transform(split({text}, ''), c -> ascii(c)),"
+        f" CAST(0 AS BIGINT), (h, c) -> pmod(h * 31 + c, {FINGERPRINT_MOD}))"
+    )
+
+
+def fingerprint_sql(text_expr: str = "text") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(string_split({text_expr}, ''), c -> ascii(c)::BIGINT)),"
+        f" (h, c) -> (h * 31 + c) % {FINGERPRINT_MOD})"
+    )
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis projection (all JVM-side)."""
+    return docs.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        quality_score(text_col).alias("quality"),
+        language_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,98 @@
+"""Self-check harness mirroring the driver's correctness gate: run each
+queries() entry in Spark and its oracle_sql() in DuckDB on the same sf dir,
+compare row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return f"{value:.9g}"
+    if hasattr(value, "isoformat"):
+        return value.isoformat()
+    return str(value)
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> bool:
+    import __spark_entry__ as entrymod
+    from quackosm_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    all_ok = True
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+            sset = sorted(
+                tuple(normalize(r[c]) for c in scols) for r in srows
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            all_ok = False
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            rel = con.sql(sql)
+            dcols_raw = rel.columns
+            drows = rel.fetchall()
+            order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+            dcols = sorted(dcols_raw)
+            dset = sorted(
+                tuple(normalize(row[i]) for i in order) for row in drows
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            all_ok = False
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: columns {scols} vs {dcols}")
+            all_ok = False
+        elif len(sset) != len(dset):
+            print(f"FAIL {name}: rows {len(sset)} vs {len(dset)}")
+            all_ok = False
+        elif sset != dset:
+            diff = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b][:3]
+            print(f"FAIL {name}: values differ, e.g.:")
+            for i in diff:
+                print(f"   spark  {sset[i]}")
+                print(f"   duckdb {dset[i]}")
+            all_ok = False
+        else:
+            print(f"ok   {name}: {len(sset)} rows match")
+    return all_ok
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    ok = run(sf, only)
+    sys.exit(0 if ok else 1)
