@@ -11,6 +11,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Optional, Sequence, Union
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -138,11 +139,10 @@ def convert_pbf_to_parquet(
         osm_way_polygon_features_config=osm_way_polygon_features_config,
     )
     if save_as_wkt:
-        import pandas as pd
         from pyspark.sql.types import StringType
 
         @F.pandas_udf(StringType())
-        def _to_wkt(geometry: "pd.Series") -> "pd.Series":
+        def _to_wkt(geometry: pd.Series) -> pd.Series:
             from quackosm_spark.geometry import model, wkb
 
             return pd.Series(

@@ -95,12 +95,14 @@ def linemerge(lines: list[Ring]) -> list[Ring]:
         for direction in ("tail", "head"):
             while True:
                 node = tuple(chain[-1]) if direction == "tail" else tuple(chain[0])
-                candidates = [
-                    (j, at_start)
-                    for (j, at_start) in endpoints.get(node, [])
-                    if not used[j]
-                ]
-                # only merge through clean degree-2 junctions, like linemerge
+                # GEOS ST_LineMerge semantics: merge only through nodes where
+                # exactly two line endpoints meet — total degree, not
+                # remaining-unused degree, else a 3-way junction merges once
+                # one branch is consumed.
+                incident = endpoints.get(node, [])
+                if len(incident) != 2:
+                    break
+                candidates = [(j, at_start) for (j, at_start) in incident if not used[j]]
                 if len(candidates) != 1:
                     break
                 j, at_start = candidates[0]

@@ -30,6 +30,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # Python worker processes (data source + UDF workers) don't inherit the
+    # driver's sys.path mutations — without this, running from any directory
+    # other than the repo root fails with ModuleNotFoundError inside the
+    # osmpbf data source. On a real cluster the package is pip-installed on
+    # executors instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

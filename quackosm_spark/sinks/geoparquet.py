@@ -19,6 +19,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Literal
 
+import pandas as pd
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -103,7 +104,6 @@ def collect_geo_stats(features: DataFrame) -> tuple[list[str], tuple[float, floa
     if features.isEmpty():
         return [], (0.0, 0.0, 0.0, 0.0)
 
-    import pandas as pd
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())
@@ -135,6 +135,10 @@ def _stamp_footer(path: Path, geo_json: str) -> None:
         compression="zstd",
         row_group_size=100_000,
     )
+    # the rewrite invalidates Hadoop's local-FS checksum sidecar; drop it so
+    # subsequent Spark reads don't fail with ChecksumException
+    crc = path.parent / f".{path.name}.crc"
+    crc.unlink(missing_ok=True)
 
 
 def write_geoparquet(

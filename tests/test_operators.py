@@ -1,0 +1,165 @@
+"""Training-data-pipeline operators: dedup family, similarity search, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackosm_spark.operators import dedup as D
+from quackosm_spark.operators import multimodal as M
+from quackosm_spark.operators import similarity as S
+from quackosm_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy cat", "en"),     # near dup of 1
+        (4, "der schnelle braune fuchs springt und der hund ist faul und das ist gut", "de"),
+        (5, "completely unrelated text about spark engines", "en"),
+        (6, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1 and groups[0]["n_docs"] == 2
+
+
+def test_drop_exact_duplicates(docs):
+    kept = D.drop_exact_duplicates(docs)
+    assert kept.count() == 5
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # identical
+    assert (1, 3) in pairs               # near-dup above threshold
+    assert (1, 5) not in pairs           # unrelated below threshold
+
+
+def test_minhash_lsh_candidates(docs):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (1, 2) in cands  # identical docs collide in every band
+
+
+def test_simhash_identical_docs_equal(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=16).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[5]
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_duplicates(vectors, threshold=0.9).collect()
+    }
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] > 0.99
+
+
+# ---------------------------------------------------------------- similarity
+
+def test_brute_force_topk_ranking(vectors):
+    queries = vectors.where(F.col("vec_id") == 0)
+    out = S.brute_force_topk(vectors, queries, k=2).collect()
+    ranked = [r["match_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2]  # nearest first; ties broken by id
+
+
+def test_lsh_bucket_topk_contains_true_neighbor(vectors):
+    queries = vectors.where(F.col("vec_id") == 0)
+    out = S.lsh_bucket_topk(vectors, queries, k=2, num_planes=2, dim=3).collect()
+    assert 1 in {r["match_id"] for r in out}  # identical-direction vec shares bucket
+
+
+def test_ivf_topk_smoke(vectors):
+    queries = vectors.where(F.col("vec_id") == 0)
+    out = S.ivf_topk(vectors, queries, k=1, num_cells=2, nprobe=2).collect()
+    assert out and out[0]["match_id"] == 1
+
+
+# ---------------------------------------------------------------- text
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "   "), (4, "single")],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", T.token_count("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", T.language_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+
+
+def test_quality_score_bounds(docs):
+    vals = [r["q"] for r in docs.select(T.quality_score("text").alias("q")).collect()]
+    assert all(v is not None and 0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprint_matches_python(spark):
+    text = "hello"
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    got = df.select(T.fingerprint("text").alias("fp")).collect()[0]["fp"]
+    expect = 0
+    for ch in text:
+        expect = (expect * 31 + ord(ch)) % T.FINGERPRINT_MOD
+    assert got == expect
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_media_stats(spark):
+    media = M.synthesize_media(spark, n=30)
+    stats = {r["kind"]: r for r in M.media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}
+    assert stats["video"]["max_duration_ms"] is not None
+
+
+def test_extract_image_features_plumbing(spark):
+    media = M.synthesize_media(spark, n=12)
+    images = media.where(F.col("kind") == "image")
+    feats = M.extract_image_features(images)
+    rows = feats.collect()
+    assert len(rows) == images.count()
+    dims = {len(r["features"]) for r in rows}
+    assert len(dims) == 1  # fixed-width feature vector
+
+
+def test_sample_frames_plumbing(spark):
+    media = M.synthesize_media(spark, n=12)
+    videos = media.where(F.col("kind") == "video")
+    frames = M.sample_frames(videos, every_ms=250)
+    assert frames.count() >= videos.count()  # ≥1 frame per video

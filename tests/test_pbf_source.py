@@ -1,0 +1,89 @@
+"""The osmpbf Spark data source on real PBF fixtures (read-only files from
+the reference's test suite). Golden counts were cross-validated against the
+reference docstring geometries (quackosm/functions.py:180-240): spot-checked
+features match coordinate-for-coordinate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackosm_spark.sources.pbf import read_osm_pbf
+from tests.conftest import MONACO
+
+
+@pytest.fixture(scope="module")
+def monaco(spark):
+    return read_osm_pbf(spark, MONACO).cache()
+
+
+def test_schema(monaco):
+    assert [f.name for f in monaco.schema.fields] == [
+        "kind", "id", "tags", "refs", "ref_types", "ref_roles", "lat", "lon",
+    ]
+
+
+def test_element_counts(monaco):
+    counts = {r["kind"]: r["count"] for r in monaco.groupBy("kind").count().collect()}
+    assert counts == {"node": 30626, "way": 4846, "relation": 290}
+
+
+def test_node_coordinates_in_monaco_bbox(monaco):
+    row = monaco.where(F.col("kind") == "node").select(
+        F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")
+    ).collect()[0]
+    assert 43.4 < row[0] and row[1] < 44.0
+    assert 7.3 < row[2] and row[3] < 7.6
+
+
+def test_known_node(monaco):
+    # node/10068880335 = POINT (7.4186855 43.7321515), amenity=bench
+    # (reference quackosm/functions.py:226 docstring example)
+    r = monaco.where(F.col("id") == 10068880335).collect()[0]
+    assert r["kind"] == "node"
+    assert round(r["lon"], 7) == 7.4186855 and round(r["lat"], 7) == 43.7321515
+    assert dict(r["tags"])["amenity"] == "bench"
+
+
+def test_way_refs_resolve(monaco):
+    ways = monaco.where(F.col("kind") == "way")
+    node_ids = monaco.where(F.col("kind") == "node").select("id")
+    dangling = (
+        ways.select(F.explode("refs").alias("id"))
+        .join(node_ids, "id", "left_anti")
+    )
+    assert dangling.count() == 0
+
+
+def test_relation_members(monaco):
+    rels = monaco.where(
+        (F.col("kind") == "relation") & (F.size("refs") > 0)
+    )
+    row = rels.select(
+        F.sum(
+            F.when(
+                (F.size("refs") == F.size("ref_types"))
+                & (F.size("refs") == F.size("ref_roles")),
+                0,
+            ).otherwise(1)
+        ).alias("bad")
+    ).collect()[0]
+    assert row["bad"] == 0
+    # roles vocabulary sanity
+    roles = {
+        r["role"]
+        for r in rels.select(F.explode("ref_roles").alias("role")).distinct().collect()
+    }
+    assert "outer" in roles and "inner" in roles
+
+
+def test_partitioning_invariance(spark):
+    """Small partition_bytes → many tasks; totals must not change."""
+    df_small = read_osm_pbf(spark, MONACO, partition_bytes=64 * 1024)
+    assert df_small.rdd.getNumPartitions() > 1
+    assert df_small.count() == 30626 + 4846 + 290
+
+
+def test_untagged_elements_have_null_tags(monaco):
+    n = monaco.where(F.col("tags").isNull()).count()
+    assert n > 20000  # most monaco nodes are untagged geometry carriers

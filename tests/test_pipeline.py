@@ -1,0 +1,183 @@
+"""End-to-end tests of the element→feature pipeline (C1..C11) on the F1
+scenario fixture (tests/conftest.py), mirroring the reference's per-behavior
+unit tests (tests/base/test_pbf_file_reader.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackosm_spark.geometry import wkb
+from quackosm_spark.plans.pipeline import PbfPipelineOptions, build_features
+from quackosm_spark.sources.pbf import ELEMENTS_SCHEMA
+
+
+def _features(spark, elements, **kwargs):
+    opts = PbfPipelineOptions(**kwargs)
+    df = build_features(spark, elements, opts)
+    rows = df.collect()
+    return {r["feature_id"]: r for r in rows}
+
+
+def _geom(row):
+    return wkb.loads(bytes(row["geometry"]))
+
+
+@pytest.fixture(scope="module")
+def nofilter(spark, elements):
+    return _features(spark, elements)
+
+
+# ---------------------------------------------------------------- inventory
+
+def test_feature_inventory_nofilter(nofilter):
+    assert sorted(nofilter) == [
+        "node/1",       # tagged node
+        "node/5",
+        "node/9",
+        "relation/201",  # ring merged from two halves
+        "relation/202",  # outer ring (inner not contained → no hole)
+        "relation/203",  # NULL roles default to outer
+        "relation/206",  # boundary type; node member ignored
+        "way/101",       # closed + building → Polygon
+        "way/102",       # closed + area=no → LineString
+        "way/103",       # open → LineString
+        "way/104",       # closed but <4 distinct points → LineString
+    ]
+    # dropped by design:
+    # node/2,4,6,7,8 untagged; node/3 metadata-only tags
+    # way/105 dangling ref (validity C4); way/106-108 untagged
+    # relation/204 unclosed ring; relation/205 route type
+
+
+def test_node_point_geometry(nofilter):
+    g = _geom(nofilter["node/1"])
+    assert g == {"type": "Point", "coordinates": [0.1, 0.1]}
+    assert dict(nofilter["node/1"]["tags"]) == {"amenity": "cafe", "name": "N1"}
+
+
+def test_metadata_only_node_dropped(nofilter):
+    assert "node/3" not in nofilter
+
+
+def test_way_polygonization_decision(nofilter):
+    assert _geom(nofilter["way/101"])["type"] == "Polygon"      # building=yes
+    assert _geom(nofilter["way/102"])["type"] == "LineString"   # area=no wins
+    assert _geom(nofilter["way/103"])["type"] == "LineString"   # open
+    assert _geom(nofilter["way/104"])["type"] == "LineString"   # 3 distinct pts
+
+
+def test_way_linestring_order(nofilter):
+    g = _geom(nofilter["way/103"])
+    assert g["coordinates"] == [[0.1, 0.1], [0.1, 0.2], [0.2, 0.2]]  # (lon, lat)
+
+
+def test_way_with_dangling_ref_dropped(nofilter):
+    assert "way/105" not in nofilter
+
+
+def test_relation_ring_merge(nofilter):
+    g = _geom(nofilter["relation/201"])
+    assert g["type"] == "Polygon"
+    ring = g["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) == 5
+
+
+def test_relation_null_roles_default_outer(nofilter):
+    assert _geom(nofilter["relation/203"])["type"] == "Polygon"
+
+
+def test_relation_unclosed_dropped(nofilter):
+    assert "relation/204" not in nofilter
+
+
+def test_route_relation_ignored(nofilter):
+    assert "relation/205" not in nofilter
+
+
+def test_boundary_relation_node_member_ignored(nofilter):
+    g = _geom(nofilter["relation/206"])
+    assert g["type"] == "Polygon"
+
+
+def test_relation_hole_assignment(spark):
+    """Purpose-built multipolygon whose inner ring IS inside the outer."""
+    rows = [
+        ("node", 1, None, None, None, None, 0.0, 0.0),
+        ("node", 2, None, None, None, None, 0.0, 1.0),
+        ("node", 3, None, None, None, None, 1.0, 1.0),
+        ("node", 4, None, None, None, None, 1.0, 0.0),
+        ("node", 5, None, None, None, None, 0.25, 0.25),
+        ("node", 6, None, None, None, None, 0.25, 0.75),
+        ("node", 7, None, None, None, None, 0.75, 0.75),
+        ("node", 8, None, None, None, None, 0.75, 0.25),
+        ("way", 11, None, [1, 2, 3, 4, 1], None, None, None, None),
+        ("way", 12, None, [5, 6, 7, 8, 5], None, None, None, None),
+        (
+            "relation", 21, {"type": "multipolygon", "landuse": "forest"},
+            [11, 12], ["way", "way"], ["outer", "inner"], None, None,
+        ),
+    ]
+    elements = spark.createDataFrame(rows, ELEMENTS_SCHEMA)
+    feats = _features(spark, elements)
+    assert sorted(feats) == ["relation/21"]
+    g = _geom(feats["relation/21"])
+    assert g["type"] == "Polygon"
+    assert len(g["coordinates"]) == 2  # outer + hole
+
+
+# ---------------------------------------------------------------- filters
+
+def test_tags_filter(spark, elements):
+    feats = _features(spark, elements, tags_filter={"building": True})
+    assert sorted(feats) == ["way/101", "way/104"]
+
+
+def test_tags_filter_negative(spark, elements):
+    feats = _features(spark, elements, tags_filter={"amenity": True, "area": False})
+    # node/5 has area=yes → excluded by negative clause
+    assert sorted(feats) == ["node/1"]
+
+
+def test_geometry_filter_excludes_far_node(spark, elements):
+    unit = {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]],
+    }
+    feats = _features(spark, elements, geometry_filter=unit)
+    assert "node/9" not in feats
+    assert "node/1" in feats and "way/101" in feats and "relation/201" in feats
+
+
+def test_filter_osm_ids(spark, elements):
+    feats = _features(
+        spark, elements, filter_osm_ids=("node/1", "way/101", "relation/201")
+    )
+    assert sorted(feats) == ["node/1", "relation/201", "way/101"]
+
+
+def test_custom_sql_filter(spark, elements):
+    feats = _features(
+        spark, elements, custom_sql_filter="map_contains_key(tags, 'amenity')"
+    )
+    assert sorted(feats) == ["node/1", "node/5"]
+
+
+def test_keep_metadata_tags(spark, elements):
+    feats = _features(spark, elements, ignore_metadata_tags=False)
+    assert "node/3" in feats
+    assert dict(feats["node/3"]["tags"]) == {"created_by": "editor"}
+
+
+# ---------------------------------------------------------------- defaults
+
+def test_explode_tags_default_rule():
+    assert PbfPipelineOptions(tags_filter={"building": True}).resolve_explode_tags()
+    assert not PbfPipelineOptions().resolve_explode_tags()
+    assert not PbfPipelineOptions(
+        tags_filter={"building": True}, keep_all_tags=True
+    ).resolve_explode_tags()
+    assert not PbfPipelineOptions(tags_filter={"name:*": False}).resolve_explode_tags()
+    assert PbfPipelineOptions(
+        tags_filter={"building": True}, explode_tags=True, keep_all_tags=True
+    ).resolve_explode_tags()
