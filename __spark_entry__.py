@@ -488,17 +488,23 @@ def _hash64_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
+def _hashed_shingles_sql(text_expr: str, k: int = 5) -> str:
+    """Mirror of dedup.hashed_shingles: one md5 per shingle → distinct bigints."""
+    return f"list_distinct(list_transform({_shingles_sql(text_expr, k)}, s -> {_hash64_sql('s')}))"
+
+
 def oracle_sql() -> dict[str, str]:
     from quackosm_spark.operators.text import (
         FINGERPRINT_MOD,
         language_id_sql,
     )
 
-    # q18 oracle: regenerate the md5 minhash signature + banding in SQL
-    seed_exprs = ["'seed{}:' || s".format(i) for i in range(8)]
+    # q18 oracle: regenerate the seeded minhash signature + banding in SQL —
+    # same universal-hash family as dedup.seeded_minhash:
+    # h_i = (h * (2i+3) + 7919i + 1) % 2147483647 over md5-hashed shingles.
     sig_elems = ", ".join(
-        "list_min(list_transform(sh, s -> {}))".format(_hash64_sql(e))
-        for e in seed_exprs
+        f"list_min(list_transform(sh, h -> (h * {2 * i + 3} + {7919 * i + 1}) % 2147483647))"
+        for i in range(8)
     )
     band_keys = ", ".join(
         f"('{b}_' || sig[{b * 2 + 1}]::VARCHAR || '_' || sig[{b * 2 + 2}]::VARCHAR)"
@@ -506,7 +512,7 @@ def oracle_sql() -> dict[str, str]:
     )
     q18_sql = f"""
         WITH docs AS (
-            SELECT doc_id, {_shingles_sql('text')} AS sh
+            SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
             FROM documents WHERE doc_id % 5 = 0
         ),
         sigs AS (SELECT doc_id, [{sig_elems}] AS sig FROM docs),
@@ -659,7 +665,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q17_ngram_jaccard": f"""
             WITH docs AS (
-                SELECT doc_id, {_shingles_sql('text')} AS sh
+                SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
                 FROM documents WHERE doc_id % 5 = 0
             ),
             inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),

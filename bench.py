@@ -36,6 +36,14 @@ def main() -> None:
     spark = get_spark(app_name="quackosm-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: amortize JVM JIT + codegen + Python-worker startup so
+    # timings reflect steady-state throughput, not session bring-up. Touches
+    # only the tiny region table, not the headline inputs.
+    from pyspark.sql import functions as F
+
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("g")).count().count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0

@@ -73,6 +73,30 @@ def _hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def hashed_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct md5-hashed shingles as ``array<bigint>``.
+
+    One md5 per shingle — every downstream consumer (minhash seeds, jaccard
+    join keys, simhash votes) derives from these bigints with cheap integer
+    arithmetic instead of re-hashing strings. ``array_distinct`` runs on the
+    hashed values so set sizes stay consistent with hashed-equality joins.
+    """
+    return F.array_distinct(F.transform(char_shingles(text, k), _hash64))
+
+
+# universal-hash family over the base hash: h_i = (h * (2i+3) + 7919i + 1) mod P.
+# Products stay < 2^63 (h < 2^32, multiplier small), so the arithmetic is
+# exact in both Spark and the DuckDB oracle.
+MINHASH_P = 2_147_483_647
+
+
+def seeded_minhash(hashes: Column, seed: int) -> Column:
+    a, b = 2 * seed + 3, 7919 * seed + 1
+    return F.array_min(
+        F.transform(hashes, lambda h: (h * a + b) % F.lit(MINHASH_P))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -80,21 +104,26 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — min over shingles of md5(seed‖shingle).
+    """(doc_id, sig: array<bigint>) — min over the seeded-hash family.
 
-    All Column expressions (explode → groupBy(min) per seed would need
-    num_hashes aggregates; instead the min-fold runs inside ``aggregate`` on
-    the shingle array — no extra shuffle at all).
+    One ``aggregate`` fold over the hashed-shingle array computes ALL
+    ``num_hashes`` minima in a single pass: the expensive md5 transform
+    appears exactly once in the expression tree (N separate
+    ``array_min(transform(...))`` expressions would each re-expand it —
+    Catalyst's CollapseProject re-inlines non-deterministic-free aliases,
+    so md5 would run N× per shingle).
     """
-    def _seeded_hash(seed: int):
-        return lambda s: _hash64(F.concat(F.lit(f"seed{seed}:"), s))
-
-    shingles = char_shingles(F.col(text_col), shingle)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, _seeded_hash(i)))
-            for i in range(num_hashes)
-        ]
+    hs = hashed_shingles(F.col(text_col), shingle)
+    seeds = [(2 * i + 3, 7919 * i + 1) for i in range(num_hashes)]
+    sig = F.aggregate(
+        hs,
+        F.array(*[F.lit(MINHASH_P).cast("bigint")] * num_hashes),
+        lambda acc, h: F.array(
+            *[
+                F.least(F.element_at(acc, i + 1), (h * a + b) % F.lit(MINHASH_P))
+                for i, (a, b) in enumerate(seeds)
+            ]
+        ),
     )
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
@@ -130,6 +159,11 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_key"),
     )
+    # the self-join would otherwise recompute the signature hashing on BOTH
+    # sides; banded is tiny (n_docs × bands rows), so persist it
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -162,11 +196,18 @@ def ngram_jaccard_pairs(
     jaccard with |A∪B| = |A|+|B|−|∩|. Never materializes non-overlapping
     pairs. Returns (doc_a, doc_b, jaccard).
     """
-    sh = docs.select(
+    # hashed-bigint join keys (cheaper shuffle + probe than 5-char strings);
+    # shingle arrays are already distinct, so no post-explode dedup shuffle.
+    # Persisted: three consumers (sizes + both self-join sides) would each
+    # recompute the md5 hashing otherwise.
+    from pyspark import StorageLevel
+
+    sh_arr = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(char_shingles(F.col(text_col), shingle)).alias("sh"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        hashed_shingles(F.col(text_col), shingle).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sh_arr.select("doc_id", F.explode("hs").alias("sh"))
+    sizes = sh_arr.select("doc_id", F.size("hs").alias("n_sh"))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -203,18 +244,27 @@ def simhash(
     64 bits. Returns (doc_id, simhash: bigint).
     """
     shingles = char_shingles(F.col(text_col), shingle)
-    # two independent 32-bit hashes per shingle (md5 chars 1-8 and 9-16)
-    h_lo = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")  # noqa: E731
-    h_hi = lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("bigint")  # noqa: E731
-    def _vote_fn(half, shift):
+    # two independent 32-bit hashes per shingle (md5 chars 1-8 and 9-16),
+    # computed ONCE into an array<struct<lo,hi>> — the per-bit votes below
+    # are integer ops over these, not repeated string hashing.
+    hashed = F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint").alias("lo"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("bigint").alias("hi"),
+        ),
+    )
+
+    def _vote_fn(is_lo: bool, shift: int):
+        half = (lambda s: s["lo"]) if is_lo else (lambda s: s["hi"])
         return lambda acc, s: acc + F.when(
             F.shiftright(half(s), shift) % 2 == 1, F.lit(1)
         ).otherwise(F.lit(-1))
 
     fingerprint = F.lit(0).cast("bigint")
     for b in range(bits):
-        half, shift = (h_lo, b) if b < 32 else (h_hi, b - 32)
-        vote = F.aggregate(shingles, F.lit(0), _vote_fn(half, shift))
+        is_lo, shift = (True, b) if b < 32 else (False, b - 32)
+        vote = F.aggregate(hashed, F.lit(0), _vote_fn(is_lo, shift))
         fingerprint = fingerprint + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
