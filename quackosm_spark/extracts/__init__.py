@@ -1,1 +1,472 @@
+"""OSM extract discovery: coverage search (C13) + fuzzy name query (C14).
 
+Driver-side reimplementation of the reference's `quackosm/osm_extracts`
+subsystem (osm_extracts/__init__.py:283-391 fuzzy query, 900-1037 greedy IoU
+cover, 1040-1193 overlap filter + redundancy simplification). This metadata
+is tiny (thousands of extracts), so — like the reference — none of it runs
+on Spark; it selects which PBF files the distributed pipeline should read.
+
+Geometry engine: the container has no shapely, so polygon boolean ops
+(intersection area, difference, covered-by) run on a deterministic raster
+grid over the working bbox using the same vectorized point-in-polygon kernel
+the pipeline uses (`quackosm_spark.geometry.ops.points_in_polygon`). At the
+default 512×512 resolution the IoU error is far below the 0.01 threshold the
+selection algorithm cares about; results are reproducible run-to-run.
+
+Network access (index scraping from Geofabrik/BBBike/OSM-fr + PBF download
+via HTTP) is represented by `download_extract`, which is a clearly marked
+stub in this offline build — indexes load from local parquet/records instead
+(`load_index` / `build_index`).
+"""
+
+from __future__ import annotations
+
+import difflib
+import warnings
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Iterable, Optional, Sequence
+
+import numpy as np
+
+from quackosm_spark.cache import oriented_geometry
+from quackosm_spark.filters.geometry import normalize_to_polygons
+from quackosm_spark.geometry import model
+from quackosm_spark.geometry.ops import points_in_polygon
+
+Geometry = dict[str, Any]
+
+DEFAULT_RASTER_RESOLUTION = 512
+
+
+# --------------------------------------------------------------------------
+# errors / warnings (mirroring reference _exceptions.py semantics)
+# --------------------------------------------------------------------------
+
+class OsmExtractZeroMatchesError(ValueError):
+    def __init__(self, message: str, matching_full_names: list[str] | None = None):
+        super().__init__(message)
+        self.matching_full_names = matching_full_names or []
+
+
+class OsmExtractMultipleMatchesError(ValueError):
+    def __init__(self, message: str, matching_full_names: list[str] | None = None):
+        super().__init__(message)
+        self.matching_full_names = matching_full_names or []
+
+
+class OsmExtractMultipleMatchesWarning(UserWarning):
+    pass
+
+
+class GeometryNotCoveredError(RuntimeError):
+    pass
+
+
+class GeometryNotCoveredWarning(UserWarning):
+    pass
+
+
+# --------------------------------------------------------------------------
+# data model (reference osm_extracts/extract.py:78 column contract)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class OpenStreetMapExtract:
+    id: str
+    name: str
+    file_name: str
+    parent: str
+    url: str
+    geometry: Geometry
+    area: float = field(default=0.0)
+
+
+def build_index(records: Iterable[dict[str, Any]]) -> list[OpenStreetMapExtract]:
+    """Records (dicts with geometry as GeoJSON dict or WKT string) → index."""
+    out = []
+    for r in records:
+        geom = r["geometry"]
+        if isinstance(geom, str):
+            geom = model.from_wkt(geom)
+        area = r.get("area")
+        if area is None:
+            area = raster_area(geom)
+        out.append(
+            OpenStreetMapExtract(
+                id=str(r["id"]),
+                name=str(r["name"]),
+                file_name=str(r["file_name"]),
+                parent=str(r.get("parent", "")),
+                url=str(r.get("url", "")),
+                geometry=geom,
+                area=float(area),
+            )
+        )
+    return out
+
+
+def load_index(path: str | Path) -> list[OpenStreetMapExtract]:
+    """Load a cached provider index parquet (columns id, name, file_name,
+    parent, url, geometry as WKT, optional area) — the offline analogue of
+    the reference's precalculated index download (extract.py:26-28)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    return build_index(table.to_pylist())
+
+
+# --------------------------------------------------------------------------
+# raster geometry kernel
+# --------------------------------------------------------------------------
+
+class _Raster:
+    """Boolean occupancy mask of a geometry over a fixed grid."""
+
+    def __init__(self, mask: np.ndarray, cell_area: float):
+        self.mask = mask
+        self.cell_area = cell_area
+
+    @property
+    def area(self) -> float:
+        return float(self.mask.sum()) * self.cell_area
+
+    @property
+    def is_empty(self) -> bool:
+        return not bool(self.mask.any())
+
+    def intersects(self, other: "_Raster") -> bool:
+        return bool((self.mask & other.mask).any())
+
+    def intersection_area(self, other: "_Raster") -> float:
+        return float((self.mask & other.mask).sum()) * self.cell_area
+
+    def difference(self, other: "_Raster") -> "_Raster":
+        return _Raster(self.mask & ~other.mask, self.cell_area)
+
+    def covered_by(self, others_union: "_Raster") -> bool:
+        return bool((self.mask & ~others_union.mask).sum() == 0)
+
+    def union_(self, other: "_Raster") -> "_Raster":
+        return _Raster(self.mask | other.mask, self.cell_area)
+
+
+class _Grid:
+    def __init__(self, bbox: tuple[float, float, float, float], resolution: int):
+        minx, miny, maxx, maxy = bbox
+        spanx = (maxx - minx) or 1e-9
+        spany = (maxy - miny) or 1e-9
+        # small margin so boundary cells are sampled inside
+        self.minx, self.miny = minx, miny
+        self.dx = spanx / resolution
+        self.dy = spany / resolution
+        xs = minx + (np.arange(resolution) + 0.5) * self.dx
+        ys = miny + (np.arange(resolution) + 0.5) * self.dy
+        gx, gy = np.meshgrid(xs, ys)
+        self.px = gx.ravel()
+        self.py = gy.ravel()
+        self.cell_area = self.dx * self.dy
+
+    def rasterize(self, geom: Geometry) -> _Raster:
+        mask = np.zeros(len(self.px), dtype=bool)
+        for poly in normalize_to_polygons(geom):
+            inside = points_in_polygon(self.px, self.py, poly)
+            mask |= inside
+        return _Raster(mask, self.cell_area)
+
+
+def _geom_bounds(geom: Geometry) -> tuple[float, float, float, float]:
+    return model.bounds(geom)
+
+
+def raster_area(geom: Geometry, resolution: int = 256) -> float:
+    grid = _Grid(_geom_bounds(geom), resolution)
+    return grid.rasterize(geom).area
+
+
+def _geometries_equal(a: Geometry, b: Geometry, digits: int = 6) -> bool:
+    """geom_equals_exact(tolerance=1e-6) analogue: orientation-normalized,
+    rounded coordinate equality (reuses the cache-key normalizer)."""
+    def _norm(g: Geometry) -> str:
+        oriented = oriented_geometry(g)
+        def _round(coords):
+            if isinstance(coords[0], (int, float)):
+                return [round(coords[0], digits), round(coords[1], digits)]
+            return [_round(c) for c in coords]
+        return str({**oriented, "coordinates": _round(oriented["coordinates"])})
+
+    try:
+        return _norm(a) == _norm(b)
+    except (KeyError, IndexError, TypeError):
+        return False
+
+
+# --------------------------------------------------------------------------
+# C14: fuzzy name query (reference osm_extracts/__init__.py:283-391)
+# --------------------------------------------------------------------------
+
+def _norm_query(s: str) -> str:
+    return s.lower().strip()
+
+
+def get_extract_by_query(
+    query: str,
+    index: Sequence[OpenStreetMapExtract],
+    select_first_match: bool = True,
+    excluded_extracts_ids: Optional[set[str]] = None,
+) -> OpenStreetMapExtract:
+    """Find an extract by file_name/name, case- and underscore-insensitive.
+
+    Resolution order (reference semantics): unique file_name match → unique
+    name match → multiple name matches (smallest area wins + warning, or
+    raise) → zero matches (difflib suggestions in the error).
+    """
+    if excluded_extracts_ids:
+        index = [e for e in index if e.id not in excluded_extracts_ids]
+
+    q = _norm_query(query)
+    q_spaced = q.replace("_", " ")
+
+    def _matches(value: str) -> bool:
+        v = value.lower()
+        return v == q or v.replace("_", " ") == q_spaced
+
+    by_file_name = [e for e in index if _matches(e.file_name)]
+    if len(by_file_name) == 1:
+        return by_file_name[0]
+
+    by_name = [e for e in index if _matches(e.name)]
+    if len(by_name) == 1:
+        return by_name[0]
+    if by_name:
+        full_names = sorted(e.file_name for e in by_name)
+        names_str = ", ".join(f'"{n}"' for n in full_names)
+        if not select_first_match:
+            raise OsmExtractMultipleMatchesError(
+                f'Multiple extracts matched by query "{query.strip()}".\n'
+                f"Matching extracts full names: {names_str}.",
+                matching_full_names=full_names,
+            )
+        best = sorted(by_name, key=lambda e: (e.area, e.id))[0]
+        warnings.warn(
+            f'Multiple extracts matched by query "{query.strip()}"'
+            f' (matching full names: {names_str}). Selected "{best.file_name}".',
+            OsmExtractMultipleMatchesWarning,
+            stacklevel=0,
+        )
+        return best
+
+    suggestions = difflib.get_close_matches(
+        q, sorted({e.name.lower() for e in index}), n=5, cutoff=0.7
+    )
+    matching_full_names = [
+        e.file_name for s in suggestions for e in index if e.name.lower() == s
+    ]
+    if matching_full_names:
+        names_str = ", ".join(f'"{n}"' for n in matching_full_names)
+        message = (
+            f'Zero extracts matched by query "{query}".\n'
+            f"Found full names close to query: {names_str}."
+        )
+    else:
+        message = (
+            f'Zero extracts matched by query "{query}".\n'
+            "Zero close matches have been found."
+        )
+    raise OsmExtractZeroMatchesError(message, matching_full_names=matching_full_names)
+
+
+# --------------------------------------------------------------------------
+# C13: greedy IoU coverage search (reference osm_extracts/__init__.py:900-1037)
+# --------------------------------------------------------------------------
+
+def _working_grid(
+    geometry: Geometry,
+    index: Sequence[OpenStreetMapExtract],
+    resolution: int,
+) -> _Grid:
+    # The grid only needs to span the query geometry: every boolean op the
+    # algorithm performs is relative to (parts of) the query area. Extract
+    # areas use their precomputed `area` field for the IoU denominator.
+    return _Grid(_geom_bounds(geometry), resolution)
+
+
+def _cover_geometry_with_extracts(
+    geometry: Geometry,
+    index: Sequence[OpenStreetMapExtract],
+    allow_uncovered_geometry: bool = False,
+    resolution: int = DEFAULT_RASTER_RESOLUTION,
+) -> tuple[list[str], list[float]]:
+    """Greedy loop: repeatedly pick the extract with highest IoU against the
+    not-yet-covered remainder, subtract it, until covered."""
+    if not index:
+        raise RuntimeError("Extracts index is empty.")
+
+    # exact-match shortcut
+    for e in index:
+        if _geometries_equal(e.geometry, geometry):
+            return [e.id], [1.0]
+
+    grid = _working_grid(geometry, index, resolution)
+    remaining = grid.rasterize(geometry)
+    rasters = {e.id: grid.rasterize(e.geometry) for e in index}
+
+    checked_ids: list[str] = []
+    ious: list[float] = []
+    while not remaining.is_empty:
+        best: tuple[float, float, str] | None = None  # (-iou, area, id)
+        for e in index:
+            if e.id in checked_ids:
+                continue
+            r = rasters[e.id]
+            inter = r.intersection_area(remaining)
+            if inter <= 0:
+                continue
+            iou = inter / (e.area + remaining.area - inter)
+            key = (-iou, e.area, e.id)
+            if best is None or key < best:
+                best = key
+        if best is None:
+            if not allow_uncovered_geometry:
+                raise GeometryNotCoveredError(
+                    "Couldn't find extracts covering given geometry."
+                    " If it's expected behaviour, you can suppress this error by"
+                    " passing the `allow_uncovered_geometry=True` argument."
+                )
+            warnings.warn(
+                "Couldn't find extracts covering given geometry.",
+                GeometryNotCoveredWarning,
+                stacklevel=0,
+            )
+            break
+        neg_iou, _area, best_id = best
+        remaining = remaining.difference(rasters[best_id])
+        checked_ids.append(best_id)
+        ious.append(-neg_iou)
+    return checked_ids, ious
+
+
+def find_smallest_containing_extracts(
+    geometry: Geometry,
+    index: Sequence[OpenStreetMapExtract],
+    geometry_coverage_iou_threshold: float = 0.01,
+    allow_uncovered_geometry: bool = False,
+    resolution: int = DEFAULT_RASTER_RESOLUTION,
+) -> set[str]:
+    """Select extract ids covering the geometry; discard low-IoU picks
+    (except the first) with a warning."""
+    if not 0 <= geometry_coverage_iou_threshold <= 1:
+        raise ValueError(
+            "geometry_coverage_iou_threshold is outside required bounds [0, 1]"
+        )
+    checked_ids, ious = _cover_geometry_with_extracts(
+        geometry, index, allow_uncovered_geometry, resolution
+    )
+    selected: set[str] = set()
+    by_id = {e.id: e for e in index}
+    for extract_id, iou in zip(checked_ids, ious):
+        if iou >= geometry_coverage_iou_threshold or not selected:
+            selected.add(extract_id)
+        else:
+            warnings.warn(
+                "Skipping extract because of low IoU value "
+                f"({by_id[extract_id].file_name}, {iou:.3g}).",
+                GeometryNotCoveredWarning,
+                stacklevel=0,
+            )
+    return selected
+
+
+def filter_extracts(
+    geometry: Geometry,
+    extracts_ids: Iterable[str],
+    index: Sequence[OpenStreetMapExtract],
+    resolution: int = DEFAULT_RASTER_RESOLUTION,
+) -> list[OpenStreetMapExtract]:
+    """Overlap removal + redundancy simplification.
+
+    Biggest-first keep-if-adds-coverage (reference
+    `_filter_extracts_for_single_geometry`), then drop any extract whose
+    geometry is covered by the union of the others
+    (`_simplify_selected_extracts`)."""
+    ids = set(extracts_ids)
+    candidates = sorted(
+        (e for e in index if e.id in ids), key=lambda e: (e.area, e.id), reverse=True
+    )
+    grid = _working_grid(geometry, candidates, resolution)
+    remaining = grid.rasterize(geometry)
+    rasters = {e.id: grid.rasterize(e.geometry) for e in candidates}
+
+    kept: set[str] = set()
+    for e in candidates:
+        if remaining.is_empty:
+            break
+        r = rasters[e.id]
+        if not r.intersects(remaining):
+            continue
+        remaining = remaining.difference(r)
+        kept.add(e.id)
+
+    # redundancy simplification: remove extracts fully covered by the union
+    # of the other kept ones (within the working grid)
+    simplified = set(kept)
+    changed = True
+    while changed:
+        changed = False
+        for extract_id in sorted(simplified):
+            others = [rasters[o] for o in simplified if o != extract_id]
+            if not others:
+                continue
+            union = others[0]
+            for o in others[1:]:
+                union = union.union_(o)
+            own = rasters[extract_id]
+            # compare only within the query area — the grid doesn't extend
+            # beyond it, matching what coverage means for the selection
+            if own.mask.any() and own.covered_by(union):
+                simplified.remove(extract_id)
+                changed = True
+                break
+
+    return sorted(
+        (e for e in candidates if e.id in simplified), key=lambda e: (-e.area, e.id)
+    )
+
+
+def find_extracts_for_geometry(
+    geometry: Geometry,
+    index: Sequence[OpenStreetMapExtract],
+    geometry_coverage_iou_threshold: float = 0.01,
+    allow_uncovered_geometry: bool = False,
+    resolution: int = DEFAULT_RASTER_RESOLUTION,
+) -> list[OpenStreetMapExtract]:
+    """The full C13 composite: greedy IoU cover → overlap filter → simplify."""
+    selected = find_smallest_containing_extracts(
+        geometry,
+        index,
+        geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
+        allow_uncovered_geometry=allow_uncovered_geometry,
+        resolution=resolution,
+    )
+    return filter_extracts(geometry, selected, index, resolution=resolution)
+
+
+# --------------------------------------------------------------------------
+# download stub (network is unavailable in this build)
+# --------------------------------------------------------------------------
+
+def download_extract(
+    extract: OpenStreetMapExtract, download_directory: str | Path = "files"
+) -> Path:
+    """Return the local path of an extract's PBF, downloading if needed.
+
+    STUB: this environment has no network access; only pre-existing local
+    files resolve. The reference downloads via HTTP with a retry loop that
+    excludes 404'd extracts (osm_extracts/__init__.py:485-553) — hook the
+    download here when running with connectivity."""
+    target = Path(download_directory) / f"{extract.file_name}.osm.pbf"
+    if target.exists():
+        return target
+    raise NotImplementedError(
+        f"Offline build: cannot download {extract.url!r}; place the file at {target}."
+    )

@@ -1,1 +1,172 @@
+"""Structured Streaming operators over the events stream.
 
+The reference is strictly batch (SURVEY §2.10) — this module is the
+forward-looking streaming surface a large-scale pipeline needs: tumbling
+windows with watermarks for late data, and custom stateful sessionization
+via ``applyInPandasWithState``.
+
+Every transformation here is written against the unified DataFrame API, so
+the same function works on a batch DataFrame (tests compare outputs 1:1
+against the batch analogues q24/q25) and on a ``readStream`` DataFrame.
+
+Scale notes: windowed counts shuffle once on (window, event_type) with
+partial aggregation; sessionization shuffles once on user_id and keeps one
+small state row per user — both shapes hold at 100 TB/day with state in
+RocksDB (``spark.sql.streaming.stateStore.providerClass``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over an events parquet directory (the batch table's
+    streaming twin). At scale this is Kafka/Kinesis — swap the source, keep
+    every transformation below unchanged."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    The streaming shape of q24: watermark bounds state for late data; on a
+    batch DataFrame the watermark is a no-op and the result equals the batch
+    ``date_trunc`` aggregation."""
+    with_wm = (
+        events.withWatermark("ts", watermark_delay)
+        if events.isStreaming
+        else events
+    )
+    return (
+        with_wm.groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state,
+    gap_seconds: int,
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful kernel: continue the open session from state, split
+    on inactivity gaps, emit every session touched in this batch (closed ones
+    final; the still-open one carried in state and re-emitted when updated —
+    standard update-mode semantics)."""
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
+
+    if state.exists:
+        session_id, last_ts_us, n_events = state.get
+    else:
+        session_id, last_ts_us, n_events = 0, None, 0
+
+    gap_us = gap_seconds * 1_000_000
+    touched: dict[int, int] = {}
+    for t in ts_us:
+        if last_ts_us is not None and t - last_ts_us > gap_us:
+            session_id += 1
+            n_events = 0
+        n_events += 1
+        last_ts_us = int(t)
+        touched[session_id] = n_events
+
+    state.update((session_id, last_ts_us, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(touched),
+            "session_id": list(touched.keys()),
+            "n_events": list(touched.values()),
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful sessionization (30-min inactivity default).
+
+    Streaming: ``applyInPandasWithState`` with one state row per user.
+    Batch: the same kernel runs via ``applyInPandas`` (a batch DataFrame has
+    no state store) with an inline no-state shim — identical outputs, so the
+    batch analogue (q25's lag+running-sum) oracles the streaming kernel.
+    """
+    from functools import partial
+
+    if events.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return events.groupBy("user_id").applyInPandasWithState(
+            partial(_sessionize_group, gap_seconds=gap_seconds),
+            outputStructType=_SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    class _NoState:
+        exists = False
+        get = None
+
+        def update(self, _v) -> None:
+            pass
+
+    def _batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return next(_sessionize_group(key, [pdf], _NoState(), gap_seconds))
+
+    return events.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
+        lambda key, pdf: _batch_fn(key, pdf), schema=_SESSION_OUTPUT_SCHEMA
+    )

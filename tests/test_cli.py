@@ -1,0 +1,101 @@
+"""CLI surface: argument parsing + end-to-end conversion via main()
+(mirrors the reference's tests/base/test_cli.py through the typer runner)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from quackosm_spark import cli
+from tests.conftest import MONACO
+
+
+def test_geohash_decode_known_cells():
+    # canonical vectors: 'ezs42' ≈ (-5.6, 42.6); 'u4pruyd' ≈ (10.4074, 57.6491)
+    minx, miny, maxx, maxy = cli.decode_geohash_bbox("ezs42")
+    assert minx <= -5.603 <= maxx and miny <= 42.605 <= maxy
+    minx, miny, maxx, maxy = cli.decode_geohash_bbox("u4pruyd")
+    assert minx < 10.4074 < maxx
+    assert miny < 57.6491 < maxy
+    assert (maxx - minx) < 0.01 and (maxy - miny) < 0.01
+
+
+def test_bbox_parsing_errors():
+    parser = cli.build_parser()
+    args = parser.parse_args(["x.pbf", "--geom-filter-bbox", "1,2,3"])
+    with pytest.raises(SystemExit, match="bounding box"):
+        cli.parse_geometry_args(args)
+
+
+def test_multiple_geometry_args_rejected():
+    parser = cli.build_parser()
+    args = parser.parse_args(
+        ["x.pbf", "--geom-filter-bbox", "1,2,3,4", "--geom-filter-geohash", "u4pr"]
+    )
+    with pytest.raises(SystemExit, match="more than one"):
+        cli.parse_geometry_args(args)
+
+
+def test_geojson_feature_unwrap():
+    doc = {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}
+    assert cli._geometry_from_geojson(doc) == doc["geometry"]
+
+
+def test_tags_filter_file(tmp_path):
+    f = tmp_path / "filter.json"
+    f.write_text(json.dumps({"building": True}))
+    parser = cli.build_parser()
+    args = parser.parse_args(["x.pbf", "--osm-tags-filter-file", str(f)])
+    assert cli.parse_tags_filter(args) == {"building": True}
+
+
+def test_conflicting_tags_filter_args(tmp_path):
+    f = tmp_path / "filter.json"
+    f.write_text("{}")
+    parser = cli.build_parser()
+    args = parser.parse_args(
+        ["x.pbf", "--osm-tags-filter", "{}", "--osm-tags-filter-file", str(f)]
+    )
+    with pytest.raises(SystemExit, match="both"):
+        cli.parse_tags_filter(args)
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    out = cli.main(
+        [
+            MONACO,
+            "--working-directory", str(tmp_path),
+            "--osm-tags-filter", '{"amenity": "cafe"}',
+            "--no-sort-result",
+        ]
+    )
+    assert out.exists()
+    printed = capsys.readouterr().out.strip()
+    assert printed.endswith(".parquet")
+    df = spark.read.parquet(str(out))
+    assert df.count() > 0
+    assert "amenity" in df.columns  # positive filter → exploded by default
+
+
+def test_cli_bbox_filter_end_to_end(spark, tmp_path):
+    out = cli.main(
+        [
+            MONACO,
+            "--working-directory", str(tmp_path),
+            "--osm-tags-filter", '{"amenity": true}',
+            "--geom-filter-bbox", "7.420,43.730,7.425,43.735",
+            "--no-sort-result",
+        ]
+    )
+    full = cli.main(
+        [
+            MONACO,
+            "--working-directory", str(tmp_path),
+            "--osm-tags-filter", '{"amenity": true}',
+            "--no-sort-result",
+        ]
+    )
+    n_clipped = spark.read.parquet(str(out)).count()
+    n_full = spark.read.parquet(str(full)).count()
+    assert 0 < n_clipped < n_full

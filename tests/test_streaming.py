@@ -1,0 +1,115 @@
+"""Structured Streaming operators: real readStream → memory-sink runs with
+availableNow triggers, batch-parity asserted against the q24/q25 analogues."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from quackosm_spark.streaming import (
+    read_events_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).cache()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, events_batch, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    events_batch.select("event_id", "user_id", "ts", "event_type", "value").write.parquet(path)
+    return path
+
+
+def _run_stream(spark, df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update" if name.startswith("sessions") else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_batch, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    got = _run_stream(
+        spark, windowed_event_counts(stream, "1 day", "1 hour"), "win_counts"
+    ).collect()
+
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(events_batch).collect()
+    }
+    assert len(got) == len(expect) > 0
+    for r in got:
+        assert expect[(r["window_start"], r["event_type"])] == (r["n"], r["sum_value"])
+
+
+def test_sessionize_stream_matches_batch_analog(spark, events_batch, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(spark, sessionize_stream(stream, 1800), "sessions").collect()
+    # single availableNow batch → every session emitted exactly once per
+    # final count; compare against the lag+running-sum batch analogue (q25)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events_batch.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+        ).otherwise(0),
+    )
+    analog = (
+        with_gap.withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    expect = {(r["user_id"], r["session_id"]): r["n_events"] for r in analog}
+    got_map = {(r["user_id"], r["session_id"]): r["n_events"] for r in got}
+    assert got_map == expect
+
+
+def test_sessionize_batch_mode(spark, events_batch):
+    """The same kernel on a batch DataFrame (applyInPandas shim)."""
+    got = sessionize_stream(events_batch, 1800)
+    assert not got.isStreaming
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events_batch.count()
+
+
+def test_stream_incremental_state(spark, events_batch, tmp_path):
+    """Two-trigger run: state carries sessions across micro-batches."""
+    # split events into two halves by time to force cross-batch sessions
+    path = str(tmp_path / "ev")
+    ordered = events_batch.orderBy("ts")
+    n = ordered.count()
+    first = ordered.limit(n // 2)
+    second = ordered.subtract(first)
+    first.write.parquet(path + "/p1")
+    second.write.parquet(path + "/p2")
+
+    stream = read_events_stream(spark, path + "/p*", max_files_per_trigger=1)
+    got = _run_stream(spark, sessionize_stream(stream, 1800), "sessions2")
+    # update mode re-emits updated sessions; take the max count per session
+    final = (
+        got.groupBy("user_id", "session_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    assert final == n
