@@ -159,3 +159,118 @@ def convert_pbf_to_parquet(
         features = spatial_sort(features)
     write_geoparquet(features, result_file_path)
     return result_file_path
+
+
+def convert_geometry_to_parquet(
+    spark: SparkSession,
+    geometry_filter: Geometry,
+    extracts_index: Sequence[Any],
+    *,
+    download_directory: Union[str, Path] = "files",
+    geometry_coverage_iou_threshold: float = 0.01,
+    allow_uncovered_geometry: bool = False,
+    **convert_kwargs: Any,
+) -> Path:
+    """Geometry-driven conversion (reference §3.2 lifecycle,
+    pbf_file_reader.py:635-745): find the smallest extract set covering the
+    geometry (C13), resolve their local PBF files, convert with the geometry
+    filter applied.
+
+    ``extracts_index`` is a list of ``OpenStreetMapExtract`` (see
+    ``quackosm_spark.extracts.build_index`` / ``load_index``); resolution of
+    extract → local file goes through ``extracts.download_extract`` (a local-
+    file lookup in this offline build)."""
+    from quackosm_spark.extracts import download_extract, find_extracts_for_geometry
+
+    selected = find_extracts_for_geometry(
+        geometry_filter,
+        extracts_index,
+        geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
+        allow_uncovered_geometry=allow_uncovered_geometry,
+    )
+    if not selected:
+        import warnings
+
+        warnings.warn(
+            "Found 0 extracts covering the geometry. Returning empty result.",
+            UserWarning,
+            stacklevel=0,
+        )
+        empty = _empty_features(spark)
+        out = Path(download_directory) / "empty_result.parquet"
+        write_geoparquet(empty, out)
+        return out
+    pbf_paths = [download_extract(e, download_directory) for e in selected]
+    return convert_pbf_to_parquet(
+        spark, pbf_paths, geometry_filter=geometry_filter, **convert_kwargs
+    )
+
+
+def _empty_features(spark: SparkSession) -> DataFrame:
+    """S9: 0-row features frame with the canonical schema."""
+    from pyspark.sql.types import BinaryType, MapType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("feature_id", StringType()),
+            StructField("tags", MapType(StringType(), StringType())),
+            StructField("geometry", BinaryType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def convert_pbf_to_duckdb(
+    spark: SparkSession,
+    pbf_path: Union[str, Path, Sequence[Union[str, Path]]],
+    *,
+    duckdb_table_name: str = "quackosm",
+    result_file_path: Optional[Union[str, Path]] = None,
+    **convert_kwargs: Any,
+) -> Path:
+    """S7 DuckDB sink (reference pbf_file_reader.py:947-959): convert to
+    GeoParquet, then load into a ``.duckdb`` database file on the driver —
+    a thin export; all heavy lifting stays distributed."""
+    import duckdb
+
+    parquet_path = convert_pbf_to_parquet(spark, pbf_path, **convert_kwargs)
+    if result_file_path is None:
+        result_file_path = parquet_path.with_suffix(".duckdb")
+    result_file_path = Path(result_file_path)
+    result_file_path.unlink(missing_ok=True)
+    with duckdb.connect(str(result_file_path)) as con:
+        con.sql(
+            f"CREATE OR REPLACE TABLE {duckdb_table_name} AS"
+            f" SELECT * FROM read_parquet('{parquet_path}/*.parquet')"
+        )
+    return result_file_path
+
+
+def convert_pbf_to_geodataframe(
+    spark: SparkSession,
+    pbf_path: Union[str, Path, Sequence[Union[str, Path]]],
+    **convert_kwargs: Any,
+):
+    """S8 GeoDataFrame sink (reference pbf_file_reader.py:802-808): features
+    as a pandas DataFrame indexed by feature_id, geometry as shapely objects
+    when shapely is importable, else GeoJSON-style dicts."""
+    features = convert_pbf_to_dataframe(spark, pbf_path, **convert_kwargs)
+    pdf = features.toPandas().set_index("feature_id")
+
+    from quackosm_spark.geometry import wkb as wkb_codec
+
+    try:  # pragma: no cover - shapely not present in this environment
+        from shapely import wkb as shapely_wkb  # type: ignore
+
+        pdf["geometry"] = [shapely_wkb.loads(bytes(b)) for b in pdf["geometry"]]
+        try:
+            import geopandas as gpd  # type: ignore
+
+            return gpd.GeoDataFrame(pdf, geometry="geometry", crs="OGC:CRS84")
+        except ImportError:
+            return pdf
+    except ImportError:
+        pdf["geometry"] = [
+            wkb_codec.loads(bytes(b)) if b is not None else None for b in pdf["geometry"]
+        ]
+        return pdf

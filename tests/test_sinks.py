@@ -1,0 +1,102 @@
+"""Sink variants S7/S8/S9 + the geometry-driven entry point (§3.2)."""
+
+from __future__ import annotations
+
+import warnings
+
+import duckdb
+import pytest
+
+from quackosm_spark.extracts import build_index
+from quackosm_spark.functions import (
+    convert_geometry_to_parquet,
+    convert_pbf_to_duckdb,
+    convert_pbf_to_geodataframe,
+)
+from tests.conftest import MONACO
+
+MONACO_BBOX = {
+    "type": "Polygon",
+    "coordinates": [[[7.40, 43.72], [7.44, 43.72], [7.44, 43.76], [7.40, 43.76], [7.40, 43.72]]],
+}
+
+
+def test_duckdb_sink(spark, tmp_path):
+    db = convert_pbf_to_duckdb(
+        spark,
+        MONACO,
+        working_directory=tmp_path,
+        tags_filter={"amenity": "cafe"},
+        sort_result=False,
+    )
+    assert db.suffix == ".duckdb"
+    with duckdb.connect(str(db)) as con:
+        n = con.sql("SELECT count(*) FROM quackosm").fetchone()[0]
+        cols = [d[0] for d in con.sql("DESCRIBE quackosm").fetchall()]
+    assert n > 0
+    assert "feature_id" in cols and "geometry" in cols
+
+
+def test_geodataframe_sink(spark):
+    pdf = convert_pbf_to_geodataframe(spark, MONACO, tags_filter={"amenity": "cafe"})
+    assert pdf.index.name == "feature_id"
+    assert len(pdf) > 0
+    geom = pdf["geometry"].iloc[0]
+    # offline build: GeoJSON-style dicts (shapely absent)
+    assert isinstance(geom, dict) and geom["type"] == "Point"
+
+
+def test_geometry_driven_conversion(spark, tmp_path):
+    """C13 extract selection feeding the conversion pipeline: a local index
+    whose 'monaco' extract resolves to the fixture file."""
+    import shutil
+
+    (tmp_path / "monaco.osm.pbf").write_bytes(open(MONACO, "rb").read())
+    index = build_index(
+        [
+            {
+                "id": "mc", "name": "Monaco", "file_name": "monaco",
+                "parent": "europe", "url": "local", "geometry": MONACO_BBOX,
+            }
+        ]
+    )
+    out = convert_geometry_to_parquet(
+        spark,
+        {
+            "type": "Polygon",
+            "coordinates": [[[7.41, 43.73], [7.43, 43.73], [7.43, 43.75], [7.41, 43.75], [7.41, 43.73]]],
+        },
+        index,
+        download_directory=tmp_path,
+        working_directory=tmp_path,
+        tags_filter={"amenity": True},
+        sort_result=False,
+    )
+    df = spark.read.parquet(str(out))
+    assert 0 < df.count()
+
+
+def test_geometry_driven_empty_result(spark, tmp_path):
+    index = build_index(
+        [
+            {
+                "id": "mc", "name": "Monaco", "file_name": "monaco",
+                "parent": "europe", "url": "local", "geometry": MONACO_BBOX,
+            }
+        ]
+    )
+    far = {
+        "type": "Polygon",
+        "coordinates": [[[50.0, 50.0], [51.0, 50.0], [51.0, 51.0], [50.0, 51.0], [50.0, 50.0]]],
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = convert_geometry_to_parquet(
+            spark, far, index,
+            download_directory=tmp_path, working_directory=tmp_path,
+            allow_uncovered_geometry=True,
+        )
+    assert any("0 extracts" in str(x.message) for x in w)
+    df = spark.read.parquet(str(out))
+    assert df.count() == 0
+    assert df.columns == ["feature_id", "tags", "geometry"]
