@@ -438,6 +438,45 @@ def q30_relation_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid.agg(F.count("*").alias("n_valid_relations"))
 
 
+def q31_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: per-kind stats over an opaque binary media table
+    (deterministic synthesized payloads; engine-internal → rows-only check)."""
+    from quackosm_spark.operators import multimodal as M
+
+    media = M.synthesize_media(spark, n=120)
+    return M.media_stats(media)
+
+
+def q32_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style two-stage ANN (centroid probe) — scale path beyond q28;
+    probed-cell recall is engine-defined → rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 3)
+    out = S.ivf_topk(emb, queries_df, k=5, num_cells=8, nprobe=4)
+    return out.select("query_id", "match_id", "rank")
+
+
+def q33_drop_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3-shaped dedup: keep smallest doc_id per md5 group (40-char prefix,
+    the same near-dup-rich key as q16 so the window actually drops rows)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "prefix", F.substring("text", 1, 40)
+    )
+    return D.drop_exact_duplicates(docs, text_col="prefix").select("doc_id", "lang")
+
+
+def q34_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming module's windowed aggregation in its batch-parity mode
+    (same function runs on readStream with a watermark)."""
+    from quackosm_spark.streaming import windowed_event_counts
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
+    out = windowed_event_counts(ev, "1 day", "1 hour")
+    return out.select(
+        F.to_date("window_start").alias("day"), "event_type", "n", "sum_value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -470,6 +509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_lsh_ann": q28_lsh_ann,
         "q29_langid_quality_join": q29_langid_quality_join,
         "q30_relation_validity": q30_relation_validity,
+        "q31_media_stats": q31_media_stats,
+        "q32_ivf_ann": q32_ivf_ann,
+        "q33_drop_exact_duplicates": q33_drop_exact_duplicates,
+        "q34_stream_windowed_counts": q34_stream_windowed_counts,
     }
 
 
@@ -791,8 +834,22 @@ def oracle_sql() -> dict[str, str]:
                 ANTI JOIN unmatched ON members.rel_id = unmatched.rel_id
             )
         """,
-        # q27_simhash / q28_lsh_ann: engine-internal hash layouts — rows-only
-        # checks (omitted here by design; see queries()).
+        "q33_drop_exact_duplicates": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY md5(substr(text, 1, 40))
+                                          ORDER BY doc_id) rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "q34_stream_windowed_counts": """
+            SELECT date_trunc('day', ts)::DATE AS day, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # q27_simhash / q28_lsh_ann / q31_media_stats / q32_ivf_ann:
+        # engine-internal hash/centroid layouts — rows-only checks
+        # (omitted here by design; see queries()).
     }
 
 
