@@ -165,39 +165,33 @@ def build_features(
     stripped = strip_metadata_tags("tags") if opts.ignore_metadata_tags else F.col("tags")
 
     # ---- C1: per-kind filtered ids ------------------------------------------
-    base_filter = has_tags & tag_clause & (
-        _ids_filter(opts.filter_osm_ids, "node")
-        | _ids_filter(opts.filter_osm_ids, "way")
-        | _ids_filter(opts.filter_osm_ids, "relation")
-    )
-    filtered = elements.where(base_filter)
-    if opts.custom_sql_filter:
-        # custom SQL evaluates over the metadata-stripped map, like the
-        # reference (pbf_file_reader.py:1585-1605)
-        filtered = (
-            filtered.withColumn("tags", stripped)
-            .where(has_tags)
-            .where(F.expr(opts.custom_sql_filter))
+    # Expressed as per-kind row predicates, NOT a materialized id set + semi
+    # joins (the reference's parquet-staged shape, pbf_file_reader.py:
+    # 1582-1651): Catalyst pushes a predicate into the kind-split scans for
+    # free, while an id-set semi join would cost a shuffle per kind.
+    def _kind_filtered(kind_df: DataFrame, kind: str) -> DataFrame:
+        filtered = kind_df.where(
+            has_tags & tag_clause & _ids_filter(opts.filter_osm_ids, kind)
         )
-    filtered_ids = filtered.select("kind", "id")
+        if opts.custom_sql_filter:
+            # custom SQL evaluates over the metadata-stripped map, like the
+            # reference (pbf_file_reader.py:1585-1605)
+            filtered = (
+                filtered.withColumn("tags", stripped)
+                .where(has_tags)
+                .where(F.expr(opts.custom_sql_filter))
+            )
+        return filtered
 
-    nodes_filtered_ids = filtered_ids.where(F.col("kind") == "node").select("id")
-    ways_filtered_ids = filtered_ids.where(F.col("kind") == "way").select("id")
-    relations_filtered_ids = filtered_ids.where(F.col("kind") == "relation").select("id")
-
-    # relations must also pass the kind-validity predicate (type in
-    # boundary/multipolygon) — intersect with the relations view
-    relations_filtered_ids = relations.select("id").join(
-        relations_filtered_ids, "id", "left_semi"
-    )
-    nodes_filtered_ids = nodes.select("id").join(nodes_filtered_ids, "id", "left_semi")
-    ways_filtered_ids = ways.select("id").join(ways_filtered_ids, "id", "left_semi")
+    relations_filtered = _kind_filtered(relations, "relation")
+    nodes_filtered_ids = _kind_filtered(nodes, "node").select("id")
+    ways_filtered_ids = _kind_filtered(ways, "way").select("id")
 
     # ---- C2: transitive closure of refs -------------------------------------
     # relations → member ways (only way-type members are used,
     # pbf_file_reader.py:1665-1674)
     relations_unnested = (
-        relations.join(relations_filtered_ids, "id", "left_semi")
+        relations_filtered
         .select(
             "id",
             F.posexplode(
