@@ -35,6 +35,37 @@ from quackosm_spark.sources.pbf import read_osm_pbf
 Geometry = dict[str, Any]
 
 
+def is_url_path(path: Union[str, Path]) -> bool:
+    """S2 URL-ingest detection (reference `_is_url_path`,
+    pbf_file_reader.py:4354-4360)."""
+    from urllib.parse import urlparse
+
+    return urlparse(str(path)).scheme in ("http", "https", "ftp")
+
+
+def _resolve_pbf_paths(
+    pbf_path: Union[str, Path, Sequence[Union[str, Path]]],
+    download_directory: Union[str, Path] = "files",
+) -> list[str]:
+    """Download remote PBFs to local storage before the scan (S2). The
+    reference fetches via pooch (pbf_file_reader.py:1160-1171); here a plain
+    urllib retrieve with content-addressed caching by file name."""
+    paths = [pbf_path] if isinstance(pbf_path, (str, Path)) else list(pbf_path)
+    resolved: list[str] = []
+    for p in paths:
+        if is_url_path(p):
+            from urllib.request import urlretrieve
+
+            target = Path(download_directory) / Path(str(p)).name
+            if not target.exists():
+                target.parent.mkdir(parents=True, exist_ok=True)
+                urlretrieve(str(p), target)  # noqa: S310 - scheme checked above
+            resolved.append(str(target))
+        else:
+            resolved.append(str(p))
+    return resolved
+
+
 def convert_pbf_to_dataframe(
     spark: SparkSession,
     pbf_path: Union[str, Path, Sequence[Union[str, Path]]],
@@ -49,7 +80,7 @@ def convert_pbf_to_dataframe(
     osm_way_polygon_features_config: Optional[dict[str, Any]] = None,
 ) -> DataFrame:
     """PBF file(s) → features DataFrame (feature_id, tags…, geometry WKB)."""
-    paths = [str(pbf_path)] if isinstance(pbf_path, (str, Path)) else [str(p) for p in pbf_path]
+    paths = _resolve_pbf_paths(pbf_path)
     elements = read_osm_pbf(spark, *paths)
     opts = PbfPipelineOptions(
         tags_filter=tags_filter,
@@ -89,6 +120,8 @@ def convert_pbf_to_parquet(
     ignore_cache: bool = False,
     sort_result: bool = True,
     save_as_wkt: bool = False,
+    compression: str = "zstd",
+    max_records_per_file: Optional[int] = None,
     tags_filter: Optional[Any] = None,
     keep_all_tags: bool = False,
     explode_tags: Optional[bool] = None,
@@ -151,13 +184,18 @@ def convert_pbf_to_parquet(
             )
 
         features = features.withColumn("geometry", _to_wkt("geometry"))
-        features.write.mode("overwrite").option("compression", "zstd").parquet(
+        features.write.mode("overwrite").option("compression", compression).parquet(
             str(result_file_path)
         )
         return result_file_path
     if sort_result:
         features = spatial_sort(features)
-    write_geoparquet(features, result_file_path)
+    write_geoparquet(
+        features,
+        result_file_path,
+        compression=compression,
+        max_records_per_file=max_records_per_file,
+    )
     return result_file_path
 
 

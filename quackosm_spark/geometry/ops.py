@@ -224,6 +224,21 @@ def hilbert_index(
     return d
 
 
+def orient_polygon_rings(rings: list[Ring]) -> list[Ring]:
+    """C10 normalize-on-write analogue of ST_MakeValid for the shapes this
+    pipeline produces (reference applies ST_MakeValid before every geometry
+    write, pbf_file_reader.py:3592-3644). Full GEOS make_valid repairs
+    arbitrary self-intersections; OSM way/relation assembly already
+    guarantees closed ≥4-point rings, so the remaining normalization is
+    winding order: exterior CCW, holes CW — the orientation GeoParquet
+    consumers (and the OGC right-hand rule) expect."""
+    if not rings:
+        return rings
+    out = [ensure_orientation(rings[0], ccw=True)]
+    out.extend(ensure_orientation(r, ccw=False) for r in rings[1:])
+    return out
+
+
 def centroid_of_bounds(b: tuple[float, float, float, float]) -> tuple[float, float]:
     return ((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0)
 

@@ -435,6 +435,12 @@ def _way_geometry_udf(linestring: pd.Series, want_polygon: pd.Series) -> pd.Seri
     out = []
     for coords, wants in zip(linestring, want_polygon):
         pts = [[float(p["x"]), float(p["y"])] for p in coords]
+        # no ring re-orientation: the reference writes ST_MakeValid(geometry),
+        # which is the identity on these by-construction-valid polygons and
+        # preserves the OSM way's vertex order — exact output parity requires
+        # the same (verified against reference docstring WKT). Callers who
+        # want OGC right-hand-rule winding can post-process with
+        # geometry.ops.orient_polygon_rings.
         if bool(wants) and is_closed(pts) and len(remove_repeated_points(pts)) >= 4:
             out.append(wkb.dumps({"type": "Polygon", "coordinates": [pts]}))
         else:

@@ -125,14 +125,14 @@ def collect_geo_stats(features: DataFrame) -> tuple[list[str], tuple[float, floa
     return types, (stats["minx"], stats["miny"], stats["maxx"], stats["maxy"])
 
 
-def _stamp_footer(path: Path, geo_json: str) -> None:
+def _stamp_footer(path: Path, geo_json: str, compression: str = "zstd") -> None:
     table = pq.read_table(path)
     meta = dict(table.schema.metadata or {})
     meta[b"geo"] = geo_json.encode()
     pq.write_table(
         table.replace_schema_metadata(meta),
         path,
-        compression="zstd",
+        compression=compression,
         row_group_size=100_000,
     )
     # the rewrite invalidates Hadoop's local-FS checksum sidecar; drop it so
@@ -146,20 +146,25 @@ def write_geoparquet(
     path: str | Path,
     geometry_types: list[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
 ) -> Path:
-    """Distributed parquet write + geo footer stamping. Returns the directory."""
+    """Distributed parquet write + geo footer stamping. Returns the directory.
+
+    ``compression``/``max_records_per_file`` mirror the reference's writer
+    tuning surface (COMPRESSION zstd, FILE_SIZE_BYTES/ROW_GROUP_SIZE_BYTES,
+    pbf_file_reader.py:2686-2699) in Spark terms."""
     path = Path(path)
     if geometry_types is None or bbox is None:
         computed_types, computed_bbox = collect_geo_stats(features)
         geometry_types = geometry_types or computed_types
         bbox = bbox or computed_bbox
-    (
-        features.write.mode("overwrite")
-        .option("compression", "zstd")
-        .parquet(str(path))
-    )
+    writer = features.write.mode("overwrite").option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(str(path))
     geo_json = json.dumps(build_geo_metadata(geometry_types, bbox))
     parts = sorted(path.glob("*.parquet"))
     with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(lambda p: _stamp_footer(p, geo_json), parts))
+        list(pool.map(lambda p: _stamp_footer(p, geo_json, compression), parts))
     return path
