@@ -477,6 +477,15 @@ def q34_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM-per-batch exact top-k (mapInPandas) — must equal q20 exactly, so
+    it shares q20's oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 3)
+    out = S.brute_force_topk_vectorized(emb, queries_df, k=5)
+    return out.select("query_id", "match_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -513,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_ivf_ann": q32_ivf_ann,
         "q33_drop_exact_duplicates": q33_drop_exact_duplicates,
         "q34_stream_windowed_counts": q34_stream_windowed_counts,
+        "q35_ann_topk_vectorized": q35_ann_topk_vectorized,
     }
 
 
@@ -833,6 +843,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT rel_id FROM members
                 ANTI JOIN unmatched ON members.rel_id = unmatched.rel_id
             )
+        """,
+        "q35_ann_topk_vectorized": """
+            SELECT query_id, match_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                           c.embedding::DOUBLE[]) DESC,
+                                    c.vec_id
+                       ) AS rank
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 3
+            ) WHERE rank <= 5
         """,
         "q33_drop_exact_duplicates": """
             SELECT doc_id, lang FROM (

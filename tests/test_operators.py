@@ -99,6 +99,16 @@ def test_lsh_bucket_topk_contains_true_neighbor(vectors):
     assert 1 in {r["match_id"] for r in out}  # identical-direction vec shares bucket
 
 
+def test_brute_force_topk_vectorized_equals_plain(vectors):
+    queries = vectors.where(F.col("vec_id") <= 1)
+    plain = S.brute_force_topk(vectors, queries, k=3).collect()
+    vect = S.brute_force_topk_vectorized(vectors, queries, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [(r["query_id"], r["rank"], r["match_id"]) for r in sorted(plain, key=key)] == [
+        (r["query_id"], r["rank"], r["match_id"]) for r in sorted(vect, key=key)
+    ]
+
+
 def test_ivf_topk_smoke(vectors):
     queries = vectors.where(F.col("vec_id") == 0)
     out = S.ivf_topk(vectors, queries, k=1, num_cells=2, nprobe=2).collect()
