@@ -188,9 +188,15 @@ def brute_force_topk_vectorized(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).collect()
+    if not q_rows:  # empty query set → empty result with the right schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, match_id long, cosine double, rank int"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    q_norm = q_mat / norms
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, q_norm))
