@@ -77,6 +77,7 @@ def parse_geometry_args(args: argparse.Namespace) -> Optional[Geometry]:
             ("--geom-filter-geojson", args.geom_filter_geojson),
             ("--geom-filter-file", args.geom_filter_file),
             ("--geom-filter-geohash", args.geom_filter_geohash),
+            ("--geom-filter-geocode", args.geom_filter_geocode),
         )
         if value
     ]
@@ -109,6 +110,15 @@ def parse_geometry_args(args: argparse.Namespace) -> Optional[Geometry]:
     if args.geom_filter_file:
         text = Path(args.geom_filter_file).read_text()
         return _geometry_from_geojson(json.loads(text))
+    if args.geom_filter_geocode:
+        from quackosm_spark.geocode import geocode_to_geometry
+
+        try:
+            return geocode_to_geometry(args.geom_filter_geocode)
+        except Exception as e:  # noqa: BLE001 - network/parse failures → clean CLI error
+            raise SystemExit(
+                f"Cannot geocode {args.geom_filter_geocode!r}: {e}"
+            ) from None
     bbox = decode_geohash_bbox(args.geom_filter_geohash)
     return _bbox_polygon(*bbox)
 
@@ -156,6 +166,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--geom-filter-geojson", help="Geometry as GeoJSON string")
     p.add_argument("--geom-filter-file", help="GeoJSON file path")
     p.add_argument("--geom-filter-geohash", help="Geohash cell")
+    p.add_argument("--geom-filter-geocode", help="Free-text place query (Nominatim)")
     p.add_argument("--filter-osm-ids", help="Comma-separated 'node/1,way/2,relation/3'")
     p.add_argument("--custom-sql-filter", help="SQL predicate over the tags map")
     p.add_argument("--ignore-cache", action="store_true")

@@ -79,7 +79,15 @@ def convert_pbf_to_dataframe(
     ignore_metadata_tags: bool = True,
     osm_way_polygon_features_config: Optional[dict[str, Any]] = None,
 ) -> DataFrame:
-    """PBF file(s) → features DataFrame (feature_id, tags…, geometry WKB)."""
+    """PBF file(s) → features DataFrame (feature_id, tags…, geometry WKB).
+
+    Multi-file note (C12): the reference converts each extract separately
+    and merges/dedups the outputs (pbf_file_reader.py:446-560). Here all
+    files feed ONE distributed pipeline run — strictly better semantics
+    (ways crossing extract boundaries resolve nodes from the neighbouring
+    file instead of being dropped as invalid) at the same cost, since
+    Spark parallelizes across files' blobs anyway; feature-level dedup
+    still applies for overlapping extracts."""
     paths = _resolve_pbf_paths(pbf_path)
     elements = read_osm_pbf(spark, *paths)
     opts = PbfPipelineOptions(
