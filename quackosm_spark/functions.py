@@ -266,6 +266,27 @@ def _empty_features(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def convert_osm_extract_to_parquet(
+    spark: SparkSession,
+    query: str,
+    extracts_index: Sequence[Any],
+    *,
+    download_directory: Union[str, Path] = "files",
+    select_first_match: bool = True,
+    **convert_kwargs: Any,
+) -> Path:
+    """Named-extract conversion (reference functions.py
+    `convert_osm_extract_to_parquet`): fuzzy-match the extract by name (C14),
+    resolve its PBF, convert."""
+    from quackosm_spark.extracts import download_extract, get_extract_by_query
+
+    extract = get_extract_by_query(
+        query, extracts_index, select_first_match=select_first_match
+    )
+    pbf = download_extract(extract, download_directory)
+    return convert_pbf_to_parquet(spark, pbf, **convert_kwargs)
+
+
 def convert_pbf_to_duckdb(
     spark: SparkSession,
     pbf_path: Union[str, Path, Sequence[Union[str, Path]]],

@@ -162,11 +162,16 @@ def _hilbert_key_udf(geometry: pd.Series, extent_minx: pd.Series, extent_miny: p
     return pd.Series(hilbert_index(xs, ys, ext))
 
 
-def spatial_sort(features: DataFrame, extent: tuple[float, float, float, float] | None = None) -> DataFrame:
+def spatial_sort(
+    features: DataFrame,
+    extent: tuple[float, float, float, float] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """O3 Hilbert spatial sort: curve key of the geometry centroid →
     ``repartitionByRange`` + ``sortWithinPartitions`` so readers get
     row-group pruning by locality. ``extent`` defaults to the dataset bbox
-    (computed with one agg pass — A7)."""
+    (computed with one agg pass — A7). ``num_partitions`` pins the output
+    file count (AQE otherwise coalesces small outputs to one)."""
     if extent is None:
         row = features.select(
             F.min(_geom_minx("geometry")).alias("minx"),
@@ -185,11 +190,12 @@ def spatial_sort(features: DataFrame, extent: tuple[float, float, float, float] 
             F.lit(extent[3]),
         ),
     )
-    return (
-        keyed.repartitionByRange("__hilbert")
-        .sortWithinPartitions("__hilbert")
-        .drop("__hilbert")
+    ranged = (
+        keyed.repartitionByRange(num_partitions, "__hilbert")
+        if num_partitions
+        else keyed.repartitionByRange("__hilbert")
     )
+    return ranged.sortWithinPartitions("__hilbert").drop("__hilbert")
 
 
 def _geom_bounds_udf_factory(idx: int):

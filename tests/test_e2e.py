@@ -118,6 +118,42 @@ def test_multifile_dedup(spark):
     assert single.count() == double.count()
 
 
+def test_spatial_sort_clusters_output(spark, monaco_features, tmp_path):
+    """O3 quality: after the Hilbert sort, each output file covers a small
+    fraction of the dataset extent — the property readers prune on."""
+    from quackosm_spark.plans.output import spatial_sort
+    from quackosm_spark.sinks.geoparquet import write_geoparquet
+
+    sorted_feats = spatial_sort(monaco_features, num_partitions=8)
+    out = tmp_path / "sorted.parquet"
+    write_geoparquet(sorted_feats, out)
+
+    import pyarrow.parquet as pq
+
+    def file_bbox(p):
+        table = pq.read_table(p, columns=["geometry"])
+        bs = [
+            model.bounds(wkb.loads(b.as_py()))
+            for b in table.column("geometry")
+            if b.is_valid
+        ]
+        return (
+            min(a[0] for a in bs), min(a[1] for a in bs),
+            max(a[2] for a in bs), max(a[3] for a in bs),
+        )
+
+    parts = [p for p in sorted(out.glob("*.parquet"))
+             if pq.ParquetFile(p).metadata.num_rows > 0]
+    assert len(parts) >= 4
+    boxes = [file_bbox(p) for p in parts]
+    minx = min(b[0] for b in boxes); miny = min(b[1] for b in boxes)
+    maxx = max(b[2] for b in boxes); maxy = max(b[3] for b in boxes)
+    extent_area = (maxx - minx) * (maxy - miny)
+    avg_area = sum((b[2] - b[0]) * (b[3] - b[1]) for b in boxes) / len(boxes)
+    # Hilbert-clustered files each cover a small fraction of the extent
+    assert avg_area < 0.5 * extent_area
+
+
 def test_save_as_wkt(spark, tmp_path):
     out = convert_pbf_to_parquet(
         spark,

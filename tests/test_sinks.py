@@ -76,6 +76,26 @@ def test_geometry_driven_conversion(spark, tmp_path):
     assert 0 < df.count()
 
 
+def test_named_extract_conversion(spark, tmp_path):
+    from quackosm_spark.functions import convert_osm_extract_to_parquet
+
+    (tmp_path / "monaco.osm.pbf").write_bytes(open(MONACO, "rb").read())
+    index = build_index(
+        [
+            {
+                "id": "mc", "name": "Monaco", "file_name": "monaco",
+                "parent": "europe", "url": "local", "geometry": MONACO_BBOX,
+            }
+        ]
+    )
+    out = convert_osm_extract_to_parquet(
+        spark, "monaco", index,
+        download_directory=tmp_path, working_directory=tmp_path,
+        tags_filter={"amenity": "cafe"}, sort_result=False,
+    )
+    assert spark.read.parquet(str(out)).count() == 23
+
+
 def test_geometry_driven_empty_result(spark, tmp_path):
     index = build_index(
         [
