@@ -28,15 +28,25 @@ assembly).
 
 from quackosm_spark.session import get_spark
 from quackosm_spark.functions import (
+    convert_geometry_to_parquet,
+    convert_osm_extract_to_parquet,
     convert_pbf_to_dataframe,
+    convert_pbf_to_duckdb,
+    convert_pbf_to_geodataframe,
     convert_pbf_to_parquet,
 )
+from quackosm_spark.pbf_file_reader import PbfFileReader
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "get_spark",
+    "PbfFileReader",
+    "convert_geometry_to_parquet",
+    "convert_osm_extract_to_parquet",
     "convert_pbf_to_dataframe",
+    "convert_pbf_to_duckdb",
+    "convert_pbf_to_geodataframe",
     "convert_pbf_to_parquet",
+    "get_spark",
     "__version__",
 ]
