@@ -123,6 +123,11 @@ class OsmPbfReader(DataSourceReader):
                     bucket, bucket_bytes = [], 0
             if bucket:
                 parts.append(PbfBlobPartition(path, tuple(bucket)))
+        if not parts:
+            # header-only PBF (zero OSMData blobs): the DataSource API
+            # requires ≥1 partition — emit one that decodes to nothing so
+            # the result is an empty DataFrame with the right schema
+            parts.append(PbfBlobPartition(self.paths[0], ()))
         return parts
 
     def read(self, partition: PbfBlobPartition) -> Iterator[pa.RecordBatch]:
