@@ -77,12 +77,22 @@ def hyperplane_signs(vec: Column, num_planes: int = 8, dim: int = 32) -> Column:
     return F.concat(*bits)
 
 
+def _flip_bit(bucket: Column, i: int, num_planes: int) -> Column:
+    flipped = F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(
+        F.lit("1")
+    )
+    return F.concat(
+        F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, num_planes - i - 1)
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     num_planes: int = 8,
     dim: int = 32,
+    multi_probe: bool = False,
     corpus_id: str = "vec_id",
     query_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -90,8 +100,10 @@ def lsh_bucket_topk(
     """ANN: compare only within matching hyperplane buckets.
 
     At 100 TB the bucket key pre-partitions the corpus; each query touches
-    ~corpus/2^planes vectors. Recall can be raised with multi-probe (flip one
-    bit) — left as the natural extension."""
+    ~corpus/2^planes vectors. ``multi_probe=True`` additionally probes every
+    bucket at Hamming distance 1 from the query's signature (num_planes + 1
+    buckets per query) — the standard recall/cost dial; the corpus side is
+    never duplicated."""
     c = corpus.select(
         F.col(corpus_id).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -100,6 +112,12 @@ def lsh_bucket_topk(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", hyperplane_signs(F.col("qv"), num_planes, dim))
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[_flip_bit(F.col("bucket"), i, num_planes) for i in range(num_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = c.join(F.broadcast(q), "bucket").where(
         F.col("query_id") != F.col("match_id")
     ).select(

@@ -109,6 +109,24 @@ def test_brute_force_topk_vectorized_equals_plain(vectors):
     ]
 
 
+def test_lsh_multi_probe_improves_recall(spark):
+    """Probing Hamming-1 buckets recalls at least as many true neighbors as
+    single-probe (measured 2/15 → 6/15 on the sf0.01 embeddings). Note the
+    top-k SETS aren't supersets — better candidates displace weaker ones."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["match_id"])
+             for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    single = {(r["query_id"], r["match_id"])
+              for r in S.lsh_bucket_topk(emb, queries, k=5, num_planes=4, dim=64).collect()}
+    multi = {(r["query_id"], r["match_id"])
+             for r in S.lsh_bucket_topk(
+                 emb, queries, k=5, num_planes=4, dim=64, multi_probe=True
+             ).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) > 0
+
+
 def test_ivf_topk_smoke(vectors):
     queries = vectors.where(F.col("vec_id") == 0)
     out = S.ivf_topk(vectors, queries, k=1, num_cells=2, nprobe=2).collect()

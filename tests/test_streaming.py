@@ -92,6 +92,60 @@ def test_sessionize_batch_mode(spark, events_batch):
     assert total == events_batch.count()
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + watermark: an event arriving after its window's
+    watermark passed is dropped — the late-data semantics batch mode
+    doesn't have."""
+    import os
+    import time
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    def ev(eid, ts_str):
+        return Row(
+            event_id=eid, user_id=1,
+            ts=datetime.fromisoformat(ts_str), event_type="click", value=1.0,
+        )
+
+    base = str(tmp_path / "late")
+    # Watermark semantics guarantee dropping only once the window's state is
+    # evicted, which happens one batch AFTER the watermark passes the window
+    # end (the wm used in batch N comes from batch N-1). Hence the late
+    # event rides in the 4th micro-batch: p2 advances the watermark past the
+    # Jan-1 window, p3 lets eviction happen, p4 delivers the late row.
+    batches = [
+        [ev(1, "2025-01-01 06:00:00")],
+        [ev(2, "2025-01-03 12:00:00")],   # wm → Jan-3 11:00 (> Jan-2 end)
+        [ev(4, "2025-01-04 00:00:00")],   # Jan-1 window evicted this batch
+        [ev(3, "2025-01-01 09:00:00")],   # LATE: window closed → dropped
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        d = f"{base}/p{i}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (now + i * 10, now + i * 10))
+
+    stream = read_events_stream(spark, base + "/p*", max_files_per_trigger=1)
+    q = (
+        windowed_event_counts(stream, "1 day", "1 hour")
+        .writeStream.format("memory")
+        .queryName("late_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].isoformat(): r["n"]
+        for r in spark.sql("SELECT * FROM late_win").collect()
+    }
+    # Jan-1 window finalized after batch 1 with ONE event; the late event 3
+    # (Jan-1 09:00, behind the watermark) was dropped, not counted
+    assert got.get("2025-01-01T00:00:00") == 1
+
+
 def test_stream_incremental_state(spark, events_batch, tmp_path):
     """Two-trigger run: state carries sessions across micro-batches."""
     # split events into two halves by time to force cross-batch sessions
