@@ -112,6 +112,7 @@ class OsmPbfReader(DataSourceReader):
         for path in self.paths:
             if not os.path.exists(path):
                 raise FileNotFoundError(path)
+            pbf_decode.check_header_features(path)
             refs = [r for r in pbf_decode.index_blobs(path) if r.kind == "OSMData"]
             bucket: list[tuple[int, int]] = []
             bucket_bytes = 0

@@ -143,6 +143,29 @@ def index_blobs(path: str) -> list[BlobRef]:
     return refs
 
 
+KNOWN_FEATURES = {"OsmSchema-V0.6", "DenseNodes", "HistoricalInformation"}
+
+
+def check_header_features(path: str) -> list[str]:
+    """Parse the OSMHeader's required_features; raise on features this
+    decoder doesn't implement (per spec, readers MUST reject files whose
+    required features they don't support)."""
+    refs = [r for r in index_blobs(path) if r.kind == "OSMHeader"]
+    required: list[str] = []
+    with open(path, "rb") as f:
+        for ref in refs:
+            payload = read_blob_payload(f, ref)
+            for field, wire, val in iter_fields(memoryview(payload)):
+                if field == 4 and wire == 2:  # required_features
+                    required.append(bytes(val).decode("utf-8"))
+    unsupported = [r for r in required if r not in KNOWN_FEATURES]
+    if unsupported:
+        raise ValueError(
+            f"PBF file {path} requires unsupported features: {unsupported}"
+        )
+    return required
+
+
 def read_blob_payload(f: BinaryIO, ref: BlobRef) -> bytes:
     """Read + decompress one blob's raw protobuf payload."""
     f.seek(ref.offset)

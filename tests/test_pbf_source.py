@@ -109,6 +109,38 @@ def test_all_reference_fixtures_decode(spark):
         assert build_features(spark, read_osm_pbf(spark, path)).count() == exp_features, key
 
 
+def test_header_feature_validation(tmp_path):
+    """Files demanding unknown required_features are rejected per spec."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from quackosm_spark.sources import pbf_decode
+    from quackosm_spark.sources.pbf_encode import _blob, _len_delim
+
+    body = _len_delim(4, b"OsmSchema-V0.6") + _len_delim(4, b"FancyFutureFeature")
+    path = tmp_path / "future.osm.pbf"
+    path.write_bytes(_blob("OSMHeader", body))
+    with pytest.raises(ValueError, match="FancyFutureFeature"):
+        pbf_decode.check_header_features(str(path))
+    # supported features pass
+    assert "DenseNodes" in pbf_decode.check_header_features(MONACO)
+
+
+def test_osm_statistics(monaco):
+    from quackosm_spark.operators import osm as O
+
+    kinds = {r["kind"]: (r["n"], r["n_tagged"]) for r in O.kind_counts(monaco).collect()}
+    assert kinds["node"] == (30626, 3167)
+    top = O.tag_key_histogram(monaco, top=5).collect()
+    assert len(top) == 5 and top[0]["n_elements"] >= top[4]["n_elements"]
+    vals = O.tag_value_histogram(monaco, "highway", top=3).collect()
+    assert all(v["value"] for v in vals)
+    lens = O.way_length_histogram(monaco).collect()
+    assert min(r["n_refs"] for r in lens) >= 2
+
+
 def test_untagged_elements_have_null_tags(monaco):
     n = monaco.where(F.col("tags").isNull()).count()
     assert n > 20000  # most monaco nodes are untagged geometry carriers
