@@ -135,6 +135,42 @@ def sample_frames(
     )
 
 
+def resize_images(
+    media: DataFrame, target_width: int = 32, target_height: int = 32,
+    strict: bool = False,
+) -> DataFrame:
+    """Image rows → resized payloads + updated dims via ``mapInPandas``.
+
+    The resample itself runs on the stub's pseudo-pixel array (linear
+    interpolation to target_width*target_height samples — swap in a real
+    codec resize in production); the Spark plumbing (schema preserved,
+    payload replaced, metadata updated, Arrow batch streaming) is real."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_width * target_height
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for payload in pdf["payload"]:
+                pixels = _decode_stub(bytes(payload), strict)
+                resampled = np.interp(
+                    np.linspace(0, pixels.size - 1, n_out),
+                    np.arange(pixels.size),
+                    pixels,
+                ).astype(np.uint8)
+                payloads.append(resampled.tobytes())
+                widths.append(target_width)
+                heights.append(target_height)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = widths
+            out["height"] = heights
+            yield out
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        _resize, schema=MEDIA_SCHEMA
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-Column metadata aggregation — no decode needed (the common
     'survey the corpus' query must not touch payloads)."""

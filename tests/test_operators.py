@@ -186,6 +186,32 @@ def test_extract_image_features_plumbing(spark):
     assert len(dims) == 1  # fixed-width feature vector
 
 
+def test_resize_images_plumbing(spark):
+    media = M.synthesize_media(spark, n=12)
+    resized = M.resize_images(media, target_width=4, target_height=4)
+    rows = resized.collect()
+    assert len(rows) == media.where(F.col("kind") == "image").count()
+    assert all(len(r["payload"]) == 16 for r in rows)
+    assert all(r["width"] == 4 and r["height"] == 4 for r in rows)
+    # deterministic: same input → same resized payload
+    again = {r["media_id"]: r["payload"] for r in M.resize_images(
+        media, target_width=4, target_height=4).collect()}
+    assert all(again[r["media_id"]] == r["payload"] for r in rows)
+
+
+def test_strict_mode_raises(spark):
+    import pytest as _pytest
+
+    media = M.synthesize_media(spark, n=3)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        M.extract_image_features(
+            media.where(F.col("kind") == "image"), strict=True
+        ).collect()
+
+
 def test_sample_frames_plumbing(spark):
     media = M.synthesize_media(spark, n=12)
     videos = media.where(F.col("kind") == "video")
