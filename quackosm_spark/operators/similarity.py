@@ -129,6 +129,50 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    sample_size: int = 2048,
+    iterations: int = 5,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic spherical k-means on a fixed sample (lowest ids).
+
+    Sampling by lowest id (not `.sample()`) keeps the model reproducible
+    run-to-run with no stored state; a few Lloyd iterations on the driver
+    over ≤``sample_size`` vectors is enough for cell routing. At 100 TB the
+    sample collect is a top-k by id (tiny), and the resulting centroid list
+    broadcasts to both the corpus-assignment and query-probe sides."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(corpus_id).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    k_eff = min(num_cells, len(unit))
+    centroids = unit[:k_eff].copy()  # deterministic init: first k sample rows
+    for _ in range(iterations):
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c_i in range(k_eff):
+            members = unit[assign == c_i]
+            if len(members):
+                mean = members.mean(axis=0)
+                n = np.linalg.norm(mean)
+                if n > 0:
+                    centroids[c_i] = mean / n
+    return [c.tolist() for c in centroids]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -139,17 +183,16 @@ def ivf_topk(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-lite ANN: centroids = deterministic corpus sample (lowest ids),
-    every vector assigned to its nearest centroid; queries probe the
-    ``nprobe`` nearest cells. Exact within probed cells."""
+    """IVF ANN: spherical-k-means centroids (deterministic sample + Lloyd
+    refinement), every vector assigned to its nearest centroid; queries
+    probe the ``nprobe`` nearest cells. Exact within probed cells."""
     c = corpus.select(
         F.col(corpus_id).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    centroids = [
-        (int(r["match_id"]), [float(x) for x in r["cv"]])
-        for r in c.orderBy("match_id").limit(num_cells).collect()
-    ]
+    centroids = list(
+        enumerate(train_ivf_centroids(corpus, num_cells, corpus_id=corpus_id, vec_col=vec_col))
+    )
 
     def nearest_cells(vec: Column, n: int) -> Column:
         scored = F.array(
