@@ -7,7 +7,7 @@ Reference: quackosm/pbf_file_reader.py:3699-3946 (shaping), 3991-4004
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -39,7 +39,6 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )

@@ -157,6 +157,17 @@ def test_quality_score_bounds(docs):
     assert all(v is not None and 0.0 <= v <= 1.0 for v in vals)
 
 
+def test_analyze_documents_composite(docs):
+    out = T.analyze_documents(docs)
+    assert {"n_tokens", "n_bpe_tokens", "quality", "lang_pred", "fingerprint"} <= set(
+        out.columns
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"]  # identical text
+    assert rows[6]["n_tokens"] == 0  # empty doc
+
+
 def test_fingerprint_matches_python(spark):
     text = "hello"
     df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
