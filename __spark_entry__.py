@@ -486,6 +486,12 @@ def q35_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "match_id", "rank")
 
 
+def q36_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning primitive: word 3-grams shared by >= 5 documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.frequent_ngrams(docs, n=3, min_docs=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -523,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_drop_exact_duplicates": q33_drop_exact_duplicates,
         "q34_stream_windowed_counts": q34_stream_windowed_counts,
         "q35_ann_topk_vectorized": q35_ann_topk_vectorized,
+        "q36_boilerplate_ngrams": q36_boilerplate_ngrams,
     }
 
 
@@ -869,6 +876,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts)::DATE AS day, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "q36_boilerplate_ngrams": """
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(w) - 2 > 0 THEN
+                               list_transform(range(1, len(w) - 2 + 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+                           ELSE [] END
+                       )) AS ngram
+                FROM words
+            )
+            SELECT ngram, count(*) AS n_docs
+            FROM grams GROUP BY ngram HAVING count(*) >= 5
         """,
         # q27_simhash / q28_lsh_ann / q31_media_stats / q32_ivf_ann:
         # engine-internal hash/centroid layouts — rows-only checks

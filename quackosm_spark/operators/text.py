@@ -131,3 +131,40 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def word_ngrams(text: Column | str = "text", n: int = 5) -> Column:
+    """Distinct word n-grams of a document as an array<string> — all JVM
+    Column expressions (split → sliding windows via transform(sequence))."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(col), r"\s+")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
+    grams = F.when(count > 0, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def frequent_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Boilerplate-phrase detection: word n-grams appearing in at least
+    ``min_docs`` distinct documents (the corpus-cleaning primitive used to
+    strip shared headers/footers/templates before training).
+
+    One shuffle on the n-gram; per-doc distinct n-grams mean the count IS
+    the document frequency — no COUNT(DISTINCT) needed."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )

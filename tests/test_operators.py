@@ -157,6 +157,26 @@ def test_quality_score_bounds(docs):
     assert all(v is not None and 0.0 <= v <= 1.0 for v in vals)
 
 
+def test_word_ngrams_and_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown dog"),
+            (3, "the quick brown cat"),
+            (4, "completely different words here"),
+            (5, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    grams = {r["ngram"] for r in df.select(
+        F.explode(T.word_ngrams("text", n=3)).alias("ngram")
+    ).collect()}
+    assert "the quick brown" in grams and "quick brown fox" in grams
+    freq = {r["ngram"]: r["n_docs"]
+            for r in T.frequent_ngrams(df, n=3, min_docs=3).collect()}
+    assert freq == {"the quick brown": 3}
+
+
 def test_analyze_documents_composite(docs):
     out = T.analyze_documents(docs)
     assert {"n_tokens", "n_bpe_tokens", "quality", "lang_pred", "fingerprint"} <= set(
