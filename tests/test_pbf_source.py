@@ -141,6 +141,32 @@ def test_osm_statistics(monaco):
     assert min(r["n_refs"] for r in lens) >= 2
 
 
+def test_null_island_fixture_semantics(spark):
+    """The reference's 'Null Island' fixtures: the tagged buoy node at
+    ~(0,0) survives with metadata tags stripped; the untagged ring way and
+    its nodes produce nothing."""
+    import glob
+
+    from quackosm_spark.functions import convert_pbf_to_dataframe
+    from quackosm_spark.geometry import model, wkb
+
+    path = glob.glob("/root/reference/tests/test_files/eb2848d2*.osm.pbf")[0]
+    feats = {r["feature_id"]: r for r in convert_pbf_to_dataframe(spark, path).collect()}
+    assert list(feats) == ["node/3815077900"]
+    buoy = feats["node/3815077900"]
+    tags = dict(buoy["tags"])
+    assert tags["name"] == "Soul Buoy"
+    assert "note" not in tags  # metadata tag stripped
+    wkt = model.to_wkt(wkb.loads(bytes(buoy["geometry"])))
+    assert wkt == "POINT (5e-07 -6e-07)"  # (lon lat): lon=5e-07, lat=-6e-07
+    # crafted node without coordinate fields decodes to proto defaults (0,0)
+    from quackosm_spark.sources.pbf import read_osm_pbf as _r
+    from pyspark.sql import functions as _F
+
+    bare = _r(spark, path).where(_F.col("id") == 10710875387).collect()[0]
+    assert (bare["lat"], bare["lon"]) == (0.0, 0.0)
+
+
 def test_untagged_elements_have_null_tags(monaco):
     n = monaco.where(F.col("tags").isNull()).count()
     assert n > 20000  # most monaco nodes are untagged geometry carriers
