@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 DEFAULT_SHINGLE = 5  # character shingle width
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition narrow inputs so per-row hashing parallelizes.
+
+    A small corpus read from one parquet file arrives as ONE partition, and
+    the md5 shingle transform — the dominant cost of every shingle-based
+    operator — would run on a single core. Inputs that already have at least
+    ``defaultParallelism`` partitions (any at-scale scan) pass through
+    untouched, so no shuffle is added on the 100 TB path.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -125,7 +141,7 @@ def minhash_signatures(
             ]
         ),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    return _spread(docs).select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -202,7 +218,7 @@ def ngram_jaccard_pairs(
     # recompute the md5 hashing otherwise.
     from pyspark import StorageLevel
 
-    sh_arr = docs.select(
+    sh_arr = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         hashed_shingles(F.col(text_col), shingle).alias("hs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -268,7 +284,7 @@ def simhash(
         fingerprint = fingerprint + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+    return _spread(docs).select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
 
 
 # --------------------------------------------------------------------------
