@@ -492,6 +492,79 @@ def q36_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.frequent_ngrams(docs, n=3, min_docs=5)
 
 
+def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the q17
+    jaccard pair graph; cluster_id = min doc id in the component (the
+    canonical survivor is doc_id == cluster_id)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    return D.neardup_clusters(pairs)
+
+
+def q38_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over text augmented with deterministic
+    synthetic PII (the raw synthetic corpus contains none, which would make
+    the check vacuous)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call +1555"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" host 10.0.0.1")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        *T.pii_counts("text"),
+        F.length(T.redact_pii("text")).alias("redacted_len"),
+    )
+
+
+def q39_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (duplicate word-trigram fraction) — the
+    Gopher-style degenerate-text quality signal."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.repetition_ratio("text", n=3).alias("rep_ratio")
+    )
+
+
+def q40_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every doc a (stream, bin) token-budget slot
+    via a stream-partitioned cumulative-sum window (no global sort)."""
+    from quackosm_spark.operators import mix as M
+
+    return M.pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=2048, num_streams=64
+    )
+
+
+def q41_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling by md5 bucket — training-mix
+    language reweighting with zero RNG."""
+    from quackosm_spark.operators import mix as M
+
+    docs = _t(spark, sf_dir, "documents")
+    return M.deterministic_sample(
+        docs,
+        rates={"en": 0.75, "es": 0.5, "fr": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -530,6 +603,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_stream_windowed_counts": q34_stream_windowed_counts,
         "q35_ann_topk_vectorized": q35_ann_topk_vectorized,
         "q36_boilerplate_ngrams": q36_boilerplate_ngrams,
+        "q37_neardup_clusters": q37_neardup_clusters,
+        "q38_pii_scan": q38_pii_scan,
+        "q39_repetition_ratio": q39_repetition_ratio,
+        "q40_pack_sequences": q40_pack_sequences,
+        "q41_deterministic_sample": q41_deterministic_sample,
     }
 
 
@@ -894,6 +972,103 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, count(*) AS n_docs
             FROM grams GROUP BY ngram HAVING count(*) >= 5
+        """,
+        "q37_neardup_clusters": f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+            sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+            cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM cand
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            cc(id, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, cc.label FROM cc JOIN edges e ON e.dst = cc.id
+            )
+            SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id
+        """,
+        "q38_pii_scan": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' call +1555' || doc_id::VARCHAR ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.0.1' ELSE '' END
+                       AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+                   length(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                       '\\+[0-9]{7,15}', '[PII]', 'g'),
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[PII]', 'g'))
+                       AS redacted_len
+            FROM aug
+        """,
+        "q39_repetition_ratio": """
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) - 2 > 0 THEN
+                           list_transform(range(1, len(w) - 2 + 1),
+                               i -> array_to_string(w[i:i+2], ' '))
+                       ELSE [] END AS grams
+                FROM words
+            )
+            SELECT doc_id,
+                   CASE WHEN len(grams) = 0 THEN 0.0::DOUBLE
+                        ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+                   END AS rep_ratio
+            FROM g
+        """,
+        "q40_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id, doc_id % 64 AS stream,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END)::BIGINT AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, stream,
+                   floor((sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id)
+                          - n_tokens) / 2048.0)::BIGINT AS bin_id,
+                   n_tokens
+            FROM t
+        """,
+        "q41_deterministic_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT <
+                  CASE lang WHEN 'en' THEN 49152
+                            WHEN 'es' THEN 32768
+                            WHEN 'fr' THEN 16384
+                            ELSE 6553 END
         """,
         # q27_simhash / q28_lsh_ann / q31_media_stats / q32_ivf_ann:
         # engine-internal hash/centroid layouts — rows-only checks

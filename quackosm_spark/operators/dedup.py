@@ -243,6 +243,64 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# near-duplicate clustering (connected components over the pair graph)
+# --------------------------------------------------------------------------
+
+def neardup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of a candidate-pair graph → (doc_id, cluster_id).
+
+    The missing last stage of every near-dedup pipeline: LSH/jaccard emit
+    PAIRS, but dedup must keep one doc per transitive CLUSTER (a~b, b~c ⇒
+    {a,b,c} together). cluster_id is the minimum doc id in the component, so
+    the canonical survivor is ``doc_id == cluster_id``.
+
+    Algorithm: min-label propagation — each round every vertex takes the min
+    label among itself and its neighbors (one shuffle join + one groupBy per
+    round); converges in O(component diameter) rounds. Near-dup components
+    are dense/clique-ish so this is 2-3 rounds in practice; for adversarial
+    long-chain graphs switch to alternating large-star/small-star
+    (O(log n) rounds, same join shapes). ``localCheckpoint`` truncates
+    lineage each round so plans stay flat; convergence is detected via the
+    label sum, which strictly decreases until fixpoint.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            edges["src"].alias("id"), "label"
+        )
+        labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------
 

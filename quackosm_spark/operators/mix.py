@@ -1,0 +1,92 @@
+"""Training-mix construction operators: sequence packing and reproducible
+sampling.
+
+Both are deterministic by design — no RNG, no global sorts — so the same
+corpus produces the same training mix on any engine, any cluster size, any
+run. Everything is built-in Column expressions (JVM-side) and windows
+PARTITIONED by a hash stream, so there is no single-partition bottleneck at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from quackosm_spark.operators.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    capacity: int = 2048,
+    num_streams: int = 64,
+) -> DataFrame:
+    """Greedy contiguous sequence packing into fixed token budgets.
+
+    Assigns every document to a (stream, bin_id) training sequence slot:
+    ``stream = doc_id % num_streams``; within a stream documents are laid
+    end-to-end in id order and ``bin_id = floor(exclusive_cumsum /
+    capacity)`` — i.e. each bin holds a contiguous run of docs totalling
+    ~``capacity`` tokens (a doc straddling a boundary starts the next bin's
+    count but stays assigned to the bin its first token falls in).
+
+    Scale shape: the cumulative-sum window is PARTITIONED by stream, so
+    packing parallelizes across ``num_streams`` independent windows instead
+    of one global orderBy (the naive formulation would serialize the whole
+    corpus through a single partition). Returns
+    (doc_id, stream, bin_id, n_tokens).
+    """
+    tokens = (
+        token_count("text") if tokens_col is None else F.col(tokens_col)
+    ).cast("bigint")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(num_streams)).alias("stream"),
+        tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "stream",
+        F.floor((cum - F.col("n_tokens")) / capacity).alias("bin_id"),
+        "n_tokens",
+    )
+
+
+def _hash_bucket(id_col: Column) -> Column:
+    """16-bit deterministic bucket from md5 of the id (engine-portable:
+    md5 is bit-identical in Spark and DuckDB)."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Reproducible stratified sampling for training-mix weighting.
+
+    Keeps a row iff its 16-bit md5 bucket falls below the stratum's rate
+    (``bucket < rate * 65536``). Unlike ``df.sampleBy`` this is a pure
+    function of the data — re-runs, retries, and different partitionings
+    all select the SAME documents, which is what a reproducible data
+    pipeline needs. The predicate is a plain Column expression, so it pushes
+    into the scan stage (no shuffle at any scale).
+    """
+    threshold = F.lit(int(default_rate * 65536))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 65536))
+        ).otherwise(threshold)
+    return docs.where(_hash_bucket(F.col(id_col)) < threshold)

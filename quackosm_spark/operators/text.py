@@ -133,17 +133,62 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_ngrams(text: Column | str = "text", n: int = 5) -> Column:
-    """Distinct word n-grams of a document as an array<string> — all JVM
-    Column expressions (split → sliding windows via transform(sequence))."""
+def sliding_word_ngrams(text: Column | str = "text", n: int = 5) -> Column:
+    """All (non-distinct) word n-grams of a document as an array<string> —
+    JVM Column expressions only (split → sliding windows via
+    transform(sequence))."""
     col = F.col(text) if isinstance(text, str) else text
     words = F.split(F.trim(col), r"\s+")
     count = F.greatest(F.size(words) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
-    grams = F.when(count > 0, F.transform(
+    return F.when(count > 0, F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))
     )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+
+
+def word_ngrams(text: Column | str = "text", n: int = 5) -> Column:
+    """Distinct word n-grams of a document as an array<string>."""
+    return F.array_distinct(sliding_word_ngrams(text, n))
+
+
+def repetition_ratio(text: Column | str = "text", n: int = 3) -> Column:
+    """Within-document repetition: fraction of word n-grams that are
+    repeats of an earlier n-gram (1 − distinct/total). The classic
+    Gopher/RefinedWeb quality signal for boilerplate-heavy or degenerate
+    documents; 0.0 for docs with no n-grams."""
+    grams = sliding_word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6)
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB regexp_extract_all): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{7,15}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(text: Column | str = "text") -> list[Column]:
+    """Per-pattern PII match counts (n_email, n_phone, n_ipv4) — built-in
+    ``regexp_count``, JVM-side."""
+    col = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text: Column | str = "text", replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement`` (chained
+    regexp_replace — one pass per pattern family)."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat in PII_PATTERNS.values():
+        col = F.regexp_replace(col, pat, replacement)
+    return col
 
 
 def frequent_ngrams(

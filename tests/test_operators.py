@@ -248,3 +248,86 @@ def test_sample_frames_plumbing(spark):
     videos = media.where(F.col("kind") == "video")
     frames = M.sample_frames(videos, every_ms=250)
     assert frames.count() >= videos.count()  # ≥1 frame per video
+
+
+# ------------------------------------------------- clustering / mix / pii
+
+def test_neardup_clusters_transitive(spark):
+    # a~b, b~c chain plus a separate d~e component: clusters must close
+    # transitively, canonical label = min id in component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a: long, doc_b: long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in D.neardup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_repetition_ratio(spark):
+    rows = [
+        (1, "a b c a b c a b c"),       # trigrams: 7 total, 3 distinct
+        (2, "one two three four five"), # all distinct -> 0.0
+        (3, ""),                        # no trigrams -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: r.ratio
+        for r in df.select(
+            "doc_id", T.repetition_ratio("text", n=3).alias("ratio")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.user@example.com or b@x.org, call +12345678, ip 10.0.0.1"),
+         (2, "nothing sensitive here")],
+        "doc_id: long, text: string",
+    )
+    out = df.select("doc_id", *T.pii_counts("text"),
+                    T.redact_pii("text").alias("red")).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert (by_id[1].n_email, by_id[1].n_phone, by_id[1].n_ipv4) == (2, 1, 1)
+    assert (by_id[2].n_email, by_id[2].n_phone, by_id[2].n_ipv4) == (0, 0, 0)
+    assert "example.com" not in by_id[1].red and "10.0.0.1" not in by_id[1].red
+    assert by_id[1].red.count("[PII]") == 4
+    assert by_id[2].red == "nothing sensitive here"
+
+
+def test_pack_sequences_bins(spark):
+    from quackosm_spark.operators import mix as X
+
+    # one stream (num_streams=1), capacity 5 tokens; docs of 3/3/3 tokens:
+    # exclusive cumsums 0,3,6 -> bins 0,0,1
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g h i")], "doc_id: long, text: string"
+    )
+    got = {
+        r.doc_id: (r.stream, r.bin_id, r.n_tokens)
+        for r in X.pack_sequences(df, capacity=5, num_streams=1).collect()
+    }
+    assert got == {0: (0, 0, 3), 1: (0, 0, 3), 2: (0, 1, 3)}
+
+
+def test_deterministic_sample_reproducible(spark):
+    from quackosm_spark.operators import mix as X
+
+    df = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "de") for i in range(200)],
+        "doc_id: long, text: string, lang: string",
+    )
+    kept1 = sorted(r.doc_id for r in X.deterministic_sample(
+        df, rates={"en": 0.5}, default_rate=0.0).collect())
+    kept2 = sorted(r.doc_id for r in X.deterministic_sample(
+        df, rates={"en": 0.5}, default_rate=0.0).collect())
+    assert kept1 == kept2                      # same docs every run
+    assert all(i % 2 == 0 for i in kept1)      # default rate 0 drops 'de'
+    assert 20 < len(kept1) < 80                # ~50% of the 100 'en' docs
+    # rate 1.0 keeps every row of the stratum
+    all_en = X.deterministic_sample(df, rates={"en": 1.0}, default_rate=1.0)
+    assert all_en.count() == 200
