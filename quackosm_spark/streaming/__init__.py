@@ -170,3 +170,24 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     return events.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
         lambda key, pdf: _batch_fn(key, pdf), schema=_SESSION_OUTPUT_SCHEMA
     )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    key_cols: Iterable[str] = ("event_id",),
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once event dedup — the streaming twin of the batch J6/W3
+    feature dedup (`plans/output.dedup_features`).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps per-key state only
+    until the watermark passes it, so state size is bounded by the delay
+    window × arrival rate (plain ``dropDuplicates`` on a stream retains
+    state forever — unusable at 100 TB/day). Batch: the same call reduces
+    to ``dropDuplicates`` for 1:1 parity testing.
+    """
+    keys = list(key_cols)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -167,3 +167,34 @@ def test_stream_incremental_state(spark, events_batch, tmp_path):
         .collect()[0][0]
     )
     assert final == n
+
+
+def test_dedup_stream_drops_replayed_events(spark, events_batch, tmp_path):
+    """Replay the same file twice into a stream: every event arrives 2x
+    within the watermark; the deduped stream must emit each exactly once."""
+    from quackosm_spark.streaming import dedup_events_stream, read_events_stream
+
+    src = str(tmp_path / "dup_events")
+    sample = events_batch.limit(500).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).cache()
+    sample.write.mode("overwrite").parquet(src)
+    sample.write.mode("append").parquet(src)  # the replay
+
+    stream = read_events_stream(spark, src)
+    deduped = dedup_events_stream(stream, watermark_delay="10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, count(*) AS n FROM dedup_stream GROUP BY event_id")
+    n_ids = sample.select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.where(F.col("n") > 1).count() == 0
+    # batch mode: same function, plain dropDuplicates
+    batch_dedup = dedup_events_stream(spark.read.parquet(src))
+    assert batch_dedup.count() == n_ids
