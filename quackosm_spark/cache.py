@@ -113,6 +113,7 @@ def result_file_path(
     ignore_metadata_tags: bool = True,
     sort_result: bool = True,
     save_as_wkt: bool = False,
+    bbox_column: bool = False,
 ) -> Path:
     if isinstance(pbf_paths, (str, Path)):
         pbf_paths = [pbf_paths]
@@ -125,6 +126,7 @@ def result_file_path(
         f"{stem}_{filter_hash(tags_filter, custom_sql_filter, ignore_metadata_tags, keep_all_tags)}"
         f"_{geometry_hash(geometry_filter)}"
         f"_{'exploded' if explode_tags else 'compact'}"
-        f"{ids_part}{'_sorted' if sort_result else ''}{'_wkt' if save_as_wkt else ''}.parquet"
+        f"{ids_part}{'_sorted' if sort_result else ''}{'_wkt' if save_as_wkt else ''}"
+        f"{'_bbox' if bbox_column else ''}.parquet"
     )
     return Path(working_directory) / name

@@ -138,8 +138,12 @@ def convert_pbf_to_parquet(
     filter_osm_ids: Sequence[str] = (),
     ignore_metadata_tags: bool = True,
     osm_way_polygon_features_config: Optional[dict[str, Any]] = None,
+    bbox_column: bool = False,
 ) -> Path:
-    """PBF file(s) → GeoParquet directory; cache-hit short-circuits the run."""
+    """PBF file(s) → GeoParquet directory; cache-hit short-circuits the run.
+
+    ``bbox_column=True`` adds the GeoParquet 1.1 per-row bounds covering
+    column (see ``sinks.geoparquet.write_geoparquet``)."""
     opts = PbfPipelineOptions(
         tags_filter=tags_filter,
         keep_all_tags=keep_all_tags,
@@ -162,6 +166,7 @@ def convert_pbf_to_parquet(
             ignore_metadata_tags=ignore_metadata_tags,
             sort_result=sort_result,
             save_as_wkt=save_as_wkt,
+            bbox_column=bbox_column,
         )
     result_file_path = Path(result_file_path)
     if result_file_path.exists() and not ignore_cache:
@@ -203,6 +208,7 @@ def convert_pbf_to_parquet(
         result_file_path,
         compression=compression,
         max_records_per_file=max_records_per_file,
+        bbox_column=bbox_column,
     )
     return result_file_path
 

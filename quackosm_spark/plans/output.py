@@ -217,3 +217,24 @@ _geom_minx = _geom_bounds_udf_factory(0)
 _geom_miny = _geom_bounds_udf_factory(1)
 _geom_maxx = _geom_bounds_udf_factory(2)
 _geom_maxy = _geom_bounds_udf_factory(3)
+
+
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+_BBOX_STRUCT = StructType(
+    [StructField(side, DoubleType()) for side in ("xmin", "ymin", "xmax", "ymax")]
+)
+
+
+@F.pandas_udf(_BBOX_STRUCT)
+def geometry_bbox_udf(geometry: pd.Series) -> pd.DataFrame:
+    """Per-feature bounds struct for the GeoParquet 1.1 bbox covering
+    column — ONE WKB decode per row (the per-coordinate UDFs above decode
+    once per coordinate; use this when all four bounds are needed)."""
+    from quackosm_spark.geometry import model
+
+    rows = [
+        model.bounds(wkb_codec.loads(bytes(b))) if b is not None else (None,) * 4
+        for b in geometry
+    ]
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])

@@ -75,18 +75,27 @@ def build_geo_metadata(
     geometry_types: list[str],
     bbox: tuple[float, float, float, float],
     encoding: Literal["WKB", "WKT"] = "WKB",
+    bbox_covering_column: str | None = None,
 ) -> dict:
+    column_meta: dict = {
+        "encoding": encoding,
+        "crs": CRS_LONLAT,
+        "geometry_types": geometry_types,
+        "bbox": list(bbox),
+    }
+    if bbox_covering_column:
+        # GeoParquet 1.1 covering: names the per-row bounds struct readers
+        # can use for row-group pruning
+        column_meta["covering"] = {
+            "bbox": {
+                side: [bbox_covering_column, side]
+                for side in ("xmin", "ymin", "xmax", "ymax")
+            }
+        }
     return {
         "version": "1.1.0",
         "primary_column": GEOMETRY_COLUMN,
-        "columns": {
-            GEOMETRY_COLUMN: {
-                "encoding": encoding,
-                "crs": CRS_LONLAT,
-                "geometry_types": geometry_types,
-                "bbox": list(bbox),
-            }
-        },
+        "columns": {GEOMETRY_COLUMN: column_meta},
         "creator": {"library": "quackosm_spark", "version": "0.1.0"},
     }
 
@@ -148,13 +157,25 @@ def write_geoparquet(
     bbox: tuple[float, float, float, float] | None = None,
     compression: str = "zstd",
     max_records_per_file: int | None = None,
+    bbox_column: bool = False,
 ) -> Path:
     """Distributed parquet write + geo footer stamping. Returns the directory.
 
     ``compression``/``max_records_per_file`` mirror the reference's writer
     tuning surface (COMPRESSION zstd, FILE_SIZE_BYTES/ROW_GROUP_SIZE_BYTES,
-    pbf_file_reader.py:2686-2699) in Spark terms."""
+    pbf_file_reader.py:2686-2699) in Spark terms.
+
+    ``bbox_column=True`` writes the GeoParquet 1.1 ``bbox`` covering column
+    (per-row bounds struct + ``covering`` metadata). Combined with the
+    Hilbert spatial sort, parquet min/max row-group stats on the struct
+    fields let any reader — Spark included, see ``read_geoparquet`` — skip
+    row groups that can't intersect a query window; that's the scan-prune
+    story for spatial queries over 100 TB of output."""
     path = Path(path)
+    if bbox_column and "bbox" not in features.columns:
+        from quackosm_spark.plans.output import geometry_bbox_udf
+
+        features = features.withColumn("bbox", geometry_bbox_udf(GEOMETRY_COLUMN))
     if geometry_types is None or bbox is None:
         computed_types, computed_bbox = collect_geo_stats(features)
         geometry_types = geometry_types or computed_types
@@ -163,8 +184,48 @@ def write_geoparquet(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(str(path))
-    geo_json = json.dumps(build_geo_metadata(geometry_types, bbox))
+    geo_json = json.dumps(
+        build_geo_metadata(
+            geometry_types, bbox,
+            bbox_covering_column="bbox" if bbox_column else None,
+        )
+    )
     parts = sorted(path.glob("*.parquet"))
     with ThreadPoolExecutor(max_workers=8) as pool:
         list(pool.map(lambda p: _stamp_footer(p, geo_json, compression), parts))
     return path
+
+
+def read_geoparquet(spark, path: str | Path, bbox: tuple[float, float, float, float] | None = None) -> DataFrame:
+    """Read a GeoParquet directory, optionally windowed to a bbox.
+
+    When the file carries the 1.1 covering column, the window becomes four
+    comparisons on ``bbox.*`` struct fields — plain parquet predicates that
+    push into the scan and prune whole row groups via min/max stats (the
+    payoff of writing spatially sorted + covered files). Without the column,
+    the filter falls back to decoding WKB bounds per row (correct, no
+    pruning)."""
+    df = spark.read.parquet(str(path))
+    if bbox is None:
+        return df
+    xmin, ymin, xmax, ymax = bbox
+    if "bbox" in df.columns:
+        return df.where(
+            (F.col("bbox.xmin") <= xmax)
+            & (F.col("bbox.xmax") >= xmin)
+            & (F.col("bbox.ymin") <= ymax)
+            & (F.col("bbox.ymax") >= ymin)
+        )
+    from quackosm_spark.plans.output import geometry_bbox_udf
+
+    b = geometry_bbox_udf(GEOMETRY_COLUMN)
+    return (
+        df.withColumn("__b", b)
+        .where(
+            (F.col("__b.xmin") <= xmax)
+            & (F.col("__b.xmax") >= xmin)
+            & (F.col("__b.ymin") <= ymax)
+            & (F.col("__b.ymax") >= ymin)
+        )
+        .drop("__b")
+    )

@@ -167,3 +167,62 @@ def test_save_as_wkt(spark, tmp_path):
     df = spark.read.parquet(str(out))
     first = df.limit(1).collect()[0]
     assert isinstance(first["geometry"], str) and first["geometry"].startswith("POINT")
+
+
+def test_bbox_covering_column_and_windowed_read(spark, tmp_path):
+    """GeoParquet 1.1 covering column: per-row bounds struct, covering
+    metadata, and bbox-windowed read that prunes via parquet predicates."""
+    import json
+    import pyarrow.parquet as pq
+
+    from quackosm_spark.sinks.geoparquet import read_geoparquet
+
+    out = convert_pbf_to_parquet(
+        spark,
+        MONACO,
+        working_directory=tmp_path,
+        tags_filter={"amenity": "cafe"},
+        bbox_column=True,
+    )
+    # distinct cache name from the non-bbox variant of the same query
+    assert "_bbox" in out.name
+
+    part = sorted(out.glob("*.parquet"))[0]
+    geo = json.loads(pq.read_schema(part).metadata[b"geo"])
+    cov = geo["columns"]["geometry"]["covering"]["bbox"]
+    assert cov["xmin"] == ["bbox", "xmin"] and cov["ymax"] == ["bbox", "ymax"]
+
+    full = read_geoparquet(spark, out)
+    assert "bbox" in full.columns
+    n_total = full.count()
+    # bounds struct agrees with the file-level extent
+    ext = geo["columns"]["geometry"]["bbox"]
+    row = full.select(
+        F.min("bbox.xmin"), F.min("bbox.ymin"), F.max("bbox.xmax"), F.max("bbox.ymax")
+    ).collect()[0]
+    assert list(row) == pytest.approx(ext, abs=1e-9)
+
+    # window to the west half of the extent: correct subset, non-trivial
+    mid_x = (ext[0] + ext[2]) / 2
+    window = (ext[0], ext[1], mid_x, ext[3])
+    west = read_geoparquet(spark, out, bbox=window)
+    n_west = west.count()
+    assert 0 < n_west < n_total
+    # every kept feature really intersects the window (bbox test)
+    bad = west.where(~((F.col("bbox.xmin") <= mid_x))).count()
+    assert bad == 0
+    # the window became plain parquet predicates on the struct fields
+    plan = west._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bbox.xmin" in plan
+
+    # fallback path (no covering column) selects the same feature_ids
+    out_plain = convert_pbf_to_parquet(
+        spark,
+        MONACO,
+        working_directory=tmp_path,
+        tags_filter={"amenity": "cafe"},
+    )
+    plain_west = read_geoparquet(spark, out_plain, bbox=window)
+    assert {r.feature_id for r in plain_west.select("feature_id").collect()} == {
+        r.feature_id for r in west.select("feature_id").collect()
+    }
