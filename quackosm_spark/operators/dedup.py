@@ -259,14 +259,16 @@ def neardup_clusters(
     {a,b,c} together). cluster_id is the minimum doc id in the component, so
     the canonical survivor is ``doc_id == cluster_id``.
 
-    Algorithm: min-label propagation — each round every vertex takes the min
-    label among itself and its neighbors (one shuffle join + one groupBy per
-    round); converges in O(component diameter) rounds. Near-dup components
-    are dense/clique-ish so this is 2-3 rounds in practice; for adversarial
-    long-chain graphs switch to alternating large-star/small-star
-    (O(log n) rounds, same join shapes). ``localCheckpoint`` truncates
-    lineage each round so plans stay flat; convergence is detected via the
-    label sum, which strictly decreases until fixpoint.
+    Algorithm: min-label propagation with pointer jumping — each round every
+    vertex takes the min of (its label, its neighbors' labels, its label's
+    label). The neighbor step alone needs O(component diameter) rounds; the
+    pointer jump (label-of-label — every label is itself a vertex id, so it
+    always resolves) halves remaining chain depth per round, giving
+    O(log n) rounds even on adversarial path graphs. Per round: two shuffle
+    joins + one groupBy(min); ``localCheckpoint`` truncates lineage so round
+    N doesn't replay rounds 1..N-1. Convergence is detected via the label
+    sum, which strictly decreases until fixpoint; hitting ``max_iterations``
+    without converging raises (never returns silently-wrong clusters).
     """
     from pyspark import StorageLevel
 
@@ -283,17 +285,28 @@ def neardup_clusters(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
             edges["src"].alias("id"), "label"
         )
+        jumped = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.label").alias("label"))
+        )
         labels = (
-            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+            labels.union(nbr).union(jumped)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
         ).localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iterations} rounds"
+        )
     edges.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -331,3 +331,14 @@ def test_deterministic_sample_reproducible(spark):
     # rate 1.0 keeps every row of the stratum
     all_en = X.deterministic_sample(df, rates={"en": 1.0}, default_rate=1.0)
     assert all_en.count() == 200
+
+
+def test_neardup_clusters_long_chain(spark):
+    """A 200-node path graph (worst case for plain propagation): pointer
+    jumping must close it in O(log n) rounds, all labeled 0."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a: long, doc_b: long"
+    )
+    out = D.neardup_clusters(pairs)
+    assert out.count() == 201
+    assert out.where(F.col("cluster_id") != 0).count() == 0
