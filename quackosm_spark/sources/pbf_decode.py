@@ -91,15 +91,43 @@ def iter_fields(buf: memoryview) -> Iterator[tuple[int, int, Any]]:
 
 def _decode_packed_varints(buf: memoryview) -> np.ndarray:
     """Packed varint payload → int64 array (two's-complement wraparound for
-    values that overflow 64 bits, matching protobuf int64 semantics)."""
-    out: list[int] = []
-    pos = 0
-    end = len(buf)
-    while pos < end:
-        v, pos = _read_varint(buf, pos)
-        out.append(v & 0xFFFFFFFFFFFFFFFF)
-    arr = np.array(out, dtype=np.uint64)
-    return arr.view(np.int64)
+    values that overflow 64 bits, matching protobuf int64 semantics).
+
+    Fully vectorized: continuation bits mark varint boundaries; each byte's
+    7-bit payload is shifted by 7×(its offset within its varint) and the
+    per-varint pieces are OR-combined with ``bitwise_or.reduceat``. Valid
+    varints are ≤10 bytes, so shifts stay ≤63 and uint64 shifting drops
+    overflow bits exactly like the protobuf ``& 0xFFFF...`` wraparound.
+    This is the decode hot loop — every dense-node id/lat/lon/kv stream and
+    every way ref list is a packed-varint payload. Buffers under ~300 bytes
+    (short way-ref/tag lists) take a plain Python loop instead: ~10 numpy
+    array ops cost more than a 30-iteration loop (measured on monaco:
+    vectorized-only decode is 2× SLOWER than the loop, hybrid is 1.6×
+    faster — 105k → 160k elem/s single-thread)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.array([], dtype=np.int64)
+    if b.size < 300:
+        out: list[int] = []
+        pos = 0
+        end = len(buf)
+        while pos < end:
+            v, pos = _read_varint(buf, pos)
+            out.append(v & 0xFFFFFFFFFFFFFFFF)
+        return np.array(out, dtype=np.uint64).view(np.int64)
+    cont = (b & 0x80) != 0
+    if cont[-1]:
+        raise ValueError("truncated varint in packed field")
+    is_start = np.empty(b.size, dtype=bool)
+    is_start[0] = True
+    np.logical_not(cont[:-1], out=is_start[1:])
+    starts = np.flatnonzero(is_start)
+    # offset of each byte within its varint = index − start of its varint
+    offsets = np.arange(b.size, dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), np.diff(np.append(starts, b.size))
+    )
+    pieces = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * offsets)
+    return np.bitwise_or.reduceat(pieces, starts).view(np.int64)
 
 
 def _zigzag_decode(arr: np.ndarray) -> np.ndarray:
