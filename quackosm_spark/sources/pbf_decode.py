@@ -283,6 +283,49 @@ def _decode_kv(keys: np.ndarray, vals: np.ndarray, st: list[str]) -> list[tuple[
     return [(st[k], st[v]) for k, v in zip(keys.tolist(), vals.tolist())]
 
 
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _packed_list(buf: memoryview) -> list[int]:
+    """Packed varints as a plain Python list — the per-message small path
+    (way/relation key/val/ref fields are usually tens of values; see the
+    threshold note on _decode_packed_varints)."""
+    if len(buf) >= 300:
+        return _decode_packed_varints(buf).tolist()
+    out: list[int] = []
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        v, pos = _read_varint(buf, pos)
+        out.append(v & _MASK64)
+    return out
+
+
+def _packed_delta_list(buf: memoryview) -> list[int]:
+    """Packed zigzag-delta varints → absolute values, fused in one pass
+    (decode + zigzag + running sum without three numpy round-trips)."""
+    if len(buf) >= 300:
+        return np.cumsum(
+            _zigzag_decode(_decode_packed_varints(buf)), dtype=np.int64
+        ).tolist()
+    out: list[int] = []
+    pos = 0
+    acc = 0
+    end = len(buf)
+    while pos < end:
+        v, pos = _read_varint(buf, pos)
+        v &= _MASK64
+        acc += (v >> 1) ^ -(v & 1)
+        out.append(acc)
+    return out
+
+
+def _kv_lists(keys: list[int], vals: list[int], st: list[str]) -> list[tuple[str, str]] | None:
+    if not keys:
+        return None
+    return [(st[k], st[v]) for k, v in zip(keys, vals)]
+
+
 def _decode_plain_nodes(
     node_bufs: list[memoryview],
     st: list[str],
@@ -387,21 +430,21 @@ def _decode_ways(way_bufs: list[memoryview], st: list[str]) -> dict[str, Any]:
     refs: list[list[int]] = []
     for wb in way_bufs:
         wid = 0
-        keys = np.array([], dtype=np.int64)
-        vals = np.array([], dtype=np.int64)
-        way_refs = np.array([], dtype=np.int64)
+        keys: list[int] = []
+        vals: list[int] = []
+        way_refs: list[int] = []
         for field, wire, val in iter_fields(wb):
             if field == 1:
                 wid = val
             elif field == 2 and wire == 2:
-                keys = _decode_packed_varints(val)
+                keys = _packed_list(val)
             elif field == 3 and wire == 2:
-                vals = _decode_packed_varints(val)
+                vals = _packed_list(val)
             elif field == 8 and wire == 2:
-                way_refs = np.cumsum(_zigzag_decode(_decode_packed_varints(val)), dtype=np.int64)
+                way_refs = _packed_delta_list(val)
         ids.append(wid)
-        tags.append(_decode_kv(keys, vals, st))
-        refs.append(way_refs.tolist())
+        tags.append(_kv_lists(keys, vals, st))
+        refs.append(way_refs)
     return {
         "kind": "way",
         "ids": np.array(ids, dtype=np.int64),
@@ -420,32 +463,32 @@ def _decode_relations(rel_bufs: list[memoryview], st: list[str]) -> dict[str, An
     ref_roles: list[list[str] | None] = []
     for rb in rel_bufs:
         rid = 0
-        keys = np.array([], dtype=np.int64)
-        vals = np.array([], dtype=np.int64)
-        roles_sid = np.array([], dtype=np.int64)
-        memids = np.array([], dtype=np.int64)
-        types = np.array([], dtype=np.int64)
+        keys: list[int] = []
+        vals: list[int] = []
+        roles_sid: list[int] = []
+        memids: list[int] = []
+        types: list[int] = []
         for field, wire, val in iter_fields(rb):
             if field == 1:
                 rid = val
             elif field == 2 and wire == 2:
-                keys = _decode_packed_varints(val)
+                keys = _packed_list(val)
             elif field == 3 and wire == 2:
-                vals = _decode_packed_varints(val)
+                vals = _packed_list(val)
             elif field == 8 and wire == 2:
-                roles_sid = _decode_packed_varints(val)
+                roles_sid = _packed_list(val)
             elif field == 9 and wire == 2:
-                memids = np.cumsum(_zigzag_decode(_decode_packed_varints(val)), dtype=np.int64)
+                memids = _packed_delta_list(val)
             elif field == 10 and wire == 2:
-                types = _decode_packed_varints(val)
+                types = _packed_list(val)
         ids.append(rid)
-        tags.append(_decode_kv(keys, vals, st))
-        refs.append(memids.tolist())
-        ref_types.append([MEMBER_TYPES[t] for t in types.tolist()] or None)
+        tags.append(_kv_lists(keys, vals, st))
+        refs.append(memids)
+        ref_types.append([MEMBER_TYPES[t] for t in types] or None)
         # sid 0 points at the string table's mandatory "" entry — an absent
         # role; surface as NULL so role-default semantics (COALESCE → 'outer')
         # apply downstream.
-        ref_roles.append([st[s] if s != 0 else None for s in roles_sid.tolist()] or None)
+        ref_roles.append([st[s] if s != 0 else None for s in roles_sid] or None)
     return {
         "kind": "relation",
         "ids": np.array(ids, dtype=np.int64),
