@@ -289,7 +289,9 @@ _MASK64 = 0xFFFFFFFFFFFFFFFF
 def _packed_list(buf: memoryview) -> list[int]:
     """Packed varints as a plain Python list — the per-message small path
     (way/relation key/val/ref fields are usually tens of values; see the
-    threshold note on _decode_packed_varints)."""
+    threshold note on _decode_packed_varints). Values are int64-signed on
+    both paths (protobuf int64 wraparound), so path choice never changes
+    results."""
     if len(buf) >= 300:
         return _decode_packed_varints(buf).tolist()
     out: list[int] = []
@@ -297,7 +299,8 @@ def _packed_list(buf: memoryview) -> list[int]:
     end = len(buf)
     while pos < end:
         v, pos = _read_varint(buf, pos)
-        out.append(v & _MASK64)
+        v &= _MASK64
+        out.append(v - 0x10000000000000000 if v >= 0x8000000000000000 else v)
     return out
 
 

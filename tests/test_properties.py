@@ -144,3 +144,44 @@ def test_pip_unit_square(x, y):
     elif strictly_out:
         assert not got
     # boundary: either answer acceptable (reference tolerance semantics)
+
+
+# ------------------------------------------------ packed-varint decode paths
+
+int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@given(st.lists(int64s, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_packed_varint_roundtrip_both_paths(values):
+    """Encoder→decoder roundtrip must hold on BOTH sides of the 300-byte
+    vectorized/loop threshold (lists up to 300 int64s span it)."""
+    from quackosm_spark.sources.pbf_decode import _decode_packed_varints, _packed_list
+    from quackosm_spark.sources.pbf_encode import _varint
+
+    buf = memoryview(b"".join(_varint(v) for v in values))
+    expected = [v & 0xFFFFFFFFFFFFFFFF for v in values]
+    expected_signed = [e - 2**64 if e >= 2**63 else e for e in expected]
+    assert _decode_packed_varints(buf).tolist() == expected_signed
+    assert _packed_list(buf) == expected_signed
+    # a long all-negative list forces the ≥300-byte vectorized branch of
+    # _packed_list too (10 bytes per negative varint)
+    long_vals = (values or [-1]) * 40
+    long_buf = memoryview(b"".join(_varint(v) for v in long_vals))
+    le = [v & 0xFFFFFFFFFFFFFFFF for v in long_vals]
+    assert _packed_list(long_buf) == [e - 2**64 if e >= 2**63 else e for e in le]
+
+
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_packed_delta_roundtrip(values):
+    """Delta-zigzag encode → fused decode returns the original absolutes."""
+    from quackosm_spark.sources.pbf_decode import _packed_delta_list
+    from quackosm_spark.sources.pbf_encode import _varint, _zigzag
+
+    deltas, prev = [], 0
+    for v in values:
+        deltas.append(_zigzag(v - prev))
+        prev = v
+    buf = memoryview(b"".join(_varint(d) for d in deltas))
+    assert _packed_delta_list(buf) == values
