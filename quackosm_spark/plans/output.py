@@ -128,6 +128,12 @@ def drop_empty_columns(features: DataFrame, protected: tuple[str, ...] = (FEATUR
     candidates = [c for c in features.columns if c not in protected]
     if not candidates:
         return features
+    # the counts pass below is an ACTION; without persisting, it would run
+    # the full upstream pipeline once here and again for the caller's own
+    # action (measured: 2× conversion time in exploded mode)
+    from pyspark import StorageLevel
+
+    features = features.persist(StorageLevel.MEMORY_AND_DISK)
     counts = features.select(
         [F.count(F.col(f"`{c}`")).alias(c) for c in candidates]
     ).collect()[0]
