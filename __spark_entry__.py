@@ -565,6 +565,16 @@ def q41_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q42_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 3-gram
+    with the held-out 'benchmark' slice (doc_id % 97 == 0). The benchmark
+    n-gram set broadcasts; the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return D.contamination_matches(train, benchmark, n=3, min_shared=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -608,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_repetition_ratio": q39_repetition_ratio,
         "q40_pack_sequences": q40_pack_sequences,
         "q41_deterministic_sample": q41_deterministic_sample,
+        "q42_decontamination": q42_decontamination,
     }
 
 
@@ -1069,6 +1080,28 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'es' THEN 32768
                             WHEN 'fr' THEN 16384
                             ELSE 6553 END
+        """,
+        "q42_decontamination": """
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(w) - 2 > 0 THEN
+                               list_transform(range(1, len(w) - 2 + 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+                           ELSE [] END
+                       )) AS ngram
+                FROM words
+            ),
+            bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0),
+            train AS (SELECT doc_id, ngram FROM grams WHERE doc_id % 97 != 0)
+            SELECT t.doc_id, count(*) AS n_shared
+            FROM train t JOIN bench b ON t.ngram = b.ngram
+            GROUP BY t.doc_id
+            HAVING count(*) >= 1
         """,
         # q27_simhash / q28_lsh_ann / q31_media_stats / q32_ivf_ann:
         # engine-internal hash/centroid layouts — rows-only checks

@@ -397,3 +397,42 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+def contamination_matches(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training-set decontamination: docs sharing ≥``min_shared`` word
+    n-grams with any benchmark/eval document. Returns (doc_id, n_shared)
+    for flagged docs — drop or audit them before training.
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB corpus, so
+    its distinct n-gram set is BROADCAST — the corpus never shuffles; each
+    partition streams its exploded n-grams past the in-memory benchmark set
+    and partial-aggregates the per-doc hit count map-side.
+    """
+    from quackosm_spark.operators.text import word_ngrams
+
+    doc_grams = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -342,3 +342,26 @@ def test_neardup_clusters_long_chain(spark):
     out = D.neardup_clusters(pairs)
     assert out.count() == 201
     assert out.where(F.col("cluster_id") != 0).count() == 0
+
+
+def test_contamination_matches(spark):
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris indeed")],
+        "doc_id: long, text: string",
+    )
+    train = spark.createDataFrame(
+        [(1, "we know the capital of france is paris obviously"),  # contaminated
+         (2, "completely clean document about spark engines here"),
+         (3, "the capital of france"),                              # < 5 words shared run? 4-word gram only
+         ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.n_shared for r in D.contamination_matches(
+        train, bench, n=5, min_shared=1).collect()}
+    # doc 1 shares 5-grams "the capital of france is" and "capital of france is paris"
+    assert got.get(1) == 2
+    assert 2 not in got
+    assert 3 not in got  # only 4 words -> no 5-gram
+    # the plan broadcasts the benchmark side
+    plan = D.contamination_matches(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
