@@ -8,7 +8,14 @@ the driver's order-insensitive value-hash compares cleanly.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    # the driver may import this module from any cwd
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -19,7 +26,36 @@ from quackosm_spark.operators import text as T
 from quackosm_spark.filters.tags import compile_tags_filter, strip_metadata_tags
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``quackosm_spark`` importable inside Python UDF workers.
+
+    The driver's session may predate any PYTHONPATH export (workers don't
+    inherit driver sys.path mutations), so ship the package as a zip via
+    ``addPyFile`` — that path works regardless of when or where the session
+    was built. No-op after the first call per session."""
+    if getattr(spark, "_quackosm_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(_REPO_DIR, "quackosm_spark")
+    zip_path = os.path.join(tempfile.gettempdir(), "quackosm_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:  # always rebuild: sources may have changed
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith((".py", ".json")):
+                    continue
+                full = os.path.join(root, fname)
+                zf.write(full, os.path.relpath(full, _REPO_DIR))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; workers then rely on PYTHONPATH
+        pass
+    spark._quackosm_pkg_shipped = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -27,6 +63,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects — read nanos as long, convert to microsecond timestamps
     (matches DuckDB's ns→us truncating cast)."""
+    _ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -443,6 +480,7 @@ def q31_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic synthesized payloads; engine-internal → rows-only check)."""
     from quackosm_spark.operators import multimodal as M
 
+    _ship_package(spark)
     media = M.synthesize_media(spark, n=120)
     return M.media_stats(media)
 
