@@ -174,6 +174,12 @@ def build_parser() -> argparse.ArgumentParser:
     sort.add_argument("--sort-result", dest="sort_result", action="store_true", default=True)
     sort.add_argument("--no-sort-result", dest="sort_result", action="store_false")
     p.add_argument("--wkt-result", action="store_true", help="Save geometry as WKT strings")
+    p.add_argument(
+        "--bbox-column",
+        action="store_true",
+        help="Write the GeoParquet 1.1 per-row bounds covering column "
+        "(enables row-group pruning for bbox-windowed readers)",
+    )
     return p
 
 
@@ -207,6 +213,7 @@ def main(argv: Optional[list[str]] = None) -> Path:
         custom_sql_filter=args.custom_sql_filter,
         filter_osm_ids=filter_osm_ids,
         ignore_metadata_tags=args.ignore_metadata_tags,
+        bbox_column=args.bbox_column,
     )
     print(result)
     return result

@@ -122,7 +122,8 @@ def fingerprint_sql(text_expr: str = "text") -> str:
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text analysis projection (all JVM-side)."""
+    """One-pass text analysis projection (all JVM-side): token counts,
+    quality, language, fingerprint, repetition, PII counts."""
     return docs.select(
         "*",
         token_count(text_col).alias("n_tokens"),
@@ -130,7 +131,36 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         language_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
+        repetition_ratio(text_col).alias("rep_ratio"),
+        *pii_counts(text_col),
     )
+
+
+def filter_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.1,
+    max_repetition: float = 0.5,
+    min_tokens: int = 10,
+    max_pii: int | None = None,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Compose the quality signals into one scan-stage predicate — the
+    standard pre-training corpus filter. Pure Column expressions: no
+    shuffle, pushes toward the scan, embarrassingly parallel at 100 TB."""
+    pred = (
+        (quality_score(text_col) >= min_quality)
+        & (repetition_ratio(text_col) <= max_repetition)
+        & (token_count(text_col) >= min_tokens)
+    )
+    if max_pii is not None:
+        total_pii = None
+        for c in pii_counts(text_col):
+            total_pii = c if total_pii is None else total_pii + c
+        pred = pred & (total_pii <= max_pii)
+    if langs:
+        pred = pred & language_id(text_col).isin(langs)
+    return docs.where(pred)
 
 
 def sliding_word_ngrams(text: Column | str = "text", n: int = 5) -> Column:

@@ -365,3 +365,18 @@ def test_contamination_matches(spark):
     # the plan broadcasts the benchmark side
     plan = D.contamination_matches(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_filter_quality_composition(docs):
+    # the low-quality empty doc (id 6) is always dropped; a strict token
+    # floor keeps only the longer docs; language restriction composes
+    kept = T.filter_quality(docs, min_quality=0.0, max_repetition=1.0, min_tokens=1)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 6 not in ids and 1 in ids
+    en_only = T.filter_quality(
+        docs, min_quality=0.0, max_repetition=1.0, min_tokens=1, langs=["en"]
+    )
+    assert {r.doc_id for r in en_only.select("doc_id").collect()} <= ids - {4}
+    # composite report carries the new signals
+    rep = T.analyze_documents(docs)
+    assert {"rep_ratio", "n_email", "n_phone", "n_ipv4"} <= set(rep.columns)
