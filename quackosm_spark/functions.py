@@ -89,7 +89,20 @@ def convert_pbf_to_dataframe(
     Spark parallelizes across files' blobs anyway; feature-level dedup
     still applies for overlapping extracts."""
     paths = _resolve_pbf_paths(pbf_path)
-    elements = read_osm_pbf(spark, *paths)
+    # dispatch by extension: .osm files go through the XML source (same
+    # element schema); mixed inputs union into one pipeline run
+    xml_paths = [p for p in paths if p.endswith(".osm") or p.endswith(".osm.xml")]
+    pbf_paths = [p for p in paths if p not in xml_paths]
+    parts = []
+    if pbf_paths:
+        parts.append(read_osm_pbf(spark, *pbf_paths))
+    if xml_paths:
+        from quackosm_spark.sources.osm_xml import read_osm_xml
+
+        parts.append(read_osm_xml(spark, *xml_paths))
+    elements = parts[0]
+    for extra in parts[1:]:
+        elements = elements.unionByName(extra)
     opts = PbfPipelineOptions(
         tags_filter=tags_filter,
         keep_all_tags=keep_all_tags,

@@ -105,3 +105,12 @@ def test_xml_source_through_pipeline(spark, xml_path):
     assert "relation/21" not in ids  # route relations dropped (§1.1)
     # relation/20 references way/11 which doesn't resolve -> dropped by C4
     assert "relation/20" not in ids
+
+
+def test_convert_osm_xml_to_dataframe(spark, xml_path):
+    """The public conversion API accepts .osm files directly."""
+    from quackosm_spark.functions import convert_pbf_to_dataframe
+
+    features = convert_pbf_to_dataframe(spark, xml_path)
+    ids = {r["feature_id"] for r in features.select("feature_id").collect()}
+    assert "node/1" in ids and "way/10" in ids

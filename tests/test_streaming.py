@@ -198,3 +198,26 @@ def test_dedup_stream_drops_replayed_events(spark, events_batch, tmp_path):
     # batch mode: same function, plain dropDuplicates
     batch_dedup = dedup_events_stream(spark.read.parquet(src))
     assert batch_dedup.count() == n_ids
+
+
+def test_filter_quality_on_stream(spark, tmp_path):
+    """Stateless quality filtering is stream-transparent: the same
+    filter_quality call runs on readStream unchanged."""
+    from quackosm_spark.operators.text import filter_quality
+
+    src = str(tmp_path / "docs_stream")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again ok"),
+         (2, ""),  # dropped: empty
+         (3, "yes " * 40)],  # dropped: pure repetition
+        "doc_id: long, text: string",
+    )
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = filter_quality(stream, min_quality=0.05, max_repetition=0.5, min_tokens=3)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("quality_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM quality_stream").collect()}
+    assert got == {1}
