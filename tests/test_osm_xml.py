@@ -114,3 +114,24 @@ def test_convert_osm_xml_to_dataframe(spark, xml_path):
     features = convert_pbf_to_dataframe(spark, xml_path)
     ids = {r["feature_id"] for r in features.select("feature_id").collect()}
     assert "node/1" in ids and "way/10" in ids
+
+
+def test_malformed_xml_raises():
+    with pytest.raises(Exception):  # noqa: B017 — ParseError surface
+        list(parse_osm_xml(b"<osm><node id='1'"))
+
+
+def test_read_osm_xml_directory(spark, tmp_path):
+    """A directory of .osm files reads as one elements DataFrame with one
+    parse task per file."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part{i}.osm").write_text(
+            f'<?xml version="1.0"?><osm><node id="{i + 1}" lat="1.0" lon="2.0">'
+            f'<tag k="name" v="n{i}"/></node></osm>'
+        )
+    df = read_osm_xml(spark, str(d))
+    rows = df.collect()
+    assert {r["id"] for r in rows} == {1, 2, 3}
+    assert all(r["kind"] == "node" for r in rows)
