@@ -91,7 +91,10 @@ def convert_pbf_to_dataframe(
     paths = _resolve_pbf_paths(pbf_path)
     # dispatch by extension: .osm files go through the XML source (same
     # element schema); mixed inputs union into one pipeline run
-    xml_paths = [p for p in paths if p.endswith(".osm") or p.endswith(".osm.xml")]
+    xml_paths = [
+        p for p in paths
+        if p.endswith((".osm", ".osm.xml", ".osm.gz", ".osm.bz2"))
+    ]
     pbf_paths = [p for p in paths if p not in xml_paths]
     parts = []
     if pbf_paths:

@@ -60,8 +60,23 @@ def parse_osm_xml(data: bytes) -> Iterator[dict[str, Any]]:
         yield row
 
 
+def _decompress(path: str, content: bytes) -> bytes:
+    """Transparent .gz / .bz2 support — OSM XML dumps usually ship
+    compressed (Overpass exports, planet.osm.bz2)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.decompress(content)
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.decompress(content)
+    return content
+
+
 def read_osm_xml(spark: SparkSession, *paths: str) -> DataFrame:
-    """Read ``.osm`` XML file(s) as the raw elements DataFrame.
+    """Read ``.osm`` / ``.osm.gz`` / ``.osm.bz2`` XML file(s) as the raw
+    elements DataFrame.
 
     ``binaryFile`` scan (one row per file, content as bytes) →
     ``mapInPandas`` parse. Each file parses in one task; point the reader
@@ -71,12 +86,13 @@ def read_osm_xml(spark: SparkSession, *paths: str) -> DataFrame:
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for content in pdf["content"]:
-                rows = list(parse_osm_xml(bytes(content)))
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = _decompress(str(path), bytes(content))
+                rows = list(parse_osm_xml(data))
                 if rows:
                     yield pd.DataFrame(
                         rows,
                         columns=[f.name for f in ELEMENTS_SCHEMA.fields],
                     )
 
-    return files.select("content").mapInPandas(_parse, schema=ELEMENTS_SCHEMA)
+    return files.select("path", "content").mapInPandas(_parse, schema=ELEMENTS_SCHEMA)

@@ -135,3 +135,19 @@ def test_read_osm_xml_directory(spark, tmp_path):
     rows = df.collect()
     assert {r["id"] for r in rows} == {1, 2, 3}
     assert all(r["kind"] == "node" for r in rows)
+
+
+def test_read_compressed_osm_xml(spark, tmp_path):
+    import bz2
+    import gzip
+
+    xml = ('<?xml version="1.0"?><osm>'
+           '<node id="7" lat="1.5" lon="2.5"><tag k="amenity" v="bench"/></node>'
+           '</osm>')
+    gz = tmp_path / "a.osm.gz"
+    gz.write_bytes(gzip.compress(xml.encode()))
+    bz = tmp_path / "b.osm.bz2"
+    bz.write_bytes(bz2.compress(xml.replace('id="7"', 'id="8"').encode()))
+    rows = read_osm_xml(spark, str(gz), str(bz)).collect()
+    assert {r["id"] for r in rows} == {7, 8}
+    assert all(r["tags"] == {"amenity": "bench"} for r in rows)
