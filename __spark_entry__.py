@@ -613,6 +613,13 @@ def q42_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_matches(train, benchmark, n=3, min_shared=1)
 
 
+def q43_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal: avg ln P(word) per doc under the
+    corpus's own unigram distribution (two passes: counts → broadcast
+    scoring)."""
+    return T.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -657,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_pack_sequences": q40_pack_sequences,
         "q41_deterministic_sample": q41_deterministic_sample,
         "q42_decontamination": q42_decontamination,
+        "q43_unigram_logprob": q43_unigram_logprob,
     }
 
 
@@ -1140,6 +1148,22 @@ def oracle_sql() -> dict[str, str]:
             FROM train t JOIN bench b ON t.ngram = b.ngram
             GROUP BY t.doc_id
             HAVING count(*) >= 1
+        """,
+        "q43_unigram_logprob": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w != ''
+                       )) AS w
+                FROM documents
+            ),
+            vocab AS (SELECT w, count(*)::DOUBLE AS cnt FROM words GROUP BY w),
+            tot AS (SELECT sum(cnt) AS t FROM vocab)
+            SELECT doc_id, round(avg(ln(v.cnt / tot.t)), 4) AS avg_logprob
+            FROM words
+            JOIN vocab v USING (w), tot
+            GROUP BY doc_id
         """,
         # q27_simhash / q28_lsh_ann / q31_media_stats / q32_ivf_ann:
         # engine-internal hash/centroid layouts — rows-only checks

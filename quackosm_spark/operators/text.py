@@ -243,3 +243,36 @@ def frequent_ngrams(
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained unigram LM score — the perplexity-style quality
+    signal: avg ln P(w) per document under the corpus's own unigram
+    distribution (degenerate/outlier docs score low). Returns
+    (doc_id, avg_logprob); empty docs emit no row.
+
+    Two passes: (1) vocabulary term counts, (2) broadcast-join the counts
+    back and average ln(cnt/total) per doc. The vocabulary of a natural-
+    language corpus is sublinear in corpus size, so the broadcast holds far
+    up the scale curve; for web-scale vocabularies swap the broadcast for a
+    shuffle join or apply a frequency cutoff to the vocab table first.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0]
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 4).alias(
+                "avg_logprob"
+            )
+        )
+    )

@@ -380,3 +380,16 @@ def test_filter_quality_composition(docs):
     # composite report carries the new signals
     rep = T.analyze_documents(docs)
     assert {"rep_ratio", "n_email", "n_phone", "n_ipv4"} <= set(rep.columns)
+
+
+def test_unigram_logprob_ranks_outliers_low(spark):
+    # "zzz qqq" tokens are rare (1 occurrence each); "common" words repeat
+    rows = [(i, "common words common words") for i in range(1, 6)]
+    rows.append((6, "zzzz qqqq"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.avg_logprob for r in T.unigram_logprob(df).collect()}
+    assert got[6] < got[1]           # rare-token doc scores lower
+    assert len(got) == 6
+    import math
+    # doc1: P(common)=P(words)=10/22 -> avg ln = ln(10/22)
+    assert got[1] == pytest.approx(round(math.log(10 / 22), 4), abs=1e-9)
