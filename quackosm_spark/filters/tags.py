@@ -153,11 +153,13 @@ def compile_tags_filter(
     tags = F.col(tags_col) if isinstance(tags_col, str) else tags_col
     positive: list[Column] = []
     negative: list[Column] = []
+    true_keys: list[str] = []
+    false_keys: list[str] = []
     for key, value in (tags_filter or {}).items():
         if value is True:
-            positive.append(F.map_contains_key(tags, F.lit(key)))
+            true_keys.append(key)
         elif value is False:
-            negative.append(~F.map_contains_key(tags, F.lit(key)))
+            false_keys.append(key)
         else:
             values = [value] if isinstance(value, str) else value
             for single in values:
@@ -165,10 +167,38 @@ def compile_tags_filter(
                     positive.append(tags[key].like(star_to_like_pattern(single)))
                 else:
                     positive.append(tags[key] == single)
-    clause = reduce(Column.__or__, positive) if positive else F.lit(True)
+    # Key presence/absence over MANY keys (e.g. a wildcard key expanded
+    # against the data) compiles to ONE set-membership expression instead of
+    # a chained OR/AND — a per-key chain overflows the JVM stack above a few
+    # hundred clauses and defeats whole-stage codegen long before that.
+    if len(true_keys) == 1:
+        positive.append(F.map_contains_key(tags, F.lit(true_keys[0])))
+    elif true_keys:
+        positive.append(
+            F.arrays_overlap(F.map_keys(tags), F.array(*[F.lit(k) for k in true_keys]))
+        )
+    if len(false_keys) == 1:
+        negative.append(~F.map_contains_key(tags, F.lit(false_keys[0])))
+    elif false_keys:
+        negative.append(
+            ~F.arrays_overlap(F.map_keys(tags), F.array(*[F.lit(k) for k in false_keys]))
+        )
+    clause = _balanced_fold(Column.__or__, positive) if positive else F.lit(True)
     if negative:
-        clause = clause & reduce(Column.__and__, negative)
+        clause = clause & _balanced_fold(Column.__and__, negative)
     return clause
+
+
+def _balanced_fold(op, cols: list[Column]) -> Column:
+    """Fold to a balanced tree (depth log n) — a left-leaning ``reduce``
+    chain over hundreds of clauses overflows the JVM stack during Column
+    conversion."""
+    while len(cols) > 1:
+        cols = [
+            op(cols[i], cols[i + 1]) if i + 1 < len(cols) else cols[i]
+            for i in range(0, len(cols), 2)
+        ]
+    return cols[0]
 
 
 def expand_wildcard_keys(

@@ -106,6 +106,18 @@ def convert_pbf_to_dataframe(
     elements = parts[0]
     for extra in parts[1:]:
         elements = elements.unionByName(extra)
+    from quackosm_spark.filters.tags import (  # noqa: PLC0415
+        _is_grouped_filter,
+        expand_wildcard_keys,
+        has_positive_clause,
+    )
+
+    # Wildcard-key expansion happens ONCE here (one distinct-keys pass) and
+    # the expanded filter drives BOTH the pipeline prefilter and the output
+    # shaping below — mirroring the reference, where the expanded filter is
+    # stored and read by the SQL filter AND the select generator
+    # (pbf_file_reader.py:1205-1206, 3699-3809).
+    tags_filter = expand_wildcard_keys(elements, tags_filter)
     opts = PbfPipelineOptions(
         tags_filter=tags_filter,
         keep_all_tags=keep_all_tags,
@@ -121,16 +133,25 @@ def convert_pbf_to_dataframe(
         features = dedup_features(features)
 
     explode = opts.resolve_explode_tags()
-    from quackosm_spark.filters.tags import _is_grouped_filter  # noqa: PLC0415
-
-    if tags_filter is not None and _is_grouped_filter(tags_filter):
-        shaped = group_tags_to_columns(features, tags_filter)
-        return drop_empty_columns(shaped)
+    # Shaping rule (reference pbf_file_reader.py:3699-3711): a filter with no
+    # positive clause (or keep_all_tags) shapes output exactly like "no
+    # filter" — exploded mode then discovers ALL keys from the (already
+    # filtered) data, compact mode keeps the full tags map.
+    shape_by_filter = (
+        tags_filter is not None
+        and has_positive_clause(tags_filter)
+        and not keep_all_tags
+    )
+    if shape_by_filter and _is_grouped_filter(tags_filter):
+        shaped = group_tags_to_columns(features, tags_filter, explode=explode)
+        return drop_empty_columns(shaped) if explode else shaped
     merged = merge_osm_tags_filter(tags_filter) if tags_filter is not None else None
     if explode:
-        shaped = explode_tags_to_columns(features, merged, keep_all_tags)
+        shaped = explode_tags_to_columns(
+            features, merged if shape_by_filter else None, keep_all_tags
+        )
         return drop_empty_columns(shaped)
-    if merged and not keep_all_tags:
+    if shape_by_filter:
         features = keep_relevant_tags(features, merged)
     return features
 

@@ -47,12 +47,19 @@ def distinct_point_count(coords: Ring) -> int:
 
 
 def signed_area(ring: Ring) -> float:
-    """Shoelace signed area; > 0 ⇒ counter-clockwise."""
+    """Shoelace signed area; > 0 ⇒ counter-clockwise.
+
+    Summed with ``math.fsum`` (exact): reversing a ring negates every
+    shoelace term exactly, so the sign of the total is guaranteed to flip
+    under reversal and a degenerate (true-zero-area) ring reports exactly
+    0.0 — ``np.sum``'s rounding could leave a same-signed residual on both
+    orientations, making ``ensure_orientation`` non-idempotent.
+    """
     if len(ring) < 3:
         return 0.0
     arr = np.asarray(ring, dtype=np.float64)
     x, y = arr[:, 0], arr[:, 1]
-    return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) / 2.0)
+    return math.fsum(x * np.roll(y, -1) - np.roll(x, -1) * y) / 2.0
 
 
 def ensure_orientation(ring: Ring, ccw: bool = True) -> Ring:

@@ -31,15 +31,44 @@ def explode_tags_to_columns(
 ) -> DataFrame:
     """Compact map → one STRING column per tag key (exploded mode).
 
-    Column set: the filter's keys when a positive filter exists and
-    ``keep_all_tags`` is off; otherwise discovered from the data with a
-    distinct-keys pass (reference pbf_file_reader.py:3713-3728 — the same
-    two-phase dynamic-schema shape).
+    Column set: the (expanded, merged) filter's non-``False`` keys when a
+    positive filter exists and ``keep_all_tags`` is off; otherwise discovered
+    from the data with a distinct-keys pass (reference
+    pbf_file_reader.py:3713-3728 — the same two-phase dynamic-schema shape).
+
+    Value-filtered keys (``{k: "v"}`` / ``{k: [..]}``) are CASE-masked: the
+    column is NULL unless the tag value matches the filter, even when the
+    feature matched the overall filter via another key (reference
+    pbf_file_reader.py:3765-3798).
     """
-    if tags_filter and not keep_all_tags:
-        keys = sorted(
-            {k for k, v in tags_filter.items() if v is not False}, key=str.casefold
-        )
+    from quackosm_spark.filters.tags import (  # noqa: PLC0415
+        has_positive_clause,
+        star_to_like_pattern,
+    )
+
+    use_filter = (
+        tags_filter is not None
+        and has_positive_clause(tags_filter)
+        and not keep_all_tags
+    )
+    cols = [F.col(FEATURES_INDEX)]
+    if use_filter:
+        for k in sorted(
+            (k for k, v in tags_filter.items() if v is not False), key=str.casefold
+        ):
+            value = tags_filter[k]
+            tag_val = F.col("tags")[k]
+            if value is True:
+                cols.append(tag_val.alias(k))
+                continue
+            values = [value] if isinstance(value, str) else list(value)
+            match = F.lit(False)
+            for single in values:
+                if "*" in single:
+                    match = match | tag_val.like(star_to_like_pattern(single))
+                else:
+                    match = match | (tag_val == single)
+            cols.append(F.when(match, tag_val).alias(k))
     else:
         keys = sorted(
             (
@@ -52,20 +81,27 @@ def explode_tags_to_columns(
             ),
             key=str.casefold,
         )
-    cols = [F.col(FEATURES_INDEX)]
-    cols += [F.col("tags")[k].alias(k) for k in keys]
+        cols += [F.col("tags")[k].alias(k) for k in keys]
     cols.append(F.col("geometry"))
     return features.select(*cols)
 
 
 def group_tags_to_columns(
-    features: DataFrame, grouped_filter: GroupedOsmTagsFilter
+    features: DataFrame, grouped_filter: GroupedOsmTagsFilter, explode: bool = True
 ) -> DataFrame:
-    """Grouped mode: one STRING column per group holding ``'key=value'`` for
-    the first matching tag (reference `_parse_features_relation_to_groups`,
-    pbf_file_reader.py:3811-3946)."""
-    cols: list[Column] = [F.col(FEATURES_INDEX)]
-    for group_name, flat in grouped_filter.items():
+    """Grouped mode (reference `_parse_features_relation_to_groups`,
+    pbf_file_reader.py:3811-3946): each group gets the value
+    ``'key=value'`` of the first filter key whose clause matches.
+
+    ``explode=True`` → one STRING column per group (group names sorted);
+    ``explode=False`` → a single ``tags`` map column ``group → 'key=value'``
+    with NULL-valued groups omitted (reference's compact grouped branch).
+    """
+    from quackosm_spark.filters.tags import star_to_like_pattern  # noqa: PLC0415
+
+    group_cols: list[tuple[str, Column]] = []
+    for group_name in sorted(grouped_filter.keys()):
+        flat = grouped_filter[group_name]
         clauses: list[Column] = []
         for key, value in flat.items():
             tag_val = F.col("tags")[key]
@@ -73,15 +109,31 @@ def group_tags_to_columns(
                 match = tag_val.isNotNull()
             elif value is False:
                 continue
-            elif isinstance(value, str):
-                match = tag_val == value
             else:
-                match = tag_val.isin(list(value))
+                values = [value] if isinstance(value, str) else list(value)
+                match = F.lit(False)
+                for single in values:
+                    if "*" in single:
+                        match = match | tag_val.like(star_to_like_pattern(single))
+                    else:
+                        match = match | (tag_val == single)
             clauses.append(F.when(match, F.concat(F.lit(key + "="), tag_val)))
         col = F.coalesce(*clauses) if clauses else F.lit(None).cast("string")
-        cols.append(col.alias(group_name))
-    cols.append(F.col("geometry"))
-    return features.select(*cols)
+        group_cols.append((group_name, col))
+
+    if explode:
+        cols: list[Column] = [F.col(FEATURES_INDEX)]
+        cols += [col.alias(name) for name, col in group_cols]
+        cols.append(F.col("geometry"))
+        return features.select(*cols)
+    groups_map = F.map_from_arrays(
+        F.array(*[F.lit(name) for name, _ in group_cols]),
+        F.array(*[col for _, col in group_cols]),
+    )
+    tags_map = F.map_filter(groups_map, lambda _k, v: v.isNotNull())
+    return features.select(
+        F.col(FEATURES_INDEX), tags_map.alias("tags"), F.col("geometry")
+    )
 
 
 def keep_relevant_tags(

@@ -69,6 +69,12 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Sane timestamps regardless of cluster TZ.
         .config("spark.sql.session.timeZone", "UTC")
+        # OSM tag keys are case-sensitive and real data contains keys that
+        # differ only by case (monaco has both `fixme` and `FIXME`) — with
+        # Spark's default case-insensitive resolution, exploded tag columns
+        # for such keys become AMBIGUOUS_REFERENCE. DuckDB (the reference
+        # engine) is case-sensitive here too.
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -48,7 +48,8 @@ def test_grouped_mode_first_match_wins(spark):
     df = _features_df(spark)
     grouped = {"food": {"amenity": ["cafe", "bar"]}, "built": {"building": True}}
     out = group_tags_to_columns(df, grouped)
-    assert out.columns == ["feature_id", "food", "built", "geometry"]
+    # group columns come out name-sorted (reference pbf_file_reader.py:3850)
+    assert out.columns == ["feature_id", "built", "food", "geometry"]
     got = {r["feature_id"]: (r["food"], r["built"]) for r in out.collect()}
     assert got["node/1"] == ("amenity=cafe", None)
     assert got["node/2"] == (None, "building=yes")
