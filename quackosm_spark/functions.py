@@ -106,6 +106,15 @@ def convert_pbf_to_dataframe(
     elements = parts[0]
     for extra in parts[1:]:
         elements = elements.unionByName(extra)
+    if len(paths) > 1:
+        # Overlapping extracts (or the same file listed twice) put the SAME
+        # element into the union; duplicated way/relation member rows would
+        # then corrupt ordered-collect geometry assembly (doubled points,
+        # unmergeable rings). The reference dedups per-file OUTPUTS
+        # (pbf_file_reader.py:1126-1139); with one unified DAG we dedup the
+        # ELEMENTS once up front instead — one shuffle, and only when there
+        # is more than one input file.
+        elements = elements.dropDuplicates(["kind", "id"])
     from quackosm_spark.filters.tags import (  # noqa: PLC0415
         _is_grouped_filter,
         expand_wildcard_keys,
