@@ -278,6 +278,33 @@ def convert_geometry_to_parquet(
     ``quackosm_spark.extracts.build_index`` / ``load_index``); resolution of
     extract → local file goes through ``extracts.download_extract`` (a local-
     file lookup in this offline build)."""
+    pbf_paths = _resolve_geometry_extracts(
+        geometry_filter,
+        extracts_index,
+        download_directory=download_directory,
+        geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
+        allow_uncovered_geometry=allow_uncovered_geometry,
+    )
+    if pbf_paths is None:
+        empty = _empty_features(spark)
+        out = Path(download_directory) / "empty_result.parquet"
+        write_geoparquet(empty, out)
+        return out
+    return convert_pbf_to_parquet(
+        spark, pbf_paths, geometry_filter=geometry_filter, **convert_kwargs
+    )
+
+
+def _resolve_geometry_extracts(
+    geometry_filter: Geometry,
+    extracts_index: Sequence[Any],
+    *,
+    download_directory: Union[str, Path],
+    geometry_coverage_iou_threshold: float,
+    allow_uncovered_geometry: bool,
+) -> Optional[list[Path]]:
+    """C13 coverage search + extract resolution; ``None`` ⇒ nothing covers
+    the geometry (caller emits the reference's empty-result warning path)."""
     from quackosm_spark.extracts import download_extract, find_extracts_for_geometry
 
     selected = find_extracts_for_geometry(
@@ -294,14 +321,62 @@ def convert_geometry_to_parquet(
             UserWarning,
             stacklevel=0,
         )
-        empty = _empty_features(spark)
-        out = Path(download_directory) / "empty_result.parquet"
-        write_geoparquet(empty, out)
-        return out
-    pbf_paths = [download_extract(e, download_directory) for e in selected]
-    return convert_pbf_to_parquet(
+        return None
+    return [download_extract(e, download_directory) for e in selected]
+
+
+def convert_geometry_to_geodataframe(
+    spark: SparkSession,
+    geometry_filter: Geometry,
+    extracts_index: Sequence[Any],
+    *,
+    download_directory: Union[str, Path] = "files",
+    geometry_coverage_iou_threshold: float = 0.01,
+    allow_uncovered_geometry: bool = False,
+    **convert_kwargs: Any,
+):
+    """Geometry-driven conversion to a (Geo)DataFrame (reference
+    functions.py `convert_geometry_to_geodataframe`)."""
+    pbf_paths = _resolve_geometry_extracts(
+        geometry_filter,
+        extracts_index,
+        download_directory=download_directory,
+        geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
+        allow_uncovered_geometry=allow_uncovered_geometry,
+    )
+    if pbf_paths is None:
+        import pandas as _pd
+
+        return _pd.DataFrame(columns=["tags", "geometry"]).rename_axis("feature_id")
+    return convert_pbf_to_geodataframe(
         spark, pbf_paths, geometry_filter=geometry_filter, **convert_kwargs
     )
+
+
+def convert_geometry_to_duckdb(
+    spark: SparkSession,
+    geometry_filter: Geometry,
+    extracts_index: Sequence[Any],
+    *,
+    duckdb_table_name: str = "quackosm",
+    result_file_path: Optional[Union[str, Path]] = None,
+    download_directory: Union[str, Path] = "files",
+    geometry_coverage_iou_threshold: float = 0.01,
+    allow_uncovered_geometry: bool = False,
+    **convert_kwargs: Any,
+) -> Path:
+    """Geometry-driven conversion into a ``.duckdb`` database file
+    (reference functions.py `convert_geometry_to_duckdb`)."""
+    parquet_path = convert_geometry_to_parquet(
+        spark,
+        geometry_filter,
+        extracts_index,
+        download_directory=download_directory,
+        geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
+        allow_uncovered_geometry=allow_uncovered_geometry,
+        **convert_kwargs,
+    )
+    return _parquet_to_duckdb(parquet_path, duckdb_table_name, result_file_path)
 
 
 def _empty_features(spark: SparkSession) -> DataFrame:
@@ -339,20 +414,58 @@ def convert_osm_extract_to_parquet(
     return convert_pbf_to_parquet(spark, pbf, **convert_kwargs)
 
 
-def convert_pbf_to_duckdb(
+def convert_osm_extract_to_geodataframe(
     spark: SparkSession,
-    pbf_path: Union[str, Path, Sequence[Union[str, Path]]],
+    query: str,
+    extracts_index: Sequence[Any],
+    *,
+    download_directory: Union[str, Path] = "files",
+    select_first_match: bool = True,
+    **convert_kwargs: Any,
+):
+    """Named-extract conversion to a (Geo)DataFrame (reference functions.py
+    `convert_osm_extract_to_geodataframe`)."""
+    from quackosm_spark.extracts import download_extract, get_extract_by_query
+
+    extract = get_extract_by_query(
+        query, extracts_index, select_first_match=select_first_match
+    )
+    pbf = download_extract(extract, download_directory)
+    return convert_pbf_to_geodataframe(spark, pbf, **convert_kwargs)
+
+
+def convert_osm_extract_to_duckdb(
+    spark: SparkSession,
+    query: str,
+    extracts_index: Sequence[Any],
     *,
     duckdb_table_name: str = "quackosm",
     result_file_path: Optional[Union[str, Path]] = None,
+    download_directory: Union[str, Path] = "files",
+    select_first_match: bool = True,
     **convert_kwargs: Any,
 ) -> Path:
-    """S7 DuckDB sink (reference pbf_file_reader.py:947-959): convert to
-    GeoParquet, then load into a ``.duckdb`` database file on the driver —
-    a thin export; all heavy lifting stays distributed."""
+    """Named-extract conversion into a ``.duckdb`` database file (reference
+    functions.py `convert_osm_extract_to_duckdb`)."""
+    parquet_path = convert_osm_extract_to_parquet(
+        spark,
+        query,
+        extracts_index,
+        download_directory=download_directory,
+        select_first_match=select_first_match,
+        **convert_kwargs,
+    )
+    return _parquet_to_duckdb(parquet_path, duckdb_table_name, result_file_path)
+
+
+def _parquet_to_duckdb(
+    parquet_path: Path,
+    duckdb_table_name: str,
+    result_file_path: Optional[Union[str, Path]],
+) -> Path:
+    """S7 driver-side export shared by every ``*_to_duckdb`` entry point."""
     import duckdb
 
-    parquet_path = convert_pbf_to_parquet(spark, pbf_path, **convert_kwargs)
     if result_file_path is None:
         result_file_path = parquet_path.with_suffix(".duckdb")
     result_file_path = Path(result_file_path)
@@ -365,6 +478,21 @@ def convert_pbf_to_duckdb(
     return result_file_path
 
 
+def convert_pbf_to_duckdb(
+    spark: SparkSession,
+    pbf_path: Union[str, Path, Sequence[Union[str, Path]]],
+    *,
+    duckdb_table_name: str = "quackosm",
+    result_file_path: Optional[Union[str, Path]] = None,
+    **convert_kwargs: Any,
+) -> Path:
+    """S7 DuckDB sink (reference pbf_file_reader.py:947-959): convert to
+    GeoParquet, then load into a ``.duckdb`` database file on the driver —
+    a thin export; all heavy lifting stays distributed."""
+    parquet_path = convert_pbf_to_parquet(spark, pbf_path, **convert_kwargs)
+    return _parquet_to_duckdb(parquet_path, duckdb_table_name, result_file_path)
+
+
 def convert_pbf_to_geodataframe(
     spark: SparkSession,
     pbf_path: Union[str, Path, Sequence[Union[str, Path]]],
@@ -372,8 +500,16 @@ def convert_pbf_to_geodataframe(
 ):
     """S8 GeoDataFrame sink (reference pbf_file_reader.py:802-808): features
     as a pandas DataFrame indexed by feature_id, geometry as shapely objects
-    when shapely is importable, else GeoJSON-style dicts."""
-    features = convert_pbf_to_dataframe(spark, pbf_path, **convert_kwargs)
+    when shapely is importable, else GeoJSON-style dicts.
+
+    Accepts (and ignores) the parquet-writer-only kwargs of the reference
+    signature (``working_directory``, ``sort_result``, ``ignore_cache``, …) —
+    this path never materializes an intermediate file, so they are moot."""
+    import inspect
+
+    accepted = set(inspect.signature(convert_pbf_to_dataframe).parameters)
+    df_kwargs = {k: v for k, v in convert_kwargs.items() if k in accepted}
+    features = convert_pbf_to_dataframe(spark, pbf_path, **df_kwargs)
     pdf = features.toPandas().set_index("feature_id")
 
     from quackosm_spark.geometry import wkb as wkb_codec

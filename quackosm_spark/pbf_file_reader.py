@@ -82,17 +82,38 @@ class PbfFileReader:
             self.spark, pbf_path, **self._common(**kw)
         )
 
-    def convert_geometry_to_parquet(
-        self, extracts_index: Sequence[Any], **kw: Any
-    ) -> Path:
+    def _geometry_common(self, kw: dict[str, Any]) -> dict[str, Any]:
         if self.geometry_filter is None:
             raise ValueError(
                 "PbfFileReader requires a geometry_filter for geometry-driven"
                 " conversion."
             )
-        kw.setdefault("working_directory", self.working_directory)
         common = self._common(**kw)
         common.pop("geometry_filter", None)
+        return common
+
+    def convert_geometry_to_parquet(
+        self, extracts_index: Sequence[Any], **kw: Any
+    ) -> Path:
+        kw.setdefault("working_directory", self.working_directory)
         return _fn.convert_geometry_to_parquet(
-            self.spark, self.geometry_filter, extracts_index, **common
+            self.spark, self.geometry_filter, extracts_index,
+            **self._geometry_common(kw),
+        )
+
+    def convert_geometry_to_geodataframe(
+        self, extracts_index: Sequence[Any], **kw: Any
+    ):
+        return _fn.convert_geometry_to_geodataframe(
+            self.spark, self.geometry_filter, extracts_index,
+            **self._geometry_common(kw),
+        )
+
+    def convert_geometry_to_duckdb(
+        self, extracts_index: Sequence[Any], **kw: Any
+    ) -> Path:
+        kw.setdefault("working_directory", self.working_directory)
+        return _fn.convert_geometry_to_duckdb(
+            self.spark, self.geometry_filter, extracts_index,
+            **self._geometry_common(kw),
         )

@@ -120,3 +120,90 @@ def test_geometry_driven_empty_result(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert df.count() == 0
     assert df.columns == ["feature_id", "tags", "geometry"]
+
+
+def _monaco_index(tmp_path):
+    import shutil
+
+    shutil.copyfile(MONACO, tmp_path / "monaco.osm.pbf")
+    return build_index(
+        [
+            {
+                "id": "mc", "name": "Monaco", "file_name": "monaco",
+                "parent": "europe", "url": "local", "geometry": MONACO_BBOX,
+            }
+        ]
+    )
+
+
+def test_geometry_to_geodataframe_and_duckdb(spark, tmp_path):
+    from quackosm_spark.functions import (
+        convert_geometry_to_duckdb,
+        convert_geometry_to_geodataframe,
+    )
+
+    index = _monaco_index(tmp_path)
+    clip = {
+        "type": "Polygon",
+        "coordinates": [[[7.41, 43.73], [7.43, 43.73], [7.43, 43.75], [7.41, 43.75], [7.41, 43.73]]],
+    }
+    gdf = convert_geometry_to_geodataframe(
+        spark, clip, index,
+        download_directory=tmp_path, working_directory=tmp_path,
+        tags_filter={"amenity": True}, sort_result=False,
+    )
+    assert gdf.index.name == "feature_id" and len(gdf) > 0
+
+    db = convert_geometry_to_duckdb(
+        spark, clip, index,
+        download_directory=tmp_path, working_directory=tmp_path,
+        tags_filter={"amenity": True}, sort_result=False,
+    )
+    with duckdb.connect(str(db)) as con:
+        assert con.sql("SELECT count(*) FROM quackosm").fetchone()[0] == len(gdf)
+
+
+def test_osm_extract_to_geodataframe_and_duckdb(spark, tmp_path):
+    from quackosm_spark.functions import (
+        convert_osm_extract_to_duckdb,
+        convert_osm_extract_to_geodataframe,
+    )
+
+    index = _monaco_index(tmp_path)
+    gdf = convert_osm_extract_to_geodataframe(
+        spark, "monaco", index,
+        download_directory=tmp_path, working_directory=tmp_path,
+        tags_filter={"amenity": "cafe"}, sort_result=False,
+    )
+    assert len(gdf) == 23
+
+    db = convert_osm_extract_to_duckdb(
+        spark, "monaco", index,
+        download_directory=tmp_path, working_directory=tmp_path,
+        tags_filter={"amenity": "cafe"}, sort_result=False,
+    )
+    with duckdb.connect(str(db)) as con:
+        assert con.sql("SELECT count(*) FROM quackosm").fetchone()[0] == 23
+
+
+def test_reader_facade_geometry_methods(spark, tmp_path):
+    from quackosm_spark.pbf_file_reader import PbfFileReader
+
+    index = _monaco_index(tmp_path)
+    clip = {
+        "type": "Polygon",
+        "coordinates": [[[7.41, 43.73], [7.43, 43.73], [7.43, 43.75], [7.41, 43.75], [7.41, 43.73]]],
+    }
+    reader = PbfFileReader(
+        spark, geometry_filter=clip, tags_filter={"amenity": True},
+        working_directory=tmp_path,
+    )
+    gdf = reader.convert_geometry_to_geodataframe(
+        index, download_directory=tmp_path, sort_result=False
+    )
+    assert len(gdf) > 0
+    db = reader.convert_geometry_to_duckdb(
+        index, download_directory=tmp_path, sort_result=False
+    )
+    with duckdb.connect(str(db)) as con:
+        assert con.sql("SELECT count(*) FROM quackosm").fetchone()[0] == len(gdf)
