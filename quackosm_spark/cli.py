@@ -151,7 +151,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="quackosm-spark",
         description="Convert OSM PBF files to GeoParquet with PySpark.",
     )
-    p.add_argument("pbf_files", nargs="+", help="Input .osm.pbf file path(s)")
+    p.add_argument(
+        "pbf_files",
+        nargs="*",
+        help="Input .osm.pbf file path(s); omit when using --osm-extract-query"
+        " or a geometry filter with --extracts-index",
+    )
     p.add_argument("--output", "-o", help="Result file path (default: content-addressed)")
     p.add_argument("--working-directory", default="files")
     p.add_argument("--osm-tags-filter", help="Tags filter as JSON")
@@ -180,6 +185,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="Write the GeoParquet 1.1 per-row bounds covering column "
         "(enables row-group pruning for bbox-windowed readers)",
     )
+    # reference CLI dispatch matrix (cli.py:~940-1087): {pbf, osm_extract,
+    # geometry} × {parquet, duckdb}
+    p.add_argument(
+        "--duckdb",
+        action="store_true",
+        help="Export into a .duckdb database file instead of GeoParquet",
+    )
+    p.add_argument("--duckdb-table-name", default="quackosm")
+    p.add_argument(
+        "--osm-extract-query",
+        help="Convert a named OSM extract (fuzzy name match) instead of"
+        " explicit PBF paths",
+    )
+    p.add_argument(
+        "--extracts-index",
+        help="Extracts index parquet path (id, name, file_name, parent, url,"
+        " geometry WKT) for --osm-extract-query / geometry-driven mode",
+    )
+    p.add_argument("--download-directory", default="files")
     return p
 
 
@@ -193,14 +217,12 @@ def main(argv: Optional[list[str]] = None) -> Path:
         else ()
     )
 
-    from quackosm_spark.functions import convert_pbf_to_parquet
+    from quackosm_spark import functions as fn
     from quackosm_spark.session import get_spark
 
     spark = get_spark(app_name="quackosm-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    result = convert_pbf_to_parquet(
-        spark,
-        args.pbf_files,
+    convert_kwargs = dict(
         result_file_path=args.output,
         working_directory=args.working_directory,
         ignore_cache=args.ignore_cache,
@@ -209,12 +231,70 @@ def main(argv: Optional[list[str]] = None) -> Path:
         tags_filter=tags_filter,
         keep_all_tags=args.keep_all_tags,
         explode_tags=args.explode_tags,
-        geometry_filter=geometry_filter,
         custom_sql_filter=args.custom_sql_filter,
         filter_osm_ids=filter_osm_ids,
         ignore_metadata_tags=args.ignore_metadata_tags,
         bbox_column=args.bbox_column,
     )
+    duckdb_kwargs = (
+        dict(duckdb_table_name=args.duckdb_table_name) if args.duckdb else {}
+    )
+    if args.duckdb:
+        # duckdb export derives its own path from the parquet result
+        convert_kwargs.pop("result_file_path")
+        duckdb_kwargs["result_file_path"] = args.output
+
+    if args.osm_extract_query:
+        if not args.extracts_index:
+            build_parser().error("--osm-extract-query requires --extracts-index")
+        from quackosm_spark.extracts import load_index
+
+        index = load_index(args.extracts_index)
+        convert = (
+            fn.convert_osm_extract_to_duckdb
+            if args.duckdb
+            else fn.convert_osm_extract_to_parquet
+        )
+        result = convert(
+            spark,
+            args.osm_extract_query,
+            index,
+            download_directory=args.download_directory,
+            geometry_filter=geometry_filter,
+            **duckdb_kwargs,
+            **convert_kwargs,
+        )
+    elif args.pbf_files:
+        convert = fn.convert_pbf_to_duckdb if args.duckdb else fn.convert_pbf_to_parquet
+        result = convert(
+            spark,
+            args.pbf_files,
+            geometry_filter=geometry_filter,
+            **duckdb_kwargs,
+            **convert_kwargs,
+        )
+    elif geometry_filter is not None and args.extracts_index:
+        from quackosm_spark.extracts import load_index
+
+        index = load_index(args.extracts_index)
+        convert = (
+            fn.convert_geometry_to_duckdb
+            if args.duckdb
+            else fn.convert_geometry_to_parquet
+        )
+        result = convert(
+            spark,
+            geometry_filter,
+            index,
+            download_directory=args.download_directory,
+            **duckdb_kwargs,
+            **convert_kwargs,
+        )
+    else:
+        build_parser().error(
+            "Provide PBF file paths, --osm-extract-query with --extracts-index,"
+            " or a geometry filter with --extracts-index."
+        )
     print(result)
     return result
 

@@ -99,3 +99,80 @@ def test_cli_bbox_filter_end_to_end(spark, tmp_path):
     n_clipped = spark.read.parquet(str(out)).count()
     n_full = spark.read.parquet(str(full)).count()
     assert 0 < n_clipped < n_full
+
+
+def _write_index_parquet(tmp_path):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.copyfile(MONACO, tmp_path / "monaco.osm.pbf")
+    bbox_wkt = (
+        "POLYGON ((7.40 43.72, 7.44 43.72, 7.44 43.76, 7.40 43.76, 7.40 43.72))"
+    )
+    table = pa.table(
+        {
+            "id": ["mc"], "name": ["Monaco"], "file_name": ["monaco"],
+            "parent": ["europe"], "url": ["local"], "geometry": [bbox_wkt],
+        }
+    )
+    idx = tmp_path / "index.parquet"
+    pq.write_table(table, idx)
+    return idx
+
+
+def test_cli_duckdb_export(tmp_path):
+    import duckdb
+
+    out = cli.main(
+        [
+            MONACO,
+            "--duckdb",
+            "--working-directory", str(tmp_path),
+            "--osm-tags-filter", json.dumps({"amenity": "cafe"}),
+            "--no-sort-result",
+        ]
+    )
+    assert str(out).endswith(".duckdb")
+    with duckdb.connect(str(out)) as con:
+        assert con.sql("SELECT count(*) FROM quackosm").fetchone()[0] == 23
+
+
+def test_cli_osm_extract_query(tmp_path):
+    idx = _write_index_parquet(tmp_path)
+    out = cli.main(
+        [
+            "--osm-extract-query", "monaco",
+            "--extracts-index", str(idx),
+            "--download-directory", str(tmp_path),
+            "--working-directory", str(tmp_path),
+            "--osm-tags-filter", json.dumps({"amenity": "cafe"}),
+            "--no-sort-result",
+        ]
+    )
+    from quackosm_spark.session import get_spark
+
+    assert get_spark().read.parquet(str(out)).count() == 23
+
+
+def test_cli_geometry_driven(tmp_path):
+    idx = _write_index_parquet(tmp_path)
+    out = cli.main(
+        [
+            "--geom-filter-bbox", "7.41,43.73,7.43,43.75",
+            "--extracts-index", str(idx),
+            "--download-directory", str(tmp_path),
+            "--working-directory", str(tmp_path),
+            "--osm-tags-filter", json.dumps({"amenity": True}),
+            "--no-sort-result",
+        ]
+    )
+    from quackosm_spark.session import get_spark
+
+    assert get_spark().read.parquet(str(out)).count() > 0
+
+
+def test_cli_no_inputs_errors():
+    with pytest.raises(SystemExit):
+        cli.main(["--osm-tags-filter", "{}"])
