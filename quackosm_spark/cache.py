@@ -63,15 +63,19 @@ def oriented_geometry(geom: Optional[Geometry]) -> Optional[Geometry]:
         )
         return {"type": "Polygon", "coordinates": [exterior, *interiors]}
     if t in ("MultiPolygon", "GeometryCollection"):
+        # canonical part order (bounds works for every geometry type, incl.
+        # points inside collections) ⇒ the hash is invariant to the order
+        # parts were assembled in — the reference asserts this over all
+        # permutations (tests/base/test_pbf_file_reader.py:222-240)
         if t == "MultiPolygon":
             parts = [
                 oriented_geometry({"type": "Polygon", "coordinates": p})
                 for p in geom["coordinates"]
             ]
-            parts.sort(key=lambda g: _ring_centroid(g["coordinates"][0]))
+            parts.sort(key=model.bounds)
             return {"type": t, "coordinates": [g["coordinates"] for g in parts]}
         parts = [oriented_geometry(g) for g in geom["geometries"]]
-        parts.sort(key=lambda g: _ring_centroid(g["coordinates"][0]))
+        parts.sort(key=model.bounds)
         return {"type": t, "geometries": parts}
     return geom
 

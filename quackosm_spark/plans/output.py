@@ -82,6 +82,16 @@ def explode_tags_to_columns(
             key=str.casefold,
         )
         cols += [F.col("tags")[k].alias(k) for k in keys]
+    if len(cols) - 1 > 100:
+        import warnings
+
+        warnings.warn(
+            "Select clause contains more than 100 columns"
+            f" (found {len(cols) - 1} columns)."
+            " Query might fail with insufficient memory resources."
+            " Consider applying more restrictive OsmTagsFilter for parsing.",
+            stacklevel=1,
+        )
     cols.append(F.col("geometry"))
     return features.select(*cols)
 

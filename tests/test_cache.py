@@ -58,3 +58,30 @@ def test_result_file_path_shape(tmp_path):
     assert "_exploded" in name and name.endswith("_sorted.parquet")
     q = result_file_path("/data/monaco.osm.pbf", tmp_path)
     assert "nofilter_noclip_compact_sorted" in q.name
+
+
+def test_multipart_geometry_hash_permutation_invariance():
+    # reference test_pbf_file_reader.py:222-240: a GeometryCollection hashes
+    # identically no matter the order of its parts (incl. non-polygon parts)
+    from itertools import permutations
+
+    def _box(minx, miny, maxx, maxy):
+        return {
+            "type": "Polygon",
+            "coordinates": [[
+                [minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy],
+                [minx, miny],
+            ]],
+        }
+
+    parts = [
+        _box(7.416, 43.731, 7.421, 43.733),
+        _box(0, 0, 1, 1),
+        _box(2, 2, 3, 3),
+        {"type": "Point", "coordinates": [5.0, 5.0]},
+    ]
+    hashes = {
+        geometry_hash({"type": "GeometryCollection", "geometries": list(combo)})
+        for combo in permutations(parts, 4)
+    }
+    assert len(hashes) == 1
