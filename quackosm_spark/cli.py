@@ -178,6 +178,12 @@ def build_parser() -> argparse.ArgumentParser:
     sort = p.add_mutually_exclusive_group()
     sort.add_argument("--sort-result", dest="sort_result", action="store_true", default=True)
     sort.add_argument("--no-sort-result", dest="sort_result", action="store_false")
+    p.add_argument(
+        "--sort-algorithm",
+        choices=["str", "hilbert"],
+        default="hilbert",
+        help="Spatial sort: Hilbert curve key (default) or STR slab packing",
+    )
     p.add_argument("--wkt-result", action="store_true", help="Save geometry as WKT strings")
     p.add_argument(
         "--bbox-column",
@@ -227,6 +233,7 @@ def main(argv: Optional[list[str]] = None) -> Path:
         working_directory=args.working_directory,
         ignore_cache=args.ignore_cache,
         sort_result=args.sort_result,
+        sort_algorithm=args.sort_algorithm,
         save_as_wkt=args.wkt_result,
         tags_filter=tags_filter,
         keep_all_tags=args.keep_all_tags,

@@ -173,8 +173,12 @@ def convert_pbf_to_parquet(
     working_directory: Union[str, Path] = "files",
     ignore_cache: bool = False,
     sort_result: bool = True,
+    sort_algorithm: str = "hilbert",
     save_as_wkt: bool = False,
     compression: str = "zstd",
+    compression_level: Optional[int] = None,
+    row_group_size: Optional[int] = None,
+    parquet_version: Optional[str] = None,
     max_records_per_file: Optional[int] = None,
     tags_filter: Optional[Any] = None,
     keep_all_tags: bool = False,
@@ -248,11 +252,14 @@ def convert_pbf_to_parquet(
         )
         return result_file_path
     if sort_result:
-        features = spatial_sort(features)
+        features = spatial_sort(features, algorithm=sort_algorithm)
     write_geoparquet(
         features,
         result_file_path,
         compression=compression,
+        compression_level=compression_level,
+        row_group_size=row_group_size,
+        parquet_version=parquet_version,
         max_records_per_file=max_records_per_file,
         bbox_column=bbox_column,
     )

@@ -234,12 +234,34 @@ def spatial_sort(
     features: DataFrame,
     extent: tuple[float, float, float, float] | None = None,
     num_partitions: int | None = None,
+    algorithm: str = "hilbert",
 ) -> DataFrame:
-    """O3 Hilbert spatial sort: curve key of the geometry centroid →
+    """O3 spatial sort (reference dispatch pbf_file_reader.py:4021-4043).
+
+    ``algorithm="hilbert"`` (default): curve key of the geometry centroid →
     ``repartitionByRange`` + ``sortWithinPartitions`` so readers get
     row-group pruning by locality. ``extent`` defaults to the dataset bbox
     (computed with one agg pass — A7). ``num_partitions`` pins the output
-    file count (AQE otherwise coalesces small outputs to one)."""
+    file count (AQE otherwise coalesces small outputs to one).
+
+    ``algorithm="str"``: Sort-Tile-Recursive slab packing — range-partition
+    on centroid x (vertical slabs), order by centroid y within each slab.
+    ``repartitionByRange(x) + sortWithinPartitions(y)`` IS the STR recursion
+    expressed in Spark primitives: the range partitioner computes the x
+    slab boundaries from a sample, each output file is one slab.
+    """
+    if algorithm == "str":
+        keyed = features.withColumn("__bb", geometry_bbox_udf("geometry")).withColumn(
+            "__cx", (F.col("__bb.xmin") + F.col("__bb.xmax")) / 2.0
+        ).withColumn("__cy", (F.col("__bb.ymin") + F.col("__bb.ymax")) / 2.0)
+        ranged = (
+            keyed.repartitionByRange(num_partitions, "__cx")
+            if num_partitions
+            else keyed.repartitionByRange("__cx")
+        )
+        return ranged.sortWithinPartitions("__cy").drop("__bb", "__cx", "__cy")
+    if algorithm != "hilbert":
+        raise ValueError(f"Unknown sort algorithm: {algorithm!r} (str|hilbert)")
     if extent is None:
         row = features.select(
             F.min(_geom_minx("geometry")).alias("minx"),

@@ -156,6 +156,9 @@ def write_geoparquet(
     geometry_types: list[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
     compression: str = "zstd",
+    compression_level: int | None = None,
+    row_group_size: int | None = None,
+    parquet_version: str | None = None,
     max_records_per_file: int | None = None,
     bbox_column: bool = False,
 ) -> Path:
@@ -163,7 +166,11 @@ def write_geoparquet(
 
     ``compression``/``max_records_per_file`` mirror the reference's writer
     tuning surface (COMPRESSION zstd, FILE_SIZE_BYTES/ROW_GROUP_SIZE_BYTES,
-    pbf_file_reader.py:2686-2699) in Spark terms.
+    pbf_file_reader.py:2686-2699) in Spark terms. ``compression_level``
+    maps to the parquet-mr codec level option, ``row_group_size`` to
+    ``parquet.block.size`` (bytes — Spark's writer sizes row groups by
+    bytes where DuckDB counts rows), ``parquet_version`` ("v1"/"v2") to
+    ``parquet.writer.version``.
 
     ``bbox_column=True`` writes the GeoParquet 1.1 ``bbox`` covering column
     (per-row bounds struct + ``covering`` metadata). Combined with the
@@ -181,6 +188,15 @@ def write_geoparquet(
         geometry_types = geometry_types or computed_types
         bbox = bbox or computed_bbox
     writer = features.write.mode("overwrite").option("compression", compression)
+    if compression_level is not None:
+        writer = writer.option(
+            f"parquet.compression.codec.{compression}.level", str(compression_level)
+        )
+    if row_group_size is not None:
+        writer = writer.option("parquet.block.size", str(row_group_size))
+    if parquet_version is not None:
+        versions = {"v1": "PARQUET_1_0", "v2": "PARQUET_2_0"}
+        writer = writer.option("parquet.writer.version", versions[parquet_version])
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(str(path))

@@ -226,3 +226,55 @@ def test_bbox_covering_column_and_windowed_read(spark, tmp_path):
     assert {r.feature_id for r in plain_west.select("feature_id").collect()} == {
         r.feature_id for r in west.select("feature_id").collect()
     }
+
+
+def test_str_sort_and_writer_knobs(spark, tmp_path):
+    # sort_algorithm="str" + parquet writer tuning (reference signature:
+    # compression_level / row_group_size / parquet_version v1|v2)
+    from pathlib import Path
+
+    from quackosm_spark.functions import convert_pbf_to_parquet
+
+    out = convert_pbf_to_parquet(
+        spark,
+        MONACO,
+        working_directory=tmp_path,
+        tags_filter={"building": True},
+        explode_tags=False,
+        sort_result=True,
+        sort_algorithm="str",
+        compression="zstd",
+        compression_level=9,
+        row_group_size=2 * 1024 * 1024,
+        parquet_version="v2",
+    )
+    import pyarrow.parquet as pq
+
+    parts = sorted(Path(out).glob("*.parquet"))
+    assert parts
+    df = spark.read.parquet(str(out))
+    assert df.count() == 1283  # reference building-count golden
+    meta = pq.read_schema(parts[0]).metadata
+    assert b"geo" in meta
+    # STR ordering: within every output file, centroid y must be sorted
+    import json as _json
+
+    from quackosm_spark.geometry import model, wkb
+
+    for p in parts:
+        tbl = pq.read_table(p, columns=["geometry"])
+        ys = []
+        for blob in tbl.column("geometry").to_pylist():
+            b = model.bounds(wkb.loads(bytes(blob)))
+            ys.append((b[1] + b[3]) / 2.0)
+        assert ys == sorted(ys), f"slab {p.name} not y-ordered"
+
+
+def test_invalid_sort_algorithm_raises(spark):
+    from quackosm_spark.plans.output import spatial_sort
+
+    df = spark.createDataFrame(
+        [("node/1", None)], "feature_id string, geometry binary"
+    )
+    with pytest.raises(ValueError, match="sort algorithm"):
+        spatial_sort(df, algorithm="zorder")
