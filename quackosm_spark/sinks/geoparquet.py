@@ -161,6 +161,7 @@ def write_geoparquet(
     parquet_version: str | None = None,
     max_records_per_file: int | None = None,
     bbox_column: bool = False,
+    encoding: str = "WKB",
 ) -> Path:
     """Distributed parquet write + geo footer stamping. Returns the directory.
 
@@ -203,6 +204,7 @@ def write_geoparquet(
     geo_json = json.dumps(
         build_geo_metadata(
             geometry_types, bbox,
+            encoding=encoding,
             bbox_covering_column="bbox" if bbox_column else None,
         )
     )

@@ -166,3 +166,41 @@ def test_metadata_tags_ignoring(spark, ignore_metadata_tags):
         assert all(tag not in all_tags for tag in METADATA_TAGS_TO_IGNORE)
     else:
         assert any(tag in all_tags for tag in METADATA_TAGS_TO_IGNORE)
+
+
+@pytest.mark.parametrize("save_as_wkt", [True, False])
+@pytest.mark.parametrize("filter_kind", ["none", "hex2vec", "geofabrik"])
+def test_geoparquet_metadata_matrix(spark, tmp_path, filter_kind, save_as_wkt):
+    # reduced port of the reference's 36-combo parsing matrix
+    # (test_pbf_file_reader.py:65-98): every output — including WKT mode —
+    # carries geo metadata naming the primary column and its encoding
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    filters = {"none": None}
+    data = _json.loads(
+        (Path(__file__).parent / "data" / "reference_filter_cases.json").read_text()
+    )
+    filters["hex2vec"] = data["pbf_reader"][3][1]
+    filters["geofabrik"] = data["pbf_reader"][5][1]
+
+    out = convert_pbf_to_parquet(
+        spark,
+        MONACO,
+        working_directory=tmp_path,
+        tags_filter=filters[filter_kind],
+        save_as_wkt=save_as_wkt,
+        sort_result=False,
+    )
+    part = sorted(Path(out).glob("*.parquet"))[0]
+    meta = pq.read_schema(part).metadata
+    assert b"geo" in meta
+    geo = _json.loads(meta[b"geo"].decode())
+    assert geo["primary_column"] == "geometry"
+    assert "geometry" in geo["columns"]
+    expected_encoding = "WKT" if save_as_wkt else "WKB"
+    assert geo["columns"]["geometry"]["encoding"] == expected_encoding
+    if save_as_wkt:
+        row = spark.read.parquet(str(out)).select("geometry").first()
+        assert row["geometry"].startswith(("POINT", "LINESTRING", "POLYGON", "MULTI"))
