@@ -35,6 +35,12 @@ class PbfFileReader:
             from quackosm_spark.session import get_spark
 
             spark = get_spark()
+        from quackosm_spark.filters.geometry import validate_geometry_filter
+
+        # non-polygonal filters are rejected at construction, matching the
+        # reference's InvalidGeometryFilter (tests/base/
+        # test_pbf_file_reader.py:491-495)
+        validate_geometry_filter(geometry_filter)
         self.spark = spark
         self.tags_filter = tags_filter
         self.geometry_filter = geometry_filter

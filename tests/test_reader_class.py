@@ -31,3 +31,38 @@ def test_package_exports():
 
     for name in q.__all__:
         assert getattr(q, name, None) is not None
+
+
+def test_invalid_geometry_filters_rejected_at_construction(spark):
+    # reference test_pbf_file_reader.py:465-495: zero-area filters raise
+    import pytest
+
+    from quackosm_spark.pbf_file_reader import PbfFileReader
+
+    invalid = [
+        {"type": "Point", "coordinates": [10.0, 5.0]},
+        {"type": "MultiPoint", "coordinates": [[1.0, 2.0], [3.0, 4.0]]},
+        {"type": "LineString", "coordinates": [[1.0, 2.0], [3.0, 4.0]]},
+        {
+            "type": "GeometryCollection",
+            "geometries": [
+                {
+                    "type": "Polygon",
+                    "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+                },
+                {"type": "Point", "coordinates": [10.0, 5.0]},
+            ],
+        },
+    ]
+    for geom in invalid:
+        with pytest.raises(ValueError, match="polygonal"):
+            PbfFileReader(spark, geometry_filter=geom)
+
+    # polygonal filters construct fine
+    PbfFileReader(
+        spark,
+        geometry_filter={
+            "type": "Polygon",
+            "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+        },
+    )
