@@ -720,8 +720,72 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY a.doc_id, b.doc_id
     """
 
+    # q27 oracle: replicate dedup.simhash bit votes — per bit b of the
+    # 32-bit md5-prefix shingle hash: +1/−1 on (h >> b) & 1, fingerprint
+    # bit set iff the vote sum is positive.
+    def _vote(b: int) -> str:
+        return (
+            "list_sum(list_transform(hs, h ->"
+            f" CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+
+    q27_terms = " + ".join(
+        f"(CASE WHEN {_vote(b)} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+    )
+    q27_sql = f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_transform({_shingles_sql("text")}, s -> {_hash64_sql("s")}) AS hs
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id, ({q27_terms})::BIGINT AS simhash FROM sh
+    """
+
+    # q28 oracle: the hyperplane coefficients are ±1 literals derived from
+    # md5("p:d") on the DRIVER (similarity.hyperplane_signs) — regenerate
+    # the identical literals here, bucket-join, then the same rounded-cosine
+    # top-k window.
+    import hashlib as _hashlib
+
+    def _plane(p: int, dim: int = 64) -> str:
+        coeffs = [
+            "1.0"
+            if int(_hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else "-1.0"
+            for d in range(dim)
+        ]
+        return (
+            "CASE WHEN list_dot_product(embedding::DOUBLE[],"
+            f" [{', '.join(coeffs)}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+        )
+
+    bucket_expr = " || ".join(_plane(p) for p in range(4))
+    q28_sql = f"""
+        WITH c AS (
+            SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv,
+                   ({bucket_expr}) AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                   ({bucket_expr}) AS bucket
+            FROM embeddings WHERE vec_id < 3
+        )
+        SELECT query_id, match_id, rank FROM (
+            SELECT q.query_id, c.match_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                                c.match_id
+                   ) AS rank
+            FROM c JOIN q ON c.bucket = q.bucket AND q.query_id != c.match_id
+        ) WHERE rank <= 5
+    """
+
     return {
         "q18_minhash_lsh": q18_sql,
+        "q27_simhash": q27_sql,
+        "q28_lsh_ann": q28_sql,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1165,9 +1229,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN vocab v USING (w), tot
             GROUP BY doc_id
         """,
-        # q27_simhash / q28_lsh_ann / q31_media_stats / q32_ivf_ann:
-        # engine-internal hash/centroid layouts — rows-only checks
-        # (omitted here by design; see queries()).
+        # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
+        # iterative k-means centroids — rows-only checks (omitted here by
+        # design; see queries()).
     }
 
 
