@@ -60,13 +60,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects — read nanos as long, convert to microsecond timestamps
-    (matches DuckDB's ns→us truncating cast)."""
+    """events.parquet timestamps: tolerate either encoding. A TIMESTAMP(NANOS)
+    file is rejected by Spark's vectorized reader, so nanosAsLong is always on
+    and a long `ts` is truncated ns→us (DuckDB-cast parity); a plain
+    microsecond TIMESTAMP column passes through untouched."""
     _ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize TIMESTAMP_NTZ → TIMESTAMP: the session tz is pinned to UTC,
+    # so this is a pure type change, and every downstream epoch/window
+    # expression can assume the regular timestamp type.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --------------------------------------------------------------------------
@@ -620,6 +626,67 @@ def q43_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q44_asof_previous_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of self-join (operator Spark lacks natively): each event joined to
+    the same user's most recent STRICTLY-earlier event via the union+window
+    formulation — one shuffle, no inequality-join explosion. Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from quackosm_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = asof_join(
+        ev,
+        ev,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"event_id": "prev_event_id", "value": "prev_value", "ts": "prev_ts"},
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "prev_event_id",
+        F.round("prev_value", 6).alias("prev_value"),
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+    )
+
+
+def q45_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles (percentile() partial aggregate, not the
+    approx sketch) — engine-portable to 6 decimals."""
+    from quackosm_spark.operators.temporal import exact_quantiles
+
+    ev = _events(spark, sf_dir)
+    return exact_quantiles(ev, "value", ["event_type"], [0.25, 0.5, 0.95])
+
+
+_Q46_INTERVALS = [
+    (i, f"2024-01-{1 + 3 * i:02d}", f"2024-01-{8 + 3 * i:02d}") for i in range(8)
+]
+
+
+def q46_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join of the event stream against overlapping calendar windows
+    (broadcast nested-loop over the tiny interval dim — the fact side never
+    shuffles for the join, only for the final rollup)."""
+    from quackosm_spark.operators.temporal import interval_join
+
+    intervals = spark.createDataFrame(
+        [(i, s, e) for i, s, e in _Q46_INTERVALS],
+        "window_id INT, w_start STRING, w_end STRING",
+    ).select(
+        "window_id",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    ev = _events(spark, sf_dir)
+    out = interval_join(ev, intervals, "ts", "w_start", "w_end")
+    return out.groupBy("window_id", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -665,6 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_deterministic_sample": q41_deterministic_sample,
         "q42_decontamination": q42_decontamination,
         "q43_unigram_logprob": q43_unigram_logprob,
+        "q44_asof_previous_event": q44_asof_previous_event,
+        "q45_event_quantiles": q45_event_quantiles,
+        "q46_interval_join": q46_interval_join,
     }
 
 
@@ -1228,6 +1298,32 @@ def oracle_sql() -> dict[str, str]:
             FROM words
             JOIN vocab v USING (w), tot
             GROUP BY doc_id
+        """,
+        "q44_asof_previous_event": """
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS prev_event_id,
+                   round(r.value, 6) AS prev_value,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+            FROM events l
+            ASOF LEFT JOIN events r
+              ON l.user_id = r.user_id AND r.ts < l.ts
+        """,
+        "q45_event_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "q46_interval_join": f"""
+            WITH intervals(window_id, w_start, w_end) AS (VALUES
+                {", ".join(f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in _Q46_INTERVALS)}
+            )
+            SELECT window_id, event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events JOIN intervals
+              ON ts >= w_start AND ts < w_end
+            GROUP BY window_id, event_type
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

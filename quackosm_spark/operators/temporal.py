@@ -1,0 +1,159 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+interval (range) join, plus exact distributed quantiles.
+
+The as-of join is the canonical "custom operator expressed as a
+composition of existing DataFrame ops": instead of a range-condition join
+(which Spark would execute as a broadcast nested loop or an exploding
+inequality join), both sides are unioned into one stream and resolved with
+a single window pass — one shuffle on the join key, no row explosion,
+linear in |left| + |right|. DuckDB/kdb+/pandas ``merge_asof`` express the
+same semantics natively; this is the scalable Spark formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join", "exact_quantiles"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Mapping[str, str] | Sequence[str],
+    *,
+    strict: bool = False,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the columns of the single right row with
+    the greatest ``right_ts`` <= ``left_ts`` (direction="backward"; with
+    ``strict=True`` the comparison is <); direction="forward" matches the
+    smallest ``right_ts`` >= ``left_ts``. Left rows with no match keep
+    NULLs (left-outer semantics, like DuckDB ``ASOF LEFT JOIN``).
+
+    Implementation: tag each side, ``unionByName``, then one
+    ``last(..., ignorenulls=True)`` window ordered by (ts, side) within the
+    join key. Tie handling is encoded purely in the side sort-order: for
+    inclusive matches right rows sort BEFORE left rows at an equal
+    timestamp (so they are visible to the window frame ending at the
+    current row); for strict matches they sort AFTER (invisible).
+
+    Scale shape: exactly one shuffle, on ``on`` — the same partitioning a
+    plain equi-join would need — and the window never materializes more
+    than the running "most recent right row" per partition. No inequality
+    join, no per-key ``collect_list``. A pathologically hot key serializes
+    through one task like any keyed window; pre-split such keys by a
+    coarse time bucket and as-of join bucket-locally if that ever bites.
+
+    ``value_cols`` maps right-side column -> output name (a plain sequence
+    keeps the original names). ``tolerance_seconds`` voids matches older
+    (newer, for forward) than the given gap, like pandas ``merge_asof``'s
+    ``tolerance``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if not isinstance(value_cols, Mapping):
+        value_cols = {c: c for c in value_cols}
+    clash = set(value_cols.values()) & set(left.columns)
+    if clash:
+        raise ValueError(f"output names collide with left columns: {sorted(clash)}")
+
+    # Right rows must win ties for inclusive matches, lose them for strict.
+    right_side = 0 if not strict else 2
+    payload = F.struct(
+        *[F.col(c).alias(out) for c, out in value_cols.items()],
+        F.col(right_ts).cast("timestamp").alias("__r_ts"),
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(right_side).alias("__side"),
+        payload.alias("__r"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),
+    )
+    unified = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col("__ts"), F.col("__side")]
+    if direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__side")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__r", ignorenulls=True).over(w)
+
+    out = (
+        unified.withColumn("__m", matched)
+        .where(F.col("__side") == 1)
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__r_ts"))
+        ) / 1e6
+        out = out.withColumn(
+            "__m", F.when(gap <= F.lit(tolerance_seconds), F.col("__m"))
+        )
+    return out.select(
+        *left.columns,
+        *[F.col(f"__m.{name}").alias(name) for name in value_cols.values()],
+    )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Attach every interval row [start, end) containing ``facts.ts_col``.
+
+    The interval table is the small side by construction (calendar windows,
+    campaign periods, benchmark splits); broadcasting it turns the range
+    join into a map-side nested-loop over a few hundred rows — no shuffle
+    of the fact table at all. For two BIG sides, bucket both by a coarse
+    time grain and join bucket-equi first (not implemented until needed).
+    """
+    iv = F.broadcast(intervals) if broadcast_intervals else intervals
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    return facts.join(iv, cond, "inner")
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact (not approximate) per-group quantiles with linear
+    interpolation — ``percentile()`` runs JVM-side as a proper partial
+    aggregate (map-side combine into a sorted digest per partition), so it
+    scales like any hash aggregate; use ``approx_percentile`` instead when
+    a bounded-memory sketch is acceptable. Results are rounded to
+    ``decimals`` to make them engine-portable (bit-identical across DuckDB
+    / Spark float summation orders).
+    """
+    aggs = [
+        F.round(F.percentile(value_col, q), decimals).alias(
+            f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -20,7 +20,9 @@ SF_DIR = "/root/testdata/sf0.001"
 def events_batch(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).cache()
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.cache()
 
 
 @pytest.fixture(scope="module")

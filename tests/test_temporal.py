@@ -1,0 +1,140 @@
+"""Unit tests for the temporal operators (as-of join, interval join,
+exact quantiles) on tiny crafted frames with hand-computed expectations."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackosm_spark.operators.temporal import (
+    asof_join,
+    exact_quantiles,
+    interval_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01T10:00:00"), 100.0),
+            (2, "A", _ts("2024-01-01T10:05:00"), 101.0),
+            (3, "B", _ts("2024-01-01T10:03:00"), 50.0),
+            (4, "C", _ts("2024-01-01T10:00:00"), 7.0),
+        ],
+        "trade_id INT, sym STRING, ts TIMESTAMP, px DOUBLE",
+    )
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T09:59:00"), 99.5),
+            ("A", _ts("2024-01-01T10:00:00"), 99.9),  # ties trade 1 exactly
+            ("A", _ts("2024-01-01T10:04:00"), 100.7),
+            ("B", _ts("2024-01-01T10:10:00"), 51.0),  # only AFTER B's trade
+        ],
+        "sym STRING, qts TIMESTAMP, bid DOUBLE",
+    )
+
+
+def test_asof_backward_inclusive(trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        value_cols={"bid": "bid", "qts": "bid_ts"},
+    )
+    got = {r.trade_id: (r.bid, r.bid_ts) for r in out.collect()}
+    assert got[1] == (99.9, _ts("2024-01-01T10:00:00"))  # equal ts matches
+    assert got[2] == (100.7, _ts("2024-01-01T10:04:00"))
+    assert got[3] == (None, None)  # no quote at-or-before
+    assert got[4] == (None, None)  # key absent on right
+
+
+def test_asof_backward_strict_excludes_equal_ts(trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        value_cols={"bid": "bid"}, strict=True,
+    )
+    got = {r.trade_id: r.bid for r in out.collect()}
+    assert got[1] == 99.5  # the 10:00:00 quote is no longer eligible
+    assert got[2] == 100.7
+
+
+def test_asof_forward(trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        value_cols={"bid": "bid"}, direction="forward",
+    )
+    got = {r.trade_id: r.bid for r in out.collect()}
+    assert got[1] == 99.9   # equal ts still matches forward
+    assert got[2] is None   # nothing at-or-after 10:05
+    assert got[3] == 51.0   # B's later quote
+
+
+def test_asof_tolerance_voids_stale_matches(trades, quotes):
+    # strict matches are 60s stale for both A-trades: a 30s tolerance voids
+    # them, a 90s tolerance keeps them.
+    tight = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        value_cols={"bid": "bid"}, strict=True, tolerance_seconds=30.0,
+    )
+    got = {r.trade_id: r.bid for r in tight.collect()}
+    assert got[1] is None and got[2] is None
+    loose = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        value_cols={"bid": "bid"}, strict=True, tolerance_seconds=90.0,
+    )
+    got = {r.trade_id: r.bid for r in loose.collect()}
+    assert got[1] == 99.5 and got[2] == 100.7
+
+
+def test_asof_preserves_left_row_count(trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        value_cols={"bid": "bid"},
+    )
+    assert out.count() == trades.count()
+
+
+def test_asof_output_name_collision_raises(trades, quotes):
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+            value_cols={"bid": "px"},
+        )
+
+
+def test_interval_join_overlapping_windows(spark):
+    facts = spark.createDataFrame(
+        [(1, _ts("2024-01-03T00:00:00")), (2, _ts("2024-01-09T00:00:00"))],
+        "fid INT, ts TIMESTAMP",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (0, _ts("2024-01-01T00:00:00"), _ts("2024-01-08T00:00:00")),
+            (1, _ts("2024-01-02T00:00:00"), _ts("2024-01-10T00:00:00")),
+        ],
+        "window_id INT, w_start TIMESTAMP, w_end TIMESTAMP",
+    )
+    out = interval_join(facts, ivs, "ts", "w_start", "w_end")
+    pairs = sorted((r.fid, r.window_id) for r in out.collect())
+    # fact 1 is inside both windows; fact 2 only inside window 1
+    assert pairs == [(1, 0), (1, 1), (2, 1)]
+
+
+def test_exact_quantiles_interpolation(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4]] + [("b", 10.0)],
+        "g STRING, v DOUBLE",
+    )
+    out = exact_quantiles(df, "v", ["g"], [0.5, 0.95])
+    got = {r.g: (r.p50, r.p95) for r in out.collect()}
+    assert got["a"] == (2.5, 3.85)  # (n-1)*q linear interpolation
+    assert got["b"] == (10.0, 10.0)
