@@ -687,6 +687,22 @@ def q46_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: cap each source's contribution in
+    deterministic md5-shuffle order, cumsum window split across hash
+    streams (the per-group-parallel 100 TB shape)."""
+    from quackosm_spark.operators import mix as M
+
+    docs = _t(spark, sf_dir, "documents")
+    out = M.budget_sample(
+        docs,
+        budgets={"src0": 800, "src1": 400},
+        default_budget=600,
+        num_streams=2,
+    )
+    return out.select("doc_id", "source", "stream", "n_tokens", "cum_before")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -735,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_asof_previous_event": q44_asof_previous_event,
         "q45_event_quantiles": q45_event_quantiles,
         "q46_interval_join": q46_interval_join,
+        "q47_budget_mixture": q47_budget_mixture,
     }
 
 
@@ -1324,6 +1341,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events JOIN intervals
               ON ts >= w_start AND ts < w_end
             GROUP BY window_id, event_type
+        """,
+        "q47_budget_mixture": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END)::BIGINT AS n_tokens,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 2 AS stream
+                FROM documents
+            ),
+            c AS (
+                SELECT *, sum(n_tokens) OVER (
+                           PARTITION BY source, stream
+                           ORDER BY md5(doc_id::VARCHAR), doc_id
+                       ) - n_tokens AS cum_before
+                FROM t
+            )
+            SELECT doc_id, source, stream, n_tokens, cum_before FROM c
+            WHERE cum_before < CASE source WHEN 'src0' THEN 400
+                                           WHEN 'src1' THEN 200
+                                           ELSE 300 END
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

@@ -90,3 +90,51 @@ def deterministic_sample(
             F.col(strata_col) == stratum, F.lit(int(rate * 65536))
         ).otherwise(threshold)
     return docs.where(_hash_bucket(F.col(id_col)) < threshold)
+
+
+def budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    num_streams: int = 1,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budget mixture construction: cap each group's contribution to
+    the training mix at a token budget, selecting documents in a
+    deterministic md5-shuffled order (so "which docs make the cut" is a
+    pure function of the data, not of cluster layout or run order).
+
+    A document is kept iff the running token total of its group's
+    already-selected documents (strictly before it in hash order) is below
+    the budget — i.e. the document that crosses the budget is the last one
+    in. With ``num_streams > 1`` each group is split into hash streams that
+    each get ``budget / num_streams`` tokens: the cumulative-sum window
+    then parallelizes within groups, which is the 100 TB path (a single
+    giant group otherwise serializes through one window task; same shape as
+    ``pack_sequences``). Streams drift from the exact global budget by at
+    most one document each — acceptable and deterministic.
+
+    Returns the kept rows with (stream, n_tokens, cum_before) attached.
+    """
+    tokens = (
+        token_count("text") if tokens_col is None else F.col(tokens_col)
+    ).cast("bigint")
+    budget = F.lit(int(default_budget / num_streams))
+    for group, b in sorted(budgets.items()):
+        budget = F.when(
+            F.col(group_col) == group, F.lit(int(b / num_streams))
+        ).otherwise(budget)
+    d = docs.withColumn("n_tokens", tokens).withColumn(
+        "stream", _hash_bucket(F.col(id_col)) % num_streams
+    )
+    w = (
+        Window.partitionBy(group_col, "stream")
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.withColumn("cum_before", cum - F.col("n_tokens")).where(
+        F.col("cum_before") < budget
+    )

@@ -333,6 +333,29 @@ def test_deterministic_sample_reproducible(spark):
     assert all_en.count() == 200
 
 
+def test_budget_sample_caps_group_tokens(spark):
+    from quackosm_spark.operators import mix as X
+
+    # 10 docs of 4 tokens each in one source: a 12-token budget keeps docs
+    # until the running total crosses it — exactly 3 docs (0,4,8 < 12).
+    df = spark.createDataFrame(
+        [(i, "a b c d", "s") for i in range(10)],
+        "doc_id: long, text: string, source: string",
+    )
+    out = X.budget_sample(df, budgets={"s": 12}).collect()
+    assert len(out) == 3
+    assert all(r.cum_before < 12 and r.n_tokens == 4 for r in out)
+    # deterministic: same docs on a rerun
+    again = X.budget_sample(df, budgets={"s": 12}).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+    # unknown source falls back to default_budget (0 → nothing kept)
+    other = df.withColumn("source", F.lit("unknown"))
+    assert X.budget_sample(other, budgets={"s": 12}).count() == 0
+    # num_streams=2 splits the budget: each stream keeps < 6 tokens before
+    kept2 = X.budget_sample(df, budgets={"s": 12}, num_streams=2).collect()
+    assert all(r.cum_before < 6 for r in kept2)
+
+
 def test_neardup_clusters_long_chain(spark):
     """A 200-node path graph (worst case for plain propagation): pointer
     jumping must close it in O(log n) rounds, all labeled 0."""
