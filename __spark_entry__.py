@@ -703,6 +703,23 @@ def q47_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "stream", "n_tokens", "cum_before")
 
 
+def q48_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: deterministic content-hash salting spreads
+    a hot key over 8 reducers; semantics identical to the plain join, so the
+    oracle is the unsalted SQL."""
+    from quackosm_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -752,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_event_quantiles": q45_event_quantiles,
         "q46_interval_join": q46_interval_join,
         "q47_budget_mixture": q47_budget_mixture,
+        "q48_salted_join": q48_salted_join,
     }
 
 
@@ -1362,6 +1380,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum_before < CASE source WHEN 'src0' THEN 400
                                            WHEN 'src1' THEN 200
                                            ELSE 300 END
+        """,
+        "q48_salted_join": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

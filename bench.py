@@ -25,6 +25,7 @@ HEADLINE = [
     "q21_text_analysis",     # JVM-side text ops
     "q23_fingerprint",       # fold-based hashing
     "q25_sessionize",        # lag/gap sessionization
+    "q44_asof_previous_event",  # as-of join (union+window vs DuckDB native ASOF)
 ]
 
 
