@@ -129,6 +129,49 @@ def test_interval_join_overlapping_windows(spark):
     assert pairs == [(1, 0), (1, 1), (2, 1)]
 
 
+@pytest.mark.parametrize("direction,strict", [
+    ("backward", False), ("backward", True),
+    ("forward", False), ("forward", True),
+])
+def test_asof_differential_vs_pandas_merge_asof(spark, direction, strict):
+    """Seeded random frames: our union+window as-of must equal pandas
+    merge_asof (an independent implementation of the same semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    left = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, 8, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r),
+        "rts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+        "rv": rng.normal(size=n_r).round(6),
+    })
+    # merge_asof needs unique (k, rts) for a deterministic answer
+    right = right.drop_duplicates(subset=["k", "rts"])
+
+    expected = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("rts", kind="stable"),
+        left_on="ts", right_on="rts", by="k",
+        direction=direction, allow_exact_matches=not strict,
+    ).set_index("lid")["rv"]
+
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", left_ts="ts", right_ts="rts", value_cols={"rv": "rv"},
+        direction=direction, strict=strict,
+    )
+    got = {r.lid: r.rv for r in out.collect()}
+    for lid, exp in expected.items():
+        g = got[lid]
+        assert (pd.isna(exp) and g is None) or g == exp, (lid, g, exp)
+
+
 def test_exact_quantiles_interpolation(spark):
     df = spark.createDataFrame(
         [("a", float(v)) for v in [1, 2, 3, 4]] + [("b", 10.0)],
