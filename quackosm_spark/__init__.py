@@ -28,25 +28,38 @@ assembly).
 
 from quackosm_spark.session import get_spark
 from quackosm_spark.functions import (
+    convert_geometry_to_duckdb,
+    convert_geometry_to_geodataframe,
     convert_geometry_to_parquet,
+    convert_osm_extract_to_duckdb,
+    convert_osm_extract_to_geodataframe,
     convert_osm_extract_to_parquet,
     convert_pbf_to_dataframe,
     convert_pbf_to_duckdb,
     convert_pbf_to_geodataframe,
     convert_pbf_to_parquet,
 )
+from quackosm_spark.extracts import display_available_extracts
+from quackosm_spark.geocode import geocode_to_geometry
 from quackosm_spark.pbf_file_reader import PbfFileReader
 
 __version__ = "0.1.0"
 
+# the reference's public __all__ (quackosm/__init__.py), plus the
+# Spark-native additions (get_spark, convert_pbf_to_dataframe)
 __all__ = [
     "PbfFileReader",
+    "convert_geometry_to_duckdb",
+    "convert_geometry_to_geodataframe",
     "convert_geometry_to_parquet",
+    "convert_osm_extract_to_duckdb",
+    "convert_osm_extract_to_geodataframe",
     "convert_osm_extract_to_parquet",
     "convert_pbf_to_dataframe",
     "convert_pbf_to_duckdb",
     "convert_pbf_to_geodataframe",
     "convert_pbf_to_parquet",
+    "display_available_extracts",
+    "geocode_to_geometry",
     "get_spark",
-    "__version__",
 ]

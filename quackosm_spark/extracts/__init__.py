@@ -470,3 +470,30 @@ def download_extract(
     raise NotImplementedError(
         f"Offline build: cannot download {extract.url!r}; place the file at {target}."
     )
+
+
+def display_available_extracts(
+    extracts: Iterable[OpenStreetMapExtract],
+    use_full_names: bool = True,
+    file: Any = None,
+) -> None:
+    """Print the extract index as a parent/child tree (reference
+    osm_extracts/__init__.py:556-586, minus the rich dependency — plain
+    indented text to ``file``/stdout). ``use_full_names`` shows
+    ``file_name`` (which encodes the full parent path) instead of the bare
+    ``name``."""
+    items = list(extracts)
+    by_parent: dict[str, list[OpenStreetMapExtract]] = {}
+    ids = {e.id for e in items}
+    for e in items:
+        # roots: no parent, or a parent outside the index (provider name)
+        key = e.parent if e.parent in ids else ""
+        by_parent.setdefault(key, []).append(e)
+
+    def _walk(parent_key: str, depth: int) -> None:
+        for e in sorted(by_parent.get(parent_key, ()), key=lambda x: x.name):
+            label = e.file_name if use_full_names else e.name
+            print("  " * depth + label, file=file)
+            _walk(e.id, depth + 1)
+
+    _walk("", 0)

@@ -150,3 +150,33 @@ def test_iou_threshold_discards_sliver(index):
 
 def test_raster_area():
     assert raster_area(_sq(0, 0, 2, 3)) == pytest.approx(6.0, rel=0.01)
+
+
+def test_display_available_extracts_tree(index, capsys):
+    from quackosm_spark.extracts import display_available_extracts
+
+    display_available_extracts(index)
+    lines = capsys.readouterr().out.splitlines()
+    assert lines  # every extract appears exactly once
+    assert len(lines) == len(index)
+    # children are indented under their parent
+    depths = {ln.strip(): (len(ln) - len(ln.lstrip())) // 2 for ln in lines}
+    by_id = {e.id: e for e in index}
+    for e in index:
+        label = e.file_name
+        if e.parent in by_id:
+            assert depths[label] == depths[by_id[e.parent].file_name] + 1
+
+
+def test_package_exports_reference_public_api():
+    """Every name in the reference's quackosm.__all__ exists here too."""
+    import re
+
+    import quackosm_spark as q
+
+    ref_src = open("/root/reference/quackosm/__init__.py").read()
+    ref_all = re.findall(
+        r'"(\w+)"', re.search(r"__all__\s*=\s*\[(.*?)\]", ref_src, re.S).group(1)
+    )
+    missing = [n for n in ref_all if n not in q.__all__ or not hasattr(q, n)]
+    assert not missing, missing
