@@ -720,6 +720,17 @@ def q48_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at nprobe == num_cells degenerates to exact search (every cell
+    probed, each corpus vector scored exactly once) — pins the IVF machinery
+    (centroid training, cell assignment, probe join, rank window) to the
+    exact-top-k oracle; q32 then only adds the recall-vs-speed probe cut."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 3)
+    out = S.ivf_topk(emb, queries_df, k=5, num_cells=8, nprobe=8)
+    return out.select("query_id", "match_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -770,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_interval_join": q46_interval_join,
         "q47_budget_mixture": q47_budget_mixture,
         "q48_salted_join": q48_salted_join,
+        "q49_ivf_fullprobe": q49_ivf_fullprobe,
     }
 
 
@@ -1386,6 +1398,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        # full-probe IVF is exact search: reuse the brute-force oracle shape
+        "q49_ivf_fullprobe": """
+            SELECT query_id, match_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                                        q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) DESC,
+                                    c.vec_id
+                       ) AS rank
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 3
+            ) WHERE rank <= 5
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

@@ -76,6 +76,12 @@ def get_spark(
         # engine) is case-sensitive here too.
         .config("spark.sql.caseSensitive", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long-lived sessions (the 300-test suite, notebooks, streaming
+        # drivers) accumulate broadcast blocks + shuffle files that the
+        # ContextCleaner only frees on driver GC; the default periodic-GC
+        # interval (30 min) can be longer than the whole session. Fire it
+        # every 5 min so a local[32] driver heap stays flat.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

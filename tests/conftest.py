@@ -12,9 +12,20 @@ from quackosm_spark.sources.pbf import ELEMENTS_SCHEMA  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+
     from quackosm_spark.session import get_spark
 
-    spark = get_spark(app_name="quackosm-spark-tests", shuffle_partitions=4)
+    # One JVM serves the whole 300-test suite: give it headroom (the 8g
+    # default is sized for a single conversion, and a heap death here
+    # cascades into ConnectionRefused for every remaining test) and skip
+    # the UI server.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark(
+        app_name="quackosm-spark-tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
 

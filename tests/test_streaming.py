@@ -22,7 +22,8 @@ def events_batch(spark):
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df.cache()
+    # NTZ → session-UTC timestamp so epoch casts in the batch analogues work
+    return df.withColumn("ts", F.col("ts").cast("timestamp")).cache()
 
 
 @pytest.fixture(scope="module")
