@@ -86,3 +86,33 @@ def test_read_osc_gzip(spark, tmp_path):
     p = tmp_path / "diff.osc.gz"
     p.write_bytes(gzip.compress(OSC))
     assert read_osc(spark, str(p)).count() == 6
+
+
+def test_osc_apply_then_pipeline(spark, elements):
+    """End-to-end freshness path: apply a diff to the element table, rerun
+    the feature pipeline, and see the update in the output — the incremental
+    alternative to re-reading a whole planet file."""
+    from pyspark.sql import functions as F
+
+    from quackosm_spark.plans.pipeline import build_features
+
+    osc = b"""<osmChange version="0.6">
+      <modify>
+        <node id="1" version="9" lat="0.1" lon="0.1">
+          <tag k="amenity" v="fountain"/>
+        </node>
+      </modify>
+    </osmChange>"""
+    changes = spark.createDataFrame(
+        list(parse_osc(osc)),
+        schema="kind string, id long, tags map<string,string>,"
+        " refs array<bigint>, ref_types array<string>, ref_roles array<string>,"
+        " lat double, lon double, action string, version long, seq long",
+    )
+    updated = apply_osm_changes(elements, changes)
+    feats = build_features(spark, updated)
+    node1 = feats.where(F.col("feature_id") == "node/1").collect()
+    assert len(node1) == 1
+    assert node1[0].tags == {"amenity": "fountain"}
+    # untouched features still present
+    assert feats.count() == build_features(spark, elements).count()
