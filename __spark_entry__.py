@@ -731,6 +731,92 @@ def q49_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "match_id", "rank")
 
 
+_Q50_TERMS = ["spark", "window", "merge"]
+
+
+def q50_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword scoring — the tf columns are scan-stage expressions (no
+    explode), corpus stats reduce to one tiny driver collect, so 100 TB of
+    documents score in a single map pass."""
+    from quackosm_spark.operators.search import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), _Q50_TERMS)
+
+
+def q51_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition at every ROLLUP level of (source, lang) in ONE
+    shuffle — grouping-sets coverage beyond the reference's operator set."""
+    from quackosm_spark.operators.stats import corpus_rollup
+
+    return corpus_rollup(_t(spark, sf_dir, "documents"))
+
+
+def q52_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level dedup: drop word-trigram segments appearing
+    in >= 3 distinct docs (the boilerplate set broadcasts), reassemble the
+    survivors in original order."""
+    return D.remove_frequent_segments(
+        _t(spark, sf_dir, "documents"), seg_words=3, min_docs=3
+    )
+
+
+def q53_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set: within-cluster cosine >= 0.3, keep the lowest id
+    of each near-pair. The `label` column stands in for the k-means cell
+    (the operator composes with similarity.train_ivf_centroids for real
+    clustering); the pair join is equi on cluster, never corpus x corpus."""
+    return D.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), cluster_col="label", threshold=0.3
+    )
+
+
+def q54_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user successive differences (SQL LAG family): value delta and
+    microsecond gap since the user's previous event."""
+    from quackosm_spark.operators.temporal import lag_deltas
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = lag_deltas(
+        ev, ["user_id"], ["ts", "event_id"], value_col="value", ts_col="ts"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("delta", 6).alias("delta"), "gap_us"
+    )
+
+
+def q55_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join: lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region with local-supplier condition. The dims
+    (nation, region) broadcast explicitly; customer/orders/supplier follow
+    AQE; the date + region filters push into the scans so only ~1/3 of
+    orders ever reach the join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -782,6 +868,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_budget_mixture": q47_budget_mixture,
         "q48_salted_join": q48_salted_join,
         "q49_ivf_fullprobe": q49_ivf_fullprobe,
+        "q50_bm25_search": q50_bm25_search,
+        "q51_rollup_stats": q51_rollup_stats,
+        "q52_segment_dedup": q52_segment_dedup,
+        "q53_semantic_dedup": q53_semantic_dedup,
+        "q54_event_deltas": q54_event_deltas,
+        "q55_revenue_by_nation": q55_revenue_by_nation,
     }
 
 
@@ -803,6 +895,12 @@ def _hash64_sql(expr: str) -> str:
 def _hashed_shingles_sql(text_expr: str, k: int = 5) -> str:
     """Mirror of dedup.hashed_shingles: one md5 per shingle → distinct bigints."""
     return f"list_distinct(list_transform({_shingles_sql(text_expr, k)}, s -> {_hash64_sql('s')}))"
+
+
+def _bm25_oracle() -> str:
+    from quackosm_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_Q50_TERMS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1413,6 +1511,76 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
                 WHERE q.vec_id < 3
             ) WHERE rank <= 5
+        """,
+        "q50_bm25_search": _bm25_oracle(),
+        "q51_rollup_stats": """
+            SELECT source, lang,
+                   GROUPING(source, lang) AS level,
+                   count(*) AS n_docs,
+                   sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END)::BIGINT AS n_tokens,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents
+            GROUP BY ROLLUP (source, lang)
+        """,
+        "q52_segment_dedup": """
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            segs AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) + 1, 3),
+                           i -> {'pos': i,
+                                 'seg': array_to_string(list_slice(w, i, i + 2), ' ')})) AS s
+                FROM words WHERE len(w) > 0
+            ),
+            flat AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM segs),
+            freq AS (
+                SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM flat)
+                GROUP BY seg HAVING count(*) >= 3
+            ),
+            kept AS (
+                SELECT * FROM flat WHERE seg NOT IN (SELECT seg FROM freq)
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS text_clean,
+                   count(k.seg) AS n_kept
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
+        """,
+        "q53_semantic_dedup": """
+            SELECT e.vec_id, e.label AS cluster
+            FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings o
+                WHERE o.label = e.label AND o.vec_id < e.vec_id
+                  AND round(list_cosine_similarity(
+                          o.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= 0.3
+            )
+        """,
+        "q54_event_deltas": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER w, 6) AS delta,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q55_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

@@ -26,6 +26,8 @@ HEADLINE = [
     "q23_fingerprint",       # fold-based hashing
     "q25_sessionize",        # lag/gap sessionization
     "q44_asof_previous_event",  # as-of join (union+window vs DuckDB native ASOF)
+    "q52_segment_dedup",     # CCNet segment dedup (count shuffle + broadcast removal)
+    "q55_revenue_by_nation", # TPC-H Q5-shaped 6-table join, broadcast dims
 ]
 
 

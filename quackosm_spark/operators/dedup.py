@@ -436,3 +436,155 @@ def contamination_matches(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------------
+# segment-level (CCNet-style) dedup
+# --------------------------------------------------------------------------
+
+def _segments(text: Column | str, seg_words: int) -> Column:
+    """Non-overlapping ``seg_words``-word segments of a document as
+    array<struct<pos:int, seg:string>> (pos = 1-based word offset). For
+    corpora with real line breaks, split on newline instead — the counting
+    and removal below are delimiter-agnostic."""
+    col = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(col)
+    words = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(seg_words))
+    return F.when(F.size(words) > 0, F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice(words, i, seg_words)).alias("seg"),
+        ),
+    )).otherwise(F.expr("array()").cast("array<struct<pos:int,seg:string>>"))
+
+
+def frequent_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Segments (non-overlapping word chunks; stand-in for lines in a
+    newline-free corpus) occurring in >= ``min_docs`` DISTINCT documents.
+    Per-doc distinct before the count, so the count IS document frequency —
+    one shuffle on the segment text."""
+    segs = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_segments(text_col, seg_words)).alias("s"),
+    ).select("doc_id", F.col("s.seg").alias("seg"))
+    return (
+        segs.distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_frequent_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every segment that appears in
+    >= ``min_docs`` distinct documents, reassemble the survivors in original
+    order. Returns (id_col, text_clean, n_kept) for ALL input docs (fully
+    boilerplate docs come back with empty text).
+
+    Scale shape: the over-threshold segment set is tiny (boilerplate is by
+    definition repeated), so the removal join BROADCASTS it — the corpus is
+    scanned once for counting (shuffle on segment) and once for the
+    broadcast anti join + per-doc reassembly (shuffle on doc id).
+    """
+    exploded = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_segments(text_col, seg_words)).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+    boiler = frequent_segments(docs, id_col, text_col, seg_words, min_docs).select("seg")
+    kept = exploded.join(F.broadcast(boiler), "seg", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(reassembled, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: within-cluster embedding cosine)
+# --------------------------------------------------------------------------
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: (id_a < id_b, cosine >=
+    threshold, same cluster). The cluster column restricts the pair join to
+    an equi-join on cluster id — O(sum of cluster² ) instead of corpus² —
+    which is the SemDeDup trick: any clustering (k-means cells from
+    similarity.train_ivf_centroids, LSH buckets, or an existing label)
+    bounds the quadratic term. Returns (cluster, id_a, id_b, cosine)."""
+    vecs = embeddings.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Keep-set after SemDeDup: drop every vector that has a near-duplicate
+    with a SMALLER id in its cluster (deterministic keep-lowest rule; one
+    survivor per duplicate chain seed). Returns the kept (id_col, cluster)."""
+    dropped = (
+        semantic_duplicates(embeddings, cluster_col, id_col, vec_col, threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(cluster_col).alias("cluster")
+        )
+        .join(dropped, "vid", "left_anti")  # AQE broadcasts when small; the
+        # dropped set can be a large corpus fraction, so no forced hint
+        .select(F.col("vid").alias(id_col), "cluster")
+    )

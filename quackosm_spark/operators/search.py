@@ -1,0 +1,147 @@
+"""Keyword-search scoring (BM25) over a document corpus.
+
+The reference engine has no text-retrieval surface; this is part of the
+training-data-pipeline extension set (benchmark-query mining, contamination
+triage, corpus exploration all need "find documents matching these terms").
+
+Scale shape: the query's terms are a small literal list, so term frequencies
+are per-row Column expressions evaluated IN THE SCAN STAGE — the corpus never
+shuffles to be scored. The only aggregates are two scalar statistics (corpus
+size + average doc length) and one per-term document frequency row, all of
+which reduce to a single tiny driver-side collect. Scoring 100 TB of
+documents is therefore one map pass plus a top-k sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column | str = "text") -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    trimmed = F.lower(F.trim(col))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def term_frequency(term: str, text: Column | str = "text") -> Column:
+    """Occurrences of ``term`` among the whitespace tokens of ``text`` —
+    pure Column expression (no explode, no shuffle)."""
+    return F.size(F.filter(_words(text), lambda w: w == F.lit(term)))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document against ``query_terms`` with Lucene-flavored BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5))). Returns
+    (id_col, score, n_matched) for documents matching >= 1 term.
+
+    Two tiny driver actions compute the corpus statistics (N, avgdl, per-term
+    df); the scoring itself is one map-side expression per document.
+    """
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    tf_cols = [term_frequency(t, text_col).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    scored_input = docs.select(
+        F.col(id_col), F.size(_words(text_col)).alias("dl"), *tf_cols
+    )
+
+    stats = scored_input.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs = float(stats["n_docs"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+
+    score: Column = F.lit(0.0)
+    n_matched: Column = F.lit(0)
+    for i in range(len(terms)):
+        df_t = float(stats[f"df_{i}"] or 0)
+        idf = F.log(F.lit(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+        tf = F.col(f"tf_{i}").cast("double")
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+        n_matched = n_matched + (F.col(f"tf_{i}") > 0).cast("int")
+
+    return (
+        scored_input.select(
+            id_col,
+            F.round(score, 4).alias("score"),
+            n_matched.alias("n_matched"),
+        )
+        .where(F.col("n_matched") > 0)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 matches, deterministic tie-break on id. The limit is a
+    TakeOrderedAndProject physical op — per-partition top-k then a single
+    driver merge, never a global sort."""
+    scored = bm25_scores(docs, query_terms, id_col, text_col, k1, b)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB replica of :func:`bm25_scores` (same formula, same rounding),
+    generated from the same term list so Spark and oracle can't drift."""
+    terms = list(dict.fromkeys(query_terms))
+    words = (
+        f"CASE WHEN length(trim(lower({text_col}))) = 0 THEN []::VARCHAR[] "
+        f"ELSE string_split_regex(trim(lower({text_col})), '\\s+') END"
+    )
+    tf_exprs = ",\n       ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+    )
+    score_terms = " + ".join(
+        f"ln(1.0 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) * "
+        f"(tf_{i} * ({k1} + 1.0)) / "
+        f"(tf_{i} + {k1} * (1.0 - {b} + {b} * dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(f"(tf_{i} > 0)::INT" for i in range(len(terms)))
+    df_aggs = ", ".join(
+        f"sum((tf_{i} > 0)::BIGINT) AS df_{i}" for i in range(len(terms))
+    )
+    return f"""
+        WITH t AS (
+            SELECT {id_col},
+                   len(w) AS dl,
+                   {tf_exprs}
+            FROM (SELECT {id_col}, {words} AS w FROM {table})
+        ),
+        s AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, {df_aggs}
+            FROM t
+        )
+        SELECT {id_col},
+               round({score_terms}, 4) AS score,
+               ({matched}) AS n_matched
+        FROM t, s
+        WHERE ({matched}) > 0
+    """

@@ -17,7 +17,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "exact_quantiles"]
+__all__ = ["asof_join", "interval_join", "exact_quantiles", "lag_deltas"]
 
 
 def asof_join(
@@ -157,3 +157,29 @@ def exact_quantiles(
         for q in quantiles
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def lag_deltas(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Per-key successive-difference analytics (the lead/lag family the
+    reference never needed — SURVEY §2.5 — but event pipelines do): for each
+    row, the change in ``value_col`` and (optionally) the microsecond gap in
+    ``ts_col`` since the key's previous row.
+
+    One shuffle on the partition key, then a single window pass; first row
+    per key yields NULL delta (SQL LAG semantics). Include a unique id in
+    ``order_cols`` to make equal-timestamp ordering deterministic."""
+    w = Window.partitionBy(*partition_cols).orderBy(*[F.asc(c) for c in order_cols])
+    out = df.withColumn(
+        "delta", F.col(value_col) - F.lag(value_col).over(w)
+    )
+    if ts_col is not None:
+        out = out.withColumn(
+            "gap_us", F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+        )
+    return out

@@ -1,0 +1,134 @@
+"""BM25 search, rollup stats, segment-level dedup, semantic dedup,
+lag deltas — unit tests on crafted inputs (oracle parity is covered by
+q50-q55 in tests/oracle_harness.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackosm_spark.operators.dedup import (
+    frequent_segments,
+    remove_frequent_segments,
+    semantic_dedup,
+    semantic_duplicates,
+)
+from quackosm_spark.operators.search import bm25_scores, bm25_topk
+from quackosm_spark.operators.stats import corpus_rollup
+from quackosm_spark.operators.temporal import lag_deltas
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark shuffle join spark spark", "en", "web"),
+            (2, "the quick brown fox", "en", "web"),
+            (3, "spark window", "en", "books"),
+            (4, "nothing relevant here", "fr", "books"),
+            (5, "", "fr", "web"),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+
+
+def test_bm25_scores_ranks_tf_and_rarity(docs):
+    rows = {r.doc_id: r for r in bm25_scores(docs, ["spark", "window"]).collect()}
+    # docs 2, 4, 5 match nothing → absent
+    assert set(rows) == {1, 3}
+    # doc 3 matches both terms, doc 1 only 'spark'
+    assert rows[3].n_matched == 2 and rows[1].n_matched == 1
+    # 'window' is rarer (df=1) than 'spark' (df=2) → doc 3 outranks doc 1
+    # despite doc 1's higher tf
+    assert rows[3].score > rows[1].score > 0
+
+
+def test_bm25_formula_matches_hand_computation(docs):
+    rows = {r.doc_id: r for r in bm25_scores(docs, ["spark"]).collect()}
+    n, avgdl, df = 5.0, (5 + 4 + 2 + 3 + 0) / 5.0, 2.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    tf, dl, k1, b = 3.0, 5.0, 1.2, 0.75
+    expected = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert rows[1].score == pytest.approx(expected, abs=1e-4)
+
+
+def test_bm25_topk_limit_and_tiebreak(docs):
+    out = bm25_topk(docs, ["spark"], k=1).collect()
+    assert len(out) == 1 and out[0].doc_id == 1  # highest tf wins
+
+
+def test_frequent_segments_document_frequency(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "a b c q r s"),
+            (3, "a b c a b c"),  # repeats within doc count ONCE
+            (4, "unrelated words here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    freq = {r.seg: r.n_docs for r in frequent_segments(d, seg_words=3, min_docs=3).collect()}
+    assert freq == {"a b c": 3}
+
+
+def test_remove_frequent_segments_preserves_order_and_empties(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "q r s a b c"),
+            (3, "a b c"),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in
+           remove_frequent_segments(d, seg_words=3, min_docs=3).collect()}
+    assert out[1].text_clean == "x y z" and out[1].n_kept == 1
+    assert out[2].text_clean == "q r s" and out[2].n_kept == 1
+    assert out[3].text_clean == "" and out[3].n_kept == 0  # fully boilerplate
+    assert out[4].text_clean == "" and out[4].n_kept == 0  # empty input kept
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.01], 0),   # near-dup of 1, same cluster → dropped
+            (3, [1.0, 0.0], 1),    # identical to 1 but other cluster → kept
+            (4, [0.0, 1.0], 0),    # orthogonal → kept
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    pairs = semantic_duplicates(emb, "label", threshold=0.99).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    kept = sorted(r.vec_id for r in semantic_dedup(emb, "label", threshold=0.99).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_corpus_rollup_levels(docs):
+    rows = corpus_rollup(docs).collect()
+    levels = {(r.source, r.lang, r.level): r.n_docs for r in rows}
+    assert levels[("web", "en", 0)] == 2
+    assert levels[("web", None, 1)] == 3       # source subtotal
+    assert levels[(None, None, 3)] == 5        # grand total
+    # one shuffle: every level appears, 2 langs x 2 sources present
+    assert len([k for k in levels if k[2] == 0]) == 4
+
+
+def test_lag_deltas_first_row_null_and_gaps(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, 10.0),
+            (2, "2024-01-01 00:00:01", 7, 13.0),
+            (3, "2024-01-01 00:00:03", 8, 1.0),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, value DOUBLE",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+    out = {r.event_id: r for r in
+           lag_deltas(ev, ["user_id"], ["ts", "event_id"], "value", "ts").collect()}
+    assert out[1].delta is None and out[1].gap_us is None
+    assert out[2].delta == 3.0 and out[2].gap_us == 1_000_000
+    assert out[3].delta is None  # first (only) row of its user
