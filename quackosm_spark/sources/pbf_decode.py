@@ -195,21 +195,47 @@ def check_header_features(path: str) -> list[str]:
 
 
 def read_blob_payload(f: BinaryIO, ref: BlobRef) -> bytes:
-    """Read + decompress one blob's raw protobuf payload."""
+    """Read + decompress one blob's raw protobuf payload.
+
+    Covers the full fileformat.proto Blob surface (reference relies on
+    DuckDB-spatial's reader, which is zlib-only in practice): raw (field 1),
+    zlib (3), lzma (4), lz4 block (6, needs raw_size), zstd (7). lz4/zstd
+    decompress via pyarrow codecs, lzma via the stdlib.
+    """
     f.seek(ref.offset)
     blob = memoryview(f.read(ref.size))
-    raw: bytes | None = None
-    zlib_data: memoryview | None = None
+    raw_size: int | None = None
+    payloads: dict[int, memoryview] = {}
     for field, wire, val in iter_fields(blob):
-        if field == 1 and wire == 2:
-            raw = bytes(val)
-        elif field == 3 and wire == 2:
-            zlib_data = val
-    if raw is not None:
-        return raw
-    if zlib_data is not None:
-        return zlib.decompress(bytes(zlib_data))
-    raise ValueError("Blob has no raw or zlib_data payload (unsupported compression)")
+        if field == 2 and wire == 0:
+            raw_size = int(val)
+        elif wire == 2 and field in (1, 3, 4, 6, 7):
+            payloads[field] = val
+    if 1 in payloads:  # raw
+        return bytes(payloads[1])
+    if 3 in payloads:  # zlib
+        return zlib.decompress(bytes(payloads[3]))
+    if 4 in payloads:  # lzma
+        import lzma
+
+        return lzma.decompress(bytes(payloads[4]))
+    if 6 in payloads:  # lz4 block format: needs the decompressed size
+        import pyarrow as pa
+
+        if raw_size is None:
+            raise ValueError("lz4 blob without raw_size")
+        return pa.Codec("lz4_raw").decompress(
+            bytes(payloads[6]), raw_size
+        ).to_pybytes()
+    if 7 in payloads:  # zstd (raw_size is mandatory for compressed blobs per spec)
+        import pyarrow as pa
+
+        if raw_size is None:
+            raise ValueError("zstd blob without raw_size")
+        return pa.Codec("zstd").decompress(
+            bytes(payloads[7]), raw_size
+        ).to_pybytes()
+    raise ValueError("Blob has no supported payload (fields 1/3/4/6/7 absent)")
 
 
 # --------------------------------------------------------------------------

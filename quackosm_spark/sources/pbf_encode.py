@@ -153,9 +153,32 @@ def _encode_primitive_block(elements: list[dict[str, Any]]) -> bytes:
 # blob container
 # --------------------------------------------------------------------------
 
-def _blob(kind: str, payload: bytes) -> bytes:
-    compressed = zlib.compress(payload, 6)
-    blob_body = _varint_field(2, len(payload)) + _len_delim(3, compressed)
+#: Blob field number per fileformat.proto for each compression scheme.
+_BLOB_FIELDS = {"zlib": 3, "lzma": 4, "lz4": 6, "zstd": 7, "raw": 1}
+
+
+def _blob(kind: str, payload: bytes, compression: str = "zlib") -> bytes:
+    if compression == "zlib":
+        compressed = zlib.compress(payload, 6)
+    elif compression == "lzma":
+        import lzma
+
+        compressed = lzma.compress(payload)
+    elif compression == "lz4":
+        import pyarrow as pa
+
+        compressed = pa.Codec("lz4_raw").compress(payload).to_pybytes()
+    elif compression == "zstd":
+        import pyarrow as pa
+
+        compressed = pa.Codec("zstd").compress(payload).to_pybytes()
+    elif compression == "raw":
+        compressed = payload
+    else:
+        raise ValueError(f"unsupported blob compression: {compression}")
+    blob_body = _varint_field(2, len(payload)) + _len_delim(
+        _BLOB_FIELDS[compression], compressed
+    )
     header = _len_delim(1, kind.encode()) + _varint_field(3, len(blob_body))
     return struct.pack(">I", len(header)) + header + blob_body
 
@@ -170,18 +193,21 @@ def write_pbf(
     path: str,
     elements: Iterable[dict[str, Any]],
     elements_per_block: int = 8000,
+    compression: str = "zlib",
 ) -> str:
     """Write element dicts (keys: kind, id, tags, lat/lon or refs/ref_types/
     ref_roles) to an ``.osm.pbf`` file, ``elements_per_block`` per OSMData
-    blob — small values produce many blobs, i.e. many Spark input splits."""
+    blob — small values produce many blobs, i.e. many Spark input splits.
+    ``compression`` ∈ {zlib, zstd, lz4, lzma, raw} (fileformat.proto blob
+    schemes; real-world files are zlib, newer tools emit zstd)."""
     with open(path, "wb") as f:
         f.write(_header_block())
         block: list[dict[str, Any]] = []
         for e in elements:
             block.append(e)
             if len(block) >= elements_per_block:
-                f.write(_blob("OSMData", _encode_primitive_block(block)))
+                f.write(_blob("OSMData", _encode_primitive_block(block), compression))
                 block = []
         if block:
-            f.write(_blob("OSMData", _encode_primitive_block(block)))
+            f.write(_blob("OSMData", _encode_primitive_block(block), compression))
     return path

@@ -112,3 +112,20 @@ def test_negative_and_large_ids(spark, tmp_path):
     assert set(rows) == {2**53, 7}
     assert round(rows[7]["lat"], 7) == -89.9999999
     assert round(rows[7]["lon"], 7) == 179.9999999
+
+
+@pytest.mark.parametrize("compression", ["zstd", "lz4", "lzma", "raw"])
+def test_alternate_blob_compressions_roundtrip(spark, tmp_path, compression):
+    """fileformat.proto allows zstd/lz4/lzma/raw blobs besides zlib; newer
+    osmium builds emit zstd. Decode must be byte-identical to the zlib
+    path."""
+    els = _synthetic_elements(n_nodes=500, n_ways=50, n_rels=5)
+    zl = str(tmp_path / "zl.osm.pbf")
+    alt = str(tmp_path / f"{compression}.osm.pbf")
+    pbf_encode.write_pbf(zl, els, elements_per_block=200)
+    pbf_encode.write_pbf(alt, els, elements_per_block=200, compression=compression)
+
+    base = sorted(map(tuple, read_osm_pbf(spark, zl).collect()))
+    other = sorted(map(tuple, read_osm_pbf(spark, alt).collect()))
+    assert other == base
+    assert len(base) == 555
