@@ -817,6 +817,40 @@ def q55_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup: levenshtein <= 8 on 24-char prefixes. The
+    length-band blocking (complete for edit distance: |len diff| <= d)
+    keeps the pair join equi-keyed; the O(len^2) DP runs only on
+    candidates. Oracle is the blocking-free O(n^2) SQL — blocking must be
+    invisible in the result."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("text")
+    )
+    return D.edit_distance_pairs(docs, max_dist=8)
+
+
+def q57_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-docs-per-language deterministic sample (md5-order
+    row_number window — reproducible, zero RNG)."""
+    from quackosm_spark.operators import mix as M
+
+    docs = _t(spark, sf_dir, "documents")
+    return M.stratified_fixed_n(docs, "lang", 20).select("doc_id", "lang")
+
+
+def q58_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state reduction over the event log via max_by(payload,
+    struct(ts, event_id)) — a true partial aggregate (map-side combine),
+    not a window sort."""
+    from quackosm_spark.operators.temporal import latest_by_key
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id", "event_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -874,6 +908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_semantic_dedup": q53_semantic_dedup,
         "q54_event_deltas": q54_event_deltas,
         "q55_revenue_by_nation": q55_revenue_by_nation,
+        "q56_edit_distance_pairs": q56_edit_distance_pairs,
+        "q57_stratified_fixed_n": q57_stratified_fixed_n,
+        "q58_latest_event_per_user": q58_latest_event_per_user,
     }
 
 
@@ -1581,6 +1618,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "q56_edit_distance_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) AS dist
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 8
+        """,
+        "q57_stratified_fixed_n": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+            ) <= 20
+        """,
+        "q58_latest_event_per_user": """
+            SELECT user_id, event_id, ts, round(value, 6) AS value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

@@ -588,3 +588,56 @@ def semantic_dedup(
         # dropped set can be a large corpus fraction, so no forced hint
         .select(F.col("vid").alias(id_col), "cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# edit-distance (typo-level) near-dup
+# --------------------------------------------------------------------------
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 4,
+    band: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with levenshtein(text_a, text_b) <=
+    ``max_dist`` — typo-level near-duplicate detection (title/URL variants,
+    OCR noise) that token-set methods (q17/q18) miss.
+
+    Completeness argument for the blocking: edit distance <= d implies
+    length difference <= d, so with length bands of width ``band`` >= d+1
+    any qualifying pair lands in the same or adjacent band. Each row is
+    emitted to its own band and the next one; the pair join is then EQUI on
+    the band id (distinct'd, since a pair can meet in two bands) — never
+    corpus x corpus. For corpora with near-uniform lengths the band
+    degenerates; compose with minhash_lsh_candidates as a candidate
+    prefilter in that regime. O(len^2) DP cost per surviving candidate is
+    the budget knob: apply to titles/prefixes, not whole documents.
+    """
+    if band is None:
+        band = max_dist + 1
+    vals = docs.select(
+        F.col(id_col).alias("vid"),
+        F.col(text_col).alias("txt"),
+        F.floor(F.length(text_col) / band).cast("long").alias("b0"),
+    )
+    banded = vals.select(
+        "vid", "txt", F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("blk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.txt").alias("ta"),
+            F.col("b.txt").alias("tb"),
+        )
+        .distinct()  # a pair can collide in two adjacent bands
+        .where(F.abs(F.length("ta") - F.length("tb")) <= max_dist)  # cheap gate
+        .select(
+            "id_a", "id_b", F.levenshtein("ta", "tb").alias("dist")
+        )
+        .where(F.col("dist") <= max_dist)
+    )

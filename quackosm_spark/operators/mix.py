@@ -138,3 +138,26 @@ def budget_sample(
     return d.withColumn("cum_before", cum - F.col("n_tokens")).where(
         F.col("cum_before") < budget
     )
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-n-per-group deterministic sample: rank rows inside each group
+    by (md5(id), id) — a reproducible shuffle order with zero RNG — and keep
+    the first ``n``. Groups smaller than ``n`` are kept whole.
+
+    One shuffle on the group key; the window is per-group so no global sort.
+    Unlike ``deterministic_sample`` (rate-based, scan-stage predicate) this
+    guarantees an exact per-group count, which costs the shuffle."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

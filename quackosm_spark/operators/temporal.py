@@ -17,7 +17,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "exact_quantiles", "lag_deltas"]
+__all__ = ["asof_join", "interval_join", "exact_quantiles", "lag_deltas", "latest_by_key"]
 
 
 def asof_join(
@@ -183,3 +183,21 @@ def lag_deltas(
             "gap_us", F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
         )
     return out
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Most-recent row per key — the SCD-type-1 / "current state" reduction
+    over an event log, via ``max_by(struct(payload), struct(order))``: a true
+    partial aggregate (per-partition maxima merged on the reducer), so unlike
+    the row_number-window formulation it map-side combines and never
+    materializes the per-key sort. Ties resolve by the struct order of
+    ``order_cols`` (make the last one a unique id for determinism)."""
+    payload = [c for c in df.columns if c not in key_cols]
+    ordv = F.struct(*[F.col(c) for c in order_cols])
+    agg = F.max_by(F.struct(*[F.col(c) for c in payload]), ordv).alias("__top")
+    out = df.groupBy(*key_cols).agg(agg)
+    return out.select(*key_cols, *[F.col(f"__top.{c}").alias(c) for c in payload])

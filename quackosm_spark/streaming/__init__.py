@@ -191,3 +191,38 @@ def dedup_events_stream(
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def enrich_events(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes (user tier, account metadata) to the event stream.
+
+    The static side is BROADCAST — in streaming mode Spark re-plans the
+    static relation per micro-batch (picking up dim updates between
+    batches) and ships it to executors without shuffling the stream; the
+    stream side needs no watermark because stream-static joins are
+    stateless. Works identically on a batch DataFrame (unified API)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def enriched_windowed_value(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    group_col: str = "tier",
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Windowed per-dimension-attribute aggregate over the enriched stream —
+    the canonical "revenue per customer tier per hour" streaming shape:
+    stateless broadcast join, then ONE stateful shuffle on
+    (window, attribute) with partial aggregation."""
+    joined = enrich_events(events, dim, on)
+    with_wm = (
+        joined.withWatermark("ts", watermark_delay) if joined.isStreaming else joined
+    )
+    return (
+        with_wm.groupBy(F.window("ts", window_duration).alias("w"), group_col)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), group_col, "n", "sum_value")
+    )

@@ -132,3 +132,67 @@ def test_lag_deltas_first_row_null_and_gaps(spark):
     assert out[1].delta is None and out[1].gap_us is None
     assert out[2].delta == 3.0 and out[2].gap_us == 1_000_000
     assert out[3].delta is None  # first (only) row of its user
+
+
+def test_edit_distance_pairs_cross_band_complete(spark):
+    from quackosm_spark.operators.dedup import edit_distance_pairs
+
+    # lengths 9 and 11 land in different bands (band=3: blocks 3 vs 3 — make
+    # them straddle: lengths 8 and 11 → blocks 2 and 3 with band 3)
+    d = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),        # len 8  → band 2 (and 3)
+            (2, "aaaaaaaa aa"),     # len 11 → band 3 (and 4); dist 3
+            (3, "zzzzzzzzzzzz"),    # unrelated
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {(r.id_a, r.id_b): r.dist for r in
+           edit_distance_pairs(d, max_dist=3, band=3).collect()}
+    assert out == {(1, 2): 3}  # found despite different home bands
+
+
+def test_edit_distance_pairs_identical_and_threshold(spark):
+    from quackosm_spark.operators.dedup import edit_distance_pairs
+
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "hello w0rld"), (4, "goodbye")],
+        "doc_id LONG, text STRING",
+    )
+    out = {(r.id_a, r.id_b): r.dist for r in
+           edit_distance_pairs(d, max_dist=1).collect()}
+    assert out[(1, 2)] == 0 and out[(1, 3)] == 1 and out[(2, 3)] == 1
+    assert all(4 not in pair for pair in out)
+
+
+def test_stratified_fixed_n_exact_counts(spark):
+    from quackosm_spark.operators.mix import stratified_fixed_n
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id LONG, grp STRING")
+    out = stratified_fixed_n(d, "grp", 10).groupBy("grp").count().collect()
+    counts = {r.grp: r["count"] for r in out}
+    assert counts == {"big": 10, "small": 3}  # small group kept whole
+    # deterministic: same rows on re-run
+    a = sorted(r.doc_id for r in stratified_fixed_n(d, "grp", 10).collect())
+    b = sorted(r.doc_id for r in stratified_fixed_n(d, "grp", 10).collect())
+    assert a == b
+
+
+def test_latest_by_key_ties_and_payload(spark):
+    from quackosm_spark.operators.temporal import latest_by_key
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, 1.0),
+            (2, "2024-01-02 00:00:00", 7, 2.0),
+            (3, "2024-01-02 00:00:00", 7, 3.0),  # same ts, higher id wins
+            (4, "2024-01-01 00:00:00", 8, 9.0),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, value DOUBLE",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+    out = {r.user_id: r for r in
+           latest_by_key(ev, ["user_id"], ["ts", "event_id"]).collect()}
+    assert out[7].event_id == 3 and out[7].value == 3.0
+    assert out[8].event_id == 4
+    assert set(out[7].asDict()) == {"user_id", "event_id", "ts", "value"}

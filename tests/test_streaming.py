@@ -224,3 +224,24 @@ def test_filter_quality_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM quality_stream").collect()}
     assert got == {1}
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_batch, events_dir):
+    from quackosm_spark.streaming import enriched_windowed_value
+
+    dim = (
+        events_batch.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark, enriched_windowed_value(stream, dim), "enriched_win"
+    ).collect()
+
+    expect = {
+        (r["window_start"], r["tier"]): (r["n"], r["sum_value"])
+        for r in enriched_windowed_value(events_batch, dim).collect()
+    }
+    assert len(got) == len(expect) > 0
+    for r in got:
+        assert expect[(r["window_start"], r["tier"])] == (r["n"], r["sum_value"])
