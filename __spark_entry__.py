@@ -851,6 +851,18 @@ def q58_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_value_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-mean spike detection via a window FRAME (rows between
+    unbounded preceding and 1 preceding) — frame-spec coverage beyond the
+    reference's row_number-only window usage; streaming twin runs on
+    transformWithStateInPandas."""
+    from quackosm_spark.operators.temporal import value_spikes
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = value_spikes(ev, ["user_id"], ["ts", "event_id"], factor=2.0, min_prev=3)
+    return out.select("event_id", "user_id", "spike")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -911,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_edit_distance_pairs": q56_edit_distance_pairs,
         "q57_stratified_fixed_n": q57_stratified_fixed_n,
         "q58_latest_event_per_user": q58_latest_event_per_user,
+        "q59_value_spikes": q59_value_spikes,
     }
 
 
@@ -1637,6 +1650,18 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
             ) = 1
+        """,
+        "q59_value_spikes": """
+            SELECT event_id, user_id,
+                   (cnt >= 3 AND value > 2.0 * mean) AS spike
+            FROM (
+                SELECT event_id, user_id, value,
+                       avg(value) OVER w AS mean,
+                       count(value) OVER w AS cnt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

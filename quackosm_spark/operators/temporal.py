@@ -201,3 +201,34 @@ def latest_by_key(
     agg = F.max_by(F.struct(*[F.col(c) for c in payload]), ordv).alias("__top")
     out = df.groupBy(*key_cols).agg(agg)
     return out.select(*key_cols, *[F.col(f"__top.{c}").alias(c) for c in payload])
+
+
+def value_spikes(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str = "value",
+    factor: float = 2.0,
+    min_prev: int = 3,
+) -> DataFrame:
+    """Flag rows whose value exceeds ``factor`` x the running mean of all
+    STRICTLY-EARLIER rows of the same key (frame spec: ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING — the reference uses no window
+    frames at all, SURVEY §2.5). Rows with fewer than ``min_prev``
+    predecessors are never flagged (cold start).
+
+    One shuffle on the key + one ordered window pass; the running mean is
+    O(1) per row (sum/count frame aggregates, no re-scan). The streaming
+    twin is ``streaming.flag_spikes_stream`` (transformWithStateInPandas),
+    which carries (n, sum) as keyed state instead of a window frame."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_mean = F.avg(value_col).over(w)
+    prev_n = F.count(value_col).over(w)
+    return df.withColumn(
+        "spike",
+        (prev_n >= min_prev) & (F.col(value_col) > factor * prev_mean),
+    )

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -225,4 +226,73 @@ def enriched_windowed_value(
         with_wm.groupBy(F.window("ts", window_duration).alias("w"), group_col)
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), group_col, "n", "sum_value")
+    )
+
+
+_SPIKE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("spike", BooleanType()),
+    ]
+)
+
+
+def flag_spikes_stream(
+    events: DataFrame,
+    factor: float = 2.0,
+    min_prev: int = 3,
+) -> DataFrame:
+    """Streaming anomaly flagging on the Spark 4 ``transformWithStateInPandas``
+    API: per user, flag events whose value exceeds ``factor`` x the running
+    mean of all earlier events; keyed ValueState carries (n, sum) across
+    micro-batches (O(1) state per user — no event history retained).
+
+    Batch-mode parity: ``operators.temporal.value_spikes`` computes the same
+    flags with a window frame; the stream test asserts equality. Rows inside
+    a micro-batch are processed in (ts, event_id) order.
+
+    Requires the ``protobuf`` package (the transformWithState state-server
+    protocol is protobuf-based); raises ImportError with guidance if absent —
+    ``applyInPandasWithState`` (see sessionize_stream) has no such
+    dependency and remains the fallback API."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "flag_spikes_stream needs the 'protobuf' package "
+            "(transformWithStateInPandas state protocol); install protobuf "
+            "or use the applyInPandasWithState-based operators instead"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _SpikeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", StructType([StructField("n", LongType()), StructField("s", DoubleType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            if self._state.exists():
+                n, s = self._state.get()
+            else:
+                n, s = 0, 0.0
+            flags = []
+            for v in pdf["value"]:
+                flags.append(bool(n >= min_prev and v > factor * (s / n)))
+                n += 1
+                s += float(v)
+            self._state.update((n, s))
+            out = pdf.assign(spike=flags)[["event_id", "user_id", "spike"]]
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_SpikeProcessor(),
+        outputStructType=_SPIKE_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )

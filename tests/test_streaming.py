@@ -245,3 +245,45 @@ def test_stream_static_enrichment_matches_batch(spark, events_batch, events_dir)
     assert len(got) == len(expect) > 0
     for r in got:
         assert expect[(r["window_start"], r["tier"])] == (r["n"], r["sum_value"])
+
+
+def test_spike_flags_stream_matches_batch_window(spark, events_batch, events_dir):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from quackosm_spark.operators.temporal import value_spikes
+    from quackosm_spark.streaming import flag_spikes_stream
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        flag_spikes_stream(stream, factor=2.0, min_prev=3)
+        .writeStream.format("memory")
+        .queryName("spikes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.spike for r in spark.sql("SELECT * FROM spikes").collect()}
+
+    batch = value_spikes(
+        events_batch.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], ["ts", "event_id"], factor=2.0, min_prev=3,
+    )
+    expect = {r.event_id: bool(r.spike) for r in batch.collect()}
+    assert len(got) == len(expect) > 0
+    assert sum(got.values()) > 0  # some spikes actually fire
+    assert got == expect
+
+
+def test_flag_spikes_stream_gated_without_protobuf(spark):
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf present; gating path not reachable")
+    except ImportError:
+        pass
+    from quackosm_spark.streaming import flag_spikes_stream, read_events_stream as _r
+
+    with pytest.raises(ImportError, match="protobuf"):
+        flag_spikes_stream(spark.read.json(spark.sparkContext.parallelize(['{"user_id":1}'])))

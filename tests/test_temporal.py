@@ -181,3 +181,19 @@ def test_exact_quantiles_interpolation(spark):
     got = {r.g: (r.p50, r.p95) for r in out.collect()}
     assert got["a"] == (2.5, 3.85)  # (n-1)*q linear interpolation
     assert got["b"] == (10.0, 10.0)
+
+
+def test_value_spikes_running_mean_and_cold_start(spark):
+    from quackosm_spark.operators.temporal import value_spikes
+
+    rows = [
+        (1, 7, 1.0), (2, 7, 1.0), (3, 7, 1.0),   # cold start: never flagged
+        (4, 7, 10.0),                              # mean(1,1,1)=1 → 10 > 2 → spike
+        (5, 7, 3.0),                               # mean(1,1,1,10)=3.25 → no
+        (6, 8, 100.0),                             # lone event → no
+    ]
+    ev = spark.createDataFrame(rows, "event_id LONG, user_id LONG, value DOUBLE") \
+        .withColumn("ts", F.timestamp_micros(F.col("event_id") * 1_000_000))
+    out = {r.event_id: bool(r.spike) for r in
+           value_spikes(ev, ["user_id"], ["ts", "event_id"]).collect()}
+    assert out == {1: False, 2: False, 3: False, 4: True, 5: False, 6: False}
