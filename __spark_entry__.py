@@ -863,6 +863,26 @@ def q59_value_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "spike")
 
 
+_Q61_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q60_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles (ntile + percent_rank — ranking
+    functions beyond the reference's row_number-only usage); window
+    partitioned by lang so groups rank in parallel."""
+    from quackosm_spark.operators.stats import quality_deciles
+
+    return quality_deciles(_t(spark, sf_dir, "documents"))
+
+
+def q61_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language cross-tab via pivot with an EXPLICIT value list
+    (no distinct-values pre-job, bounded output width)."""
+    from quackosm_spark.operators.stats import pivot_counts
+
+    return pivot_counts(_t(spark, sf_dir, "documents"), pivot_values=_Q61_LANGS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -924,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_stratified_fixed_n": q57_stratified_fixed_n,
         "q58_latest_event_per_user": q58_latest_event_per_user,
         "q59_value_spikes": q59_value_spikes,
+        "q60_quality_deciles": q60_quality_deciles,
+        "q61_pivot_counts": q61_pivot_counts,
     }
 
 
@@ -945,6 +967,18 @@ def _hash64_sql(expr: str) -> str:
 def _hashed_shingles_sql(text_expr: str, k: int = 5) -> str:
     """Mirror of dedup.hashed_shingles: one md5 per shingle → distinct bigints."""
     return f"list_distinct(list_transform({_shingles_sql(text_expr, k)}, s -> {_hash64_sql('s')}))"
+
+
+#: DuckDB replica of text.quality_score (shared by q21 inline copy and q60)
+_QUALITY_SQL = """round(
+                       least(length(text) / 500.0, 1.0)
+                       * (CASE WHEN length(text) = 0 THEN 0.0
+                               ELSE length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                                    / length(text)::DOUBLE END)
+                       * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                                ELSE length(regexp_replace(text, '[0-9A-Za-z\\s]', '', 'g'))
+                                     / length(text)::DOUBLE END),
+                   6)"""
 
 
 def _bm25_oracle() -> str:
@@ -1662,6 +1696,23 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
             )
+        """,
+        "q60_quality_deciles": f"""
+            WITH q AS (
+                SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM documents
+            )
+            SELECT doc_id, lang, quality,
+                   ntile(10) OVER w AS decile,
+                   round(percent_rank() OVER w, 6) AS pct_rank
+            FROM q
+            WINDOW w AS (PARTITION BY lang ORDER BY quality, doc_id)
+        """,
+        "q61_pivot_counts": f"""
+            SELECT source,
+                   {", ".join(
+                       f"count(*) FILTER (lang = '{lg}') AS {lg}" for lg in _Q61_LANGS
+                   )}
+            FROM documents GROUP BY source
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

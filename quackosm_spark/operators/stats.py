@@ -10,7 +10,7 @@ many levels are reported.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from quackosm_spark.operators.text import token_count
@@ -35,4 +35,53 @@ def corpus_rollup(
             F.round(F.avg(F.length(F.col(text_col))), 4).alias("avg_chars"),
         )
         .select(*cols, "level", "n_docs", "n_tokens", "avg_chars")
+    )
+
+
+def quality_deciles(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    buckets: int = 10,
+) -> DataFrame:
+    """Per-group quality bucketing: decile (``ntile``) and exact
+    ``percent_rank`` of each document's quality score WITHIN its group —
+    the standard "train on the top-N% per language" selection signal.
+
+    The window is PARTITIONED by ``group_col`` (parallel across groups —
+    never the single-partition global-ntile anti-pattern); for a corpus
+    where one group dwarfs the cluster, switch to threshold bucketing via
+    ``temporal.exact_quantiles`` + a scan-stage comparison instead."""
+    from quackosm_spark.operators.text import quality_score
+
+    w = Window.partitionBy(group_col).orderBy(
+        quality_score(text_col), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        F.col(group_col),
+        quality_score(text_col).alias("quality"),
+        F.ntile(buckets).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def pivot_counts(
+    docs: DataFrame,
+    row_col: str = "source",
+    pivot_col: str = "lang",
+    pivot_values: list[str] | None = None,
+) -> DataFrame:
+    """Cross-tab: one row per ``row_col``, one count column per
+    ``pivot_col`` value. Passing ``pivot_values`` explicitly skips Spark's
+    extra distinct-values job AND bounds the output width (at 100 TB an
+    unbounded pivot over a high-cardinality column is a driver OOM —
+    always pass the list)."""
+    piv = docs.groupBy(row_col).pivot(pivot_col, pivot_values)
+    out = piv.agg(F.count(F.lit(1)))
+    # pivot leaves null (not 0) for absent combinations; normalize
+    value_cols = [c for c in out.columns if c != row_col]
+    return out.select(
+        row_col,
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in value_cols],
     )

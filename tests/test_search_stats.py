@@ -196,3 +196,37 @@ def test_latest_by_key_ties_and_payload(spark):
     assert out[7].event_id == 3 and out[7].value == 3.0
     assert out[8].event_id == 4
     assert set(out[7].asDict()) == {"user_id", "event_id", "ts", "value"}
+
+
+def test_quality_deciles_partitioned_ranking(spark):
+    from quackosm_spark.operators.stats import quality_deciles
+
+    rows = [(i, "word " * (i + 1), "en") for i in range(20)] + [
+        (100, "solo document here", "fr")
+    ]
+    d = spark.createDataFrame(
+        [(i, t.strip(), lg) for i, t, lg in rows], "doc_id LONG, text STRING, lang STRING"
+    )
+    out = quality_deciles(d, buckets=4).collect()
+    en = [r for r in out if r.lang == "en"]
+    fr = [r for r in out if r.lang == "fr"]
+    # ranking is within-language: the lone fr doc is its own bucket 1 / rank 0
+    assert len(fr) == 1 and fr[0].decile == 1 and fr[0].pct_rank == 0.0
+    assert {r.decile for r in en} == {1, 2, 3, 4} and len(en) == 20
+    # percent_rank monotone in quality
+    ranked = sorted(en, key=lambda r: r.quality)
+    assert all(a.pct_rank <= b.pct_rank for a, b in zip(ranked, ranked[1:]))
+
+
+def test_pivot_counts_explicit_values_and_zero_fill(spark):
+    from quackosm_spark.operators.stats import pivot_counts
+
+    d = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "web"), (3, "fr", "web"), (4, "en", "books")],
+        "doc_id LONG, lang STRING, source STRING",
+    )
+    out = {r.source: r for r in
+           pivot_counts(d, pivot_values=["en", "fr", "zh"]).collect()}
+    assert out["web"].en == 2 and out["web"].fr == 1 and out["web"].zh == 0
+    assert out["books"].en == 1 and out["books"].fr == 0
+    assert set(out["web"].asDict()) == {"source", "en", "fr", "zh"}
