@@ -1,0 +1,112 @@
+"""Differential tests: the new distributed operators vs naive pure-Python
+reference implementations on seeded random corpora (the oracle harness
+covers the DuckDB comparison; these sweep different shapes/parameters)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _random_docs(seed: int, n: int = 60):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        length = rng.randint(0, 12)
+        out.append((i, " ".join(rng.choice(WORDS) for _ in range(length))))
+    return out
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_edit_distance_pairs_matches_bruteforce(spark, seed):
+    from quackosm_spark.operators.dedup import edit_distance_pairs
+
+    docs = _random_docs(seed)
+    # short random strings over a tiny alphabet of words → plenty of pairs
+    # within distance 6, across many length bands
+    max_dist = 6
+    expected = {
+        (a_id, b_id): _lev(a, b)
+        for a_id, a in docs
+        for b_id, b in docs
+        if a_id < b_id and _lev(a, b) <= max_dist
+    }
+    d = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in edit_distance_pairs(d, max_dist=max_dist).collect()}
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed,min_docs,seg_words", [(7, 2, 2), (8, 3, 3), (9, 2, 4)])
+def test_remove_frequent_segments_matches_reference(spark, seed, min_docs, seg_words):
+    from quackosm_spark.operators.dedup import remove_frequent_segments
+
+    docs = _random_docs(seed, n=40)
+
+    def segments(text):
+        w = text.split()
+        return [(" ".join(w[i:i + seg_words]), i) for i in range(0, len(w), seg_words)]
+
+    df_count: dict[str, set] = {}
+    for did, text in docs:
+        for seg, _ in segments(text):
+            df_count.setdefault(seg, set()).add(did)
+    boiler = {s for s, ids in df_count.items() if len(ids) >= min_docs}
+    expected = {}
+    for did, text in docs:
+        kept = [s for s, _ in segments(text) if s not in boiler]
+        expected[did] = (" ".join(kept), len(kept))
+
+    d = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = remove_frequent_segments(d, seg_words=seg_words, min_docs=min_docs)
+    got = {r.doc_id: (r.text_clean, r.n_kept) for r in out.collect()}
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_bm25_matches_pure_python(spark, seed):
+    from quackosm_spark.operators.search import bm25_scores
+
+    docs = _random_docs(seed, n=50)
+    terms = ["alpha", "zeta"]
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    expected = {}
+    for did, words in toks.items():
+        score, matched = 0.0, 0
+        for t in terms:
+            tf = words.count(t)
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            if tf > 0:
+                matched += 1
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(words) / avgdl))
+        if matched:
+            expected[did] = (round(score, 4), matched)
+
+    d = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.score, r.n_matched)
+           for r in bm25_scores(d, terms).collect()}
+    assert set(got) == set(expected)
+    for did in expected:
+        assert got[did][1] == expected[did][1]
+        assert got[did][0] == pytest.approx(expected[did][0], abs=2e-4)
