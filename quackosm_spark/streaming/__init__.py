@@ -296,3 +296,40 @@ def flag_spikes_stream(
         outputMode="append",
         timeMode="none",
     )
+
+
+def join_conversions(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "3 days",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream attribution join: every (purchase, prior click) pair of
+    the same user within the attribution window.
+
+    Streaming shape: BOTH sides carry watermarks and the join condition
+    time-bounds the click relative to the purchase, so Spark can expire
+    buffered state — click state is held for attribution_window +
+    watermark_delay, purchase state for watermark_delay; without the time
+    bound a stream-stream inner join would buffer forever. One shuffle on
+    user_id for each side. Works identically on batch DataFrames (the
+    watermarks are skipped — batch joins need no state bound)."""
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", watermark_delay)
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", watermark_delay)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"), "value",
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "value")

@@ -287,3 +287,35 @@ def test_flag_spikes_stream_gated_without_protobuf(spark):
 
     with pytest.raises(ImportError, match="protobuf"):
         flag_spikes_stream(spark.read.json(spark.sparkContext.parallelize(['{"user_id":1}'])))
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, events_batch, events_dir):
+    from quackosm_spark.streaming import join_conversions
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(read_events_stream(spark, events_dir))
+    q = (
+        join_conversions(sc, sp, "3 days")
+        .writeStream.format("memory")
+        .queryName("conversions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM conversions").collect()
+    )
+
+    bc, bp = split(events_batch)
+    expect = sorted(
+        (r.purchase_id, r.click_id) for r in join_conversions(bc, bp, "3 days").collect()
+    )
+    assert len(expect) > 0
+    assert got == expect
