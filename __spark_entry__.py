@@ -883,6 +883,16 @@ def q61_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_counts(_t(spark, sf_dir, "documents"), pivot_values=_Q61_LANGS)
 
 
+def q62_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 version history from the event log (lead-window valid_from/
+    valid_to intervals; NULL valid_to = current)."""
+    from quackosm_spark.operators.temporal import history_from_events
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = history_from_events(ev, ["user_id"], ["ts", "event_id"])
+    return out.select("event_id", "user_id", "valid_from", "valid_to")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -946,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_value_spikes": q59_value_spikes,
         "q60_quality_deciles": q60_quality_deciles,
         "q61_pivot_counts": q61_pivot_counts,
+        "q62_event_history": q62_event_history,
     }
 
 
@@ -1713,6 +1724,13 @@ def oracle_sql() -> dict[str, str]:
                        f"count(*) FILTER (lang = '{lg}') AS {lg}" for lg in _Q61_LANGS
                    )}
             FROM documents GROUP BY source
+        """,
+        "q62_event_history": """
+            SELECT event_id, user_id,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to
+            FROM events
         """,
         # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
         # iterative k-means centroids — rows-only checks (omitted here by

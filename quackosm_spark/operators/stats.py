@@ -85,3 +85,25 @@ def pivot_counts(
         row_col,
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in value_cols],
     )
+
+
+def approx_distinct_counts(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ distinct counts for ``cols`` (optionally per group) —
+    the sketch path for cardinality at 100 TB: fixed-size state per
+    (group, column), map-side mergeable, one shuffle. ``rsd`` is the target
+    relative standard deviation (Spark's `approx_count_distinct` knob).
+
+    No DuckDB-hash contract by design: sketch estimates are engine-specific;
+    the unit test bounds the error against exact counts instead. Use
+    ``skew.salted_count_distinct`` when the answer must be exact."""
+    aggs = [
+        F.approx_count_distinct(c, rsd=rsd).alias(f"approx_{c}") for c in cols
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)

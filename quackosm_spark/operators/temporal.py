@@ -232,3 +232,22 @@ def value_spikes(
         "spike",
         (prev_n >= min_prev) & (F.col(value_col) > factor * prev_mean),
     )
+
+
+def history_from_events(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SCD-2-style version history from an event log: each row becomes a
+    version valid from its own timestamp until the key's NEXT row
+    (``lead``; NULL = currently valid). The inverse perspective of
+    ``lag_deltas``; with ``latest_by_key`` these three cover the
+    lag / lead / argmax family. One shuffle on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .drop(ts_col)
+    )

@@ -230,3 +230,19 @@ def test_pivot_counts_explicit_values_and_zero_fill(spark):
     assert out["web"].en == 2 and out["web"].fr == 1 and out["web"].zh == 0
     assert out["books"].en == 1 and out["books"].fr == 0
     assert set(out["web"].asDict()) == {"source", "en", "fr", "zh"}
+
+
+def test_approx_distinct_counts_within_tolerance(spark):
+    from quackosm_spark.operators.stats import approx_distinct_counts
+
+    d = spark.range(20000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") % 37).alias("g")
+    )
+    row = approx_distinct_counts(d, ["k"], rsd=0.02).collect()[0]
+    assert abs(row["approx_k"] - 1000) / 1000 < 0.06  # ~3 sigma of rsd=0.02
+    grouped = approx_distinct_counts(d, ["k"], ["g"], rsd=0.02).collect()
+    assert len(grouped) == 37
+    for r in grouped:
+        exact = 20000 // 37 + (1 if r.g < 20000 % 37 else 0)
+        # per-group distinct k is ~541; allow the same relative band
+        assert abs(r["approx_k"] - exact) / exact < 0.08

@@ -197,3 +197,18 @@ def test_value_spikes_running_mean_and_cold_start(spark):
     out = {r.event_id: bool(r.spike) for r in
            value_spikes(ev, ["user_id"], ["ts", "event_id"]).collect()}
     assert out == {1: False, 2: False, 3: False, 4: True, 5: False, 6: False}
+
+
+def test_history_from_events_intervals_chain(spark):
+    from quackosm_spark.operators.temporal import history_from_events
+
+    ev = spark.createDataFrame(
+        [(1, 7, 10), (2, 7, 20), (3, 7, 30), (4, 8, 5)],
+        "event_id LONG, user_id LONG, t LONG",
+    ).withColumn("ts", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+    out = {r.event_id: r for r in
+           history_from_events(ev, ["user_id"], ["ts", "event_id"]).collect()}
+    assert out[1].valid_to == out[2].valid_from
+    assert out[2].valid_to == out[3].valid_from
+    assert out[3].valid_to is None and out[4].valid_to is None  # current rows
+    assert "ts" not in out[1].asDict()
