@@ -86,6 +86,14 @@ def bm25_scores(
     ).collect()[0]
     n_docs = float(stats["n_docs"])
     avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+    if n_docs == 0 or avgdl == 0:
+        # empty corpus / all-empty docs: nothing can match; avoid div-by-zero
+        # in the length normalization below
+        return scored_input.select(
+            id_col,
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("n_matched"),
+        ).where(F.lit(False))
 
     score: Column = F.lit(0.0)
     n_matched: Column = F.lit(0)

@@ -246,3 +246,11 @@ def test_approx_distinct_counts_within_tolerance(spark):
         exact = 20000 // 37 + (1 if r.g < 20000 % 37 else 0)
         # per-group distinct k is ~541; allow the same relative band
         assert abs(r["approx_k"] - exact) / exact < 0.08
+
+
+def test_bm25_empty_corpus_and_all_empty_docs(spark):
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert bm25_scores(empty, ["spark"]).count() == 0
+    blank = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id LONG, text STRING")
+    out = bm25_scores(blank, ["spark"]).collect()
+    assert out == []
