@@ -482,13 +482,19 @@ def q30_relation_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: per-kind stats over an opaque binary media table
-    (deterministic synthesized payloads; engine-internal → rows-only check)."""
+    """Multimodal plumbing: per-kind stats over an opaque binary media table.
+    The synthesized payloads are arithmetic in the row index (len = 64 +
+    (i%5)*32, kind = i%3, duration = (i+1)*500 for video), so the oracle
+    reconstructs the same stats from range(120) — a full value-hash check
+    on the binary-column plumbing."""
     from quackosm_spark.operators import multimodal as M
 
     _ship_package(spark)
     media = M.synthesize_media(spark, n=120)
-    return M.media_stats(media)
+    return M.media_stats(media).select(
+        "kind", "n", "total_bytes",
+        F.round("avg_bytes", 6).alias("avg_bytes"), "max_duration_ms",
+    )
 
 
 def q32_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1732,9 +1738,27 @@ def oracle_sql() -> dict[str, str]:
                        AS valid_to
             FROM events
         """,
-        # q31_media_stats / q32_ivf_ann: engine-internal payload synthesis /
-        # iterative k-means centroids — rows-only checks (omitted here by
-        # design; see queries()).
+        # the synthesized media table is arithmetic in the row index — the
+        # oracle rebuilds the same per-kind stats from range(120)
+        "q31_media_stats": """
+            WITH m AS (
+                SELECT i,
+                       CASE i % 3 WHEN 0 THEN 'image'
+                                  WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS kind,
+                       64 + (i % 5) * 32 AS bytes,
+                       CASE WHEN i % 3 = 2 THEN (i + 1) * 500 END AS duration_ms
+                FROM range(120) t(i)
+            )
+            SELECT kind, count(*) AS n,
+                   sum(bytes)::BIGINT AS total_bytes,
+                   round(avg(bytes), 6) AS avg_bytes,
+                   max(duration_ms) AS max_duration_ms
+            FROM m GROUP BY kind
+        """,
+        # q32_ivf_ann: probed-cell recall at nprobe < num_cells is
+        # engine-defined — rows-only by design; q49 pins the same IVF
+        # machinery at full probe to the exact oracle.
     }
 
 
