@@ -1,0 +1,100 @@
+"""End-to-end corpus-curation recipe composing the operator families.
+
+The standard pre-training data pipeline, each stage an operator proven by
+its own contract query, chained lazily so Catalyst optimizes across stage
+boundaries (filters sink toward the scan; only true barriers — the dedup
+shuffles and the mixture window — materialize):
+
+    exact dedup (q16/q33) → near-dup cluster removal (q18→q37) →
+    quality/PII/language filter (q21/q38/q39) → benchmark decontamination
+    (q42) → token-budget mixture (q47) → sequence packing (q40)
+
+Every stage is optional; ``curate_corpus`` returns the curated DataFrame
+plus a per-stage surviving-row report (computed with ONE count per enabled
+stage — at 100 TB run with report=False and count only the final output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quackosm_spark.operators import dedup as D
+from quackosm_spark.operators import mix as X
+from quackosm_spark.operators import text as T
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup: bool = True,
+    min_quality: float = 0.05,
+    max_repetition: float = 0.6,
+    min_tokens: int = 5,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 10_000,
+    pack_capacity: int | None = None,
+    report: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the curation chain; returns (curated_df, stage_report).
+
+    ``benchmark``: held-out eval docs whose word 5-grams must not leak into
+    training (drops any doc sharing one). ``budgets``: per-source token caps
+    (see mix.budget_sample). ``pack_capacity``: when set, append (stream,
+    bin) packing slots instead of dropping columns.
+    """
+    stages: dict[str, int] = {}
+
+    def _note(name: str, df: DataFrame) -> DataFrame:
+        if report:
+            stages[name] = df.count()
+        return df
+
+    out = _note("input", docs)
+
+    # 1. exact dedup: keep smallest id per md5(text)
+    out = _note("exact_dedup", D.drop_exact_duplicates(out, id_col, text_col))
+
+    # 2. near-dup removal: minhash-LSH candidates → transitive clusters →
+    #    keep each cluster's smallest id
+    if near_dup:
+        pairs = D.minhash_lsh_candidates(out, id_col, text_col)
+        clusters = D.neardup_clusters(pairs, "doc_a", "doc_b")
+        losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        out = _note("near_dedup", out.join(losers, id_col, "left_anti"))
+
+    # 3. quality filter (single scan-stage predicate)
+    out = _note(
+        "quality",
+        T.filter_quality(
+            out,
+            text_col,
+            min_quality=min_quality,
+            max_repetition=max_repetition,
+            min_tokens=min_tokens,
+        ),
+    )
+
+    # 4. decontamination vs the benchmark set
+    if benchmark is not None:
+        flagged = D.contamination_matches(out, benchmark, id_col, text_col).select(
+            F.col("doc_id").alias(id_col)
+        )
+        out = _note("decontaminated", out.join(flagged, id_col, "left_anti"))
+
+    # 5. per-source token budgets in deterministic shuffle order
+    if budgets is not None:
+        out = _note(
+            "budget_mix",
+            X.budget_sample(out, budgets, default_budget=default_budget),
+        )
+
+    # 6. sequence packing
+    if pack_capacity is not None:
+        out = _note("packed", X.pack_sequences(out, capacity=pack_capacity))
+
+    return out, stages
