@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the scale-critical plan shapes asserted
+by SCALE.md must survive refactors. Each test inspects the executed/compiled
+plan string rather than timing (stable under CI load)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_segment_dedup_boilerplate_broadcasts(docs):
+    from quackosm_spark.operators.dedup import remove_frequent_segments
+
+    plan = _plan(remove_frequent_segments(docs, seg_words=3, min_docs=3))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_latest_by_key_partial_aggregates_before_exchange(events):
+    from quackosm_spark.operators.temporal import latest_by_key
+
+    plan = _plan(latest_by_key(events.select("event_id", "user_id", "ts", "value"),
+                               ["user_id"], ["ts", "event_id"]))
+    # partial max_by must appear (map-side combine), and only once shuffled
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_asof_join_single_exchange_no_join_node(events):
+    from quackosm_spark.operators.temporal import asof_join
+
+    ev = events.select("event_id", "user_id", "ts", "value")
+    out = asof_join(ev, ev, on="user_id", left_ts="ts", right_ts="ts",
+                    value_cols={"value": "prev_value"}, strict=True)
+    plan = _plan(out)
+    assert "Join" not in plan  # union+window formulation: no join operator
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_deterministic_sample_is_scan_stage_filter(docs):
+    from quackosm_spark.operators.mix import deterministic_sample
+
+    plan = _plan(deterministic_sample(docs, rates={"en": 0.5}, default_rate=0.1))
+    assert "Exchange" not in plan  # pure predicate: zero shuffles
+
+
+def test_bm25_scoring_has_no_explode_or_join(docs):
+    from quackosm_spark.operators.search import bm25_scores
+
+    plan = _plan(bm25_scores(docs, ["spark", "window"]))
+    assert "Generate explode" not in plan and "Join" not in plan
+
+
+def test_contamination_benchmark_side_broadcasts(docs):
+    from quackosm_spark.operators.dedup import contamination_matches
+
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    plan = _plan(contamination_matches(train, benchmark, n=3))
+    assert "BroadcastHashJoin" in plan
