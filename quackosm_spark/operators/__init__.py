@@ -1,14 +1,48 @@
 """Large-scale data-pipeline operators.
 
-- ``dedup``      — exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine
+- ``dedup``      — exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+                   cosine, transitive clustering, decontamination, CCNet
+                   segment-level, SemDeDup, edit-distance
 - ``similarity`` — brute-force / LSH-bucketed / IVF / GEMM-vectorized ANN
+- ``search``     — BM25 keyword scoring / top-k retrieval
 - ``text``       — language ID, quality scoring, token counting, fingerprinting,
-                   repetition ratio, PII detection/redaction
-- ``mix``        — training-mix construction: sequence packing, deterministic sampling
+                   repetition ratio, PII detection/redaction, boilerplate n-grams
+- ``stats``      — corpus rollups (grouping sets), pivot cross-tabs, quality
+                   deciles, HLL++ approximate distinct counts
+- ``mix``        — training-mix construction: sequence packing, deterministic /
+                   fixed-n sampling, token-budget mixtures
+- ``temporal``   — as-of join, interval join, exact quantiles, lag/lead deltas,
+                   latest-per-key, SCD-2 history, spike detection
+- ``skew``       — salted join / salted count-distinct
 - ``multimodal`` — opaque-binary media columns: decode/feature/resize/frame ops
 - ``osm``        — OSM corpus statistics (taginfo-style histograms)
+- ``recipes``    — end-to-end corpus-curation chain composing the above
 """
 
-from quackosm_spark.operators import dedup, mix, multimodal, osm, similarity, text
+from quackosm_spark.operators import (
+    dedup,
+    mix,
+    multimodal,
+    osm,
+    recipes,
+    search,
+    similarity,
+    skew,
+    stats,
+    temporal,
+    text,
+)
 
-__all__ = ["dedup", "mix", "multimodal", "osm", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "mix",
+    "multimodal",
+    "osm",
+    "recipes",
+    "search",
+    "similarity",
+    "skew",
+    "stats",
+    "temporal",
+    "text",
+]
