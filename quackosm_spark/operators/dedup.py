@@ -617,6 +617,11 @@ def edit_distance_pairs(
     """
     if band is None:
         band = max_dist + 1
+    if band < max(max_dist, 1):
+        # adjacent-band emission only catches pairs whose blocks differ by
+        # <= 1, which needs band >= max_dist (else a qualifying pair can
+        # straddle two band boundaries and never meet)
+        raise ValueError(f"band ({band}) must be >= max_dist ({max_dist})")
     vals = docs.select(
         F.col(id_col).alias("vid"),
         F.col(text_col).alias("txt"),

@@ -254,3 +254,11 @@ def test_bm25_empty_corpus_and_all_empty_docs(spark):
     blank = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id LONG, text STRING")
     out = bm25_scores(blank, ["spark"]).collect()
     assert out == []
+
+
+def test_edit_distance_pairs_rejects_incomplete_band(spark):
+    from quackosm_spark.operators.dedup import edit_distance_pairs
+
+    d = spark.createDataFrame([(1, "abc")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="band"):
+        edit_distance_pairs(d, max_dist=4, band=3)
