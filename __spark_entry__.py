@@ -599,7 +599,7 @@ def q40_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return M.pack_sequences(
         _t(spark, sf_dir, "documents"), capacity=2048, num_streams=64
-    )
+    ).select("doc_id", "stream", "bin_id", "n_tokens")
 
 
 def q41_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -646,3 +646,42 @@ def edit_distance_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def verify_candidate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    min_jaccard: float = 0.8,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact-similarity confirmation of LSH candidate pairs: compute the true
+    shingle-set jaccard for JUST the candidates and keep pairs >=
+    ``min_jaccard``. This is the standard verify step between banding and
+    cluster-removal — a single band collision is only probabilistic evidence,
+    and dropping documents on unverified candidates deletes unique data.
+
+    Cost: two joins of the (small) candidate set against the per-doc hashed
+    shingle arrays — the corpus is scanned once for shingles; no pair
+    explosion beyond the candidates themselves. Returns
+    (a_col, b_col, jaccard)."""
+    hs = _spread(docs).select(
+        F.col(id_col).alias("vid"),
+        hashed_shingles(F.col(text_col), shingle).alias("hs"),
+    )
+    out = (
+        pairs.join(hs.select(F.col("vid").alias(a_col), F.col("hs").alias("hs_a")), a_col)
+        .join(hs.select(F.col("vid").alias(b_col), F.col("hs").alias("hs_b")), b_col)
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        out.select(
+            a_col, b_col,
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

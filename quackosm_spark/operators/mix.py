@@ -35,28 +35,23 @@ def pack_sequences(
     Scale shape: the cumulative-sum window is PARTITIONED by stream, so
     packing parallelizes across ``num_streams`` independent windows instead
     of one global orderBy (the naive formulation would serialize the whole
-    corpus through a single partition). Returns
-    (doc_id, stream, bin_id, n_tokens).
+    corpus through a single partition). APPENDS (stream, bin_id, n_tokens)
+    to the input columns — payload columns (text, source, ...) pass through.
     """
     tokens = (
         token_count("text") if tokens_col is None else F.col(tokens_col)
     ).cast("bigint")
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.pmod(F.col(id_col), F.lit(num_streams)).alias("stream"),
-        tokens.alias("n_tokens"),
-    )
+    d = docs.withColumn(
+        "stream", F.pmod(F.col(id_col), F.lit(num_streams))
+    ).withColumn("n_tokens", tokens)
     w = (
         Window.partitionBy("stream")
-        .orderBy("doc_id")
+        .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    return d.select(
-        "doc_id",
-        "stream",
-        F.floor((cum - F.col("n_tokens")) / capacity).alias("bin_id"),
-        "n_tokens",
+    return d.withColumn(
+        "bin_id", F.floor((cum - F.col("n_tokens")) / capacity)
     )
 
 

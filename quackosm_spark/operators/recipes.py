@@ -5,13 +5,16 @@ its own contract query, chained lazily so Catalyst optimizes across stage
 boundaries (filters sink toward the scan; only true barriers — the dedup
 shuffles and the mixture window — materialize):
 
-    exact dedup (q16/q33) → near-dup cluster removal (q18→q37) →
-    quality/PII/language filter (q21/q38/q39) → benchmark decontamination
-    (q42) → token-budget mixture (q47) → sequence packing (q40)
+    exact dedup (q16/q33) → near-dup removal (q18 candidates, exact-jaccard
+    verified, → q37 clusters) → quality/PII/language filter (q21/q38/q39) →
+    benchmark decontamination (q42) → token-budget mixture (q47) →
+    sequence packing (q40)
 
 Every stage is optional; ``curate_corpus`` returns the curated DataFrame
-plus a per-stage surviving-row report (computed with ONE count per enabled
-stage — at 100 TB run with report=False and count only the final output).
+plus a per-stage surviving-row report. With report=True each stage is
+persisted then counted once (so later counts read the cache, not a replay
+of the whole upstream chain); at 100 TB run report=False and count only
+the final output.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     near_dup: bool = True,
+    min_jaccard: float = 0.8,
     min_quality: float = 0.05,
     max_repetition: float = 0.6,
     min_tokens: int = 5,
@@ -46,10 +50,20 @@ def curate_corpus(
     bin) packing slots instead of dropping columns.
     """
     stages: dict[str, int] = {}
+    _cached: list[DataFrame] = []
 
     def _note(name: str, df: DataFrame) -> DataFrame:
         if report:
+            # persist before counting so the NEXT stage's count reads this
+            # stage's cache instead of replaying the whole upstream chain
+            # (the LSH self-join would otherwise re-execute once per later
+            # stage); the previous stage's cache is dropped once this one
+            # is materialized
+            df = df.persist()
             stages[name] = df.count()
+            if _cached:
+                _cached.pop().unpersist()
+            _cached.append(df)
         return df
 
     out = _note("input", docs)
@@ -57,10 +71,15 @@ def curate_corpus(
     # 1. exact dedup: keep smallest id per md5(text)
     out = _note("exact_dedup", D.drop_exact_duplicates(out, id_col, text_col))
 
-    # 2. near-dup removal: minhash-LSH candidates → transitive clusters →
-    #    keep each cluster's smallest id
+    # 2. near-dup removal: minhash-LSH candidates → EXACT jaccard
+    #    verification (a band collision alone is probabilistic evidence —
+    #    never delete data on it) → transitive clusters → keep each
+    #    cluster's smallest id
     if near_dup:
-        pairs = D.minhash_lsh_candidates(out, id_col, text_col)
+        candidates = D.minhash_lsh_candidates(out, id_col, text_col)
+        pairs = D.verify_candidate_pairs(
+            out, candidates, id_col, text_col, min_jaccard=min_jaccard
+        )
         clusters = D.neardup_clusters(pairs, "doc_a", "doc_b")
         losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
             F.col("doc_id").alias(id_col)

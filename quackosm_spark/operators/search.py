@@ -39,6 +39,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    persist: bool = False,
 ) -> DataFrame:
     """Score every document against ``query_terms`` with Lucene-flavored BM25
     (idf = ln(1 + (N - df + 0.5)/(df + 0.5))). Returns
@@ -72,9 +73,13 @@ def bm25_scores(
         F.col("f.dl").alias("dl"),
         *[F.col("f.tf")[i].alias(f"tf_{i}") for i in range(len(terms))],
     )
-    # two actions consume scored_input (stats, then scoring) — persist so the
-    # tokenize+fold pass runs once; the projection is a few ints per doc
-    scored_input = scored_input.persist()
+    # two actions consume scored_input (stats, then scoring). With
+    # persist=True the tokenize+fold pass runs once — right for a single
+    # huge-corpus query, but the cache outlives the call (Spark offers no
+    # scoped unpersist on a returned DataFrame), so the default recomputes
+    # (one extra map pass) and leaks nothing in loops/services.
+    if persist:
+        scored_input = scored_input.persist()
 
     stats = scored_input.agg(
         F.count("*").alias("n_docs"),
@@ -123,11 +128,12 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    persist: bool = False,
 ) -> DataFrame:
     """Top-k BM25 matches, deterministic tie-break on id. The limit is a
     TakeOrderedAndProject physical op — per-partition top-k then a single
     driver merge, never a global sort."""
-    scored = bm25_scores(docs, query_terms, id_col, text_col, k1, b)
+    scored = bm25_scores(docs, query_terms, id_col, text_col, k1, b, persist)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 

@@ -43,6 +43,7 @@ def quality_deciles(
     group_col: str = "lang",
     text_col: str = "text",
     buckets: int = 10,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-group quality bucketing: decile (``ntile``) and exact
     ``percent_rank`` of each document's quality score WITHIN its group —
@@ -55,10 +56,10 @@ def quality_deciles(
     from quackosm_spark.operators.text import quality_score
 
     w = Window.partitionBy(group_col).orderBy(
-        quality_score(text_col), F.col("doc_id")
+        quality_score(text_col), F.col(id_col)
     )
     return docs.select(
-        "doc_id",
+        id_col,
         F.col(group_col),
         quality_score(text_col).alias("quality"),
         F.ntile(buckets).over(w).alias("decile"),

@@ -280,7 +280,9 @@ def flag_spikes_stream(
                 n, s = 0, 0.0
             flags = []
             for v in pdf["value"]:
-                flags.append(bool(n >= min_prev and v > factor * (s / n)))
+                # n > 0 guard matches the batch twin: a NULL running mean
+                # (no predecessors) never flags, even with min_prev=0
+                flags.append(bool(n > 0 and n >= min_prev and v > factor * (s / n)))
                 n += 1
                 s += float(v)
             self._state.update((n, s))

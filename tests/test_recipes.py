@@ -47,3 +47,33 @@ def test_curate_corpus_minimal_stages(spark):
     out, report = curate_corpus(docs, near_dup=False, report=True)
     assert list(report) == ["input", "exact_dedup", "quality"]
     assert out.count() == report["quality"] > 0
+
+
+def test_pack_sequences_passes_payload_columns_through(spark):
+    from quackosm_spark.operators.mix import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, "a b c", "web"), (2, "d e", "books")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = pack_sequences(d, capacity=4, num_streams=1)
+    assert {"doc_id", "text", "source", "stream", "bin_id", "n_tokens"} <= set(out.columns)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].source == "web" and rows[2].bin_id == 0
+
+
+def test_verified_near_dedup_keeps_dissimilar_collisions(spark):
+    from quackosm_spark.operators.dedup import verify_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words")],
+        "doc_id LONG, text STRING",
+    )
+    # fake candidate pairs: a true dup pair and a false collision
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a LONG, doc_b LONG"
+    )
+    kept = {(r.doc_a, r.doc_b): r.jaccard
+            for r in verify_candidate_pairs(docs, pairs, min_jaccard=0.8).collect()}
+    assert kept == {(1, 2): 1.0}  # false collision filtered out
