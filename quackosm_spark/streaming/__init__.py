@@ -335,3 +335,29 @@ def join_conversions(
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "value")
+
+
+def write_events_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming parquet sink: the checkpoint records source
+    offsets + sink epoch, so a crashed/restarted query resumes without
+    duplicating rows (restart with the same checkpoint after completion is
+    a no-op). Returns the StreamingQuery; await it with
+    ``q.awaitTermination()``.
+
+    This is the native-sink path; for GeoParquet footer stamping wrap the
+    batch write in ``foreachBatch`` with ``sinks.geoparquet`` instead —
+    same checkpoint semantics, custom writer."""
+    writer = (
+        events.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

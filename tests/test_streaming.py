@@ -319,3 +319,22 @@ def test_stream_stream_conversion_join_matches_batch(spark, events_batch, events
     )
     assert len(expect) > 0
     assert got == expect
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, events_batch, events_dir, tmp_path):
+    from quackosm_spark.streaming import write_events_stream
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n_src = events_batch.count()
+
+    q = write_events_stream(read_events_stream(spark, events_dir), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_src
+
+    # restart with the same checkpoint: offsets already committed → no dupes
+    q2 = write_events_stream(read_events_stream(spark, events_dir), out, ckpt)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
