@@ -1,0 +1,77 @@
+"""CLI for the training-corpus curation chain (operators.recipes).
+
+``python -m quackosm_spark.curate_cli corpus.parquet -o out_dir`` runs
+exact dedup → verified near-dedup → quality filter → optional
+decontamination / token budgets / packing, prints the per-stage report,
+and writes the curated corpus as zstd parquet.
+
+This is an addition beyond the reference's CLI (which only converts OSM
+data); the conversion surface lives in ``quackosm_spark.cli``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="quackosm-spark-curate",
+        description="Curate a document corpus for LLM training.",
+    )
+    p.add_argument("corpus", help="Input parquet path (doc_id, text, ... columns)")
+    p.add_argument("--output", "-o", required=True, help="Output parquet directory")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--benchmark", help="Parquet path of held-out eval docs to decontaminate against")
+    p.add_argument("--no-near-dup", dest="near_dup", action="store_false")
+    p.add_argument("--min-jaccard", type=float, default=0.8,
+                   help="Exact-jaccard confirmation threshold for LSH candidates")
+    p.add_argument("--min-quality", type=float, default=0.05)
+    p.add_argument("--max-repetition", type=float, default=0.6)
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--budgets", help='Per-source token budgets as JSON, e.g. \'{"web": 1000000}\'')
+    p.add_argument("--default-budget", type=int, default=10_000)
+    p.add_argument("--pack-capacity", type=int, help="Sequence-packing token capacity")
+    p.add_argument("--no-report", dest="report", action="store_false",
+                   help="Skip per-stage counts (one less action per stage; use at scale)")
+    return p
+
+
+def main(argv: Optional[list[str]] = None) -> str:
+    args = build_parser().parse_args(argv)
+    from quackosm_spark.operators.recipes import curate_corpus
+    from quackosm_spark.session import get_spark
+
+    spark = get_spark(app_name="quackosm-spark-curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.corpus)
+    benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    budgets = json.loads(args.budgets) if args.budgets else None
+
+    curated, report = curate_corpus(
+        docs,
+        benchmark=benchmark,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        near_dup=args.near_dup,
+        min_jaccard=args.min_jaccard,
+        min_quality=args.min_quality,
+        max_repetition=args.max_repetition,
+        min_tokens=args.min_tokens,
+        budgets=budgets,
+        default_budget=args.default_budget,
+        pack_capacity=args.pack_capacity,
+        report=args.report,
+    )
+    curated.write.mode("overwrite").option("compression", "zstd").parquet(args.output)
+    for stage, n in report.items():
+        print(f"{stage}: {n}")
+    print(args.output)
+    return args.output
+
+
+if __name__ == "__main__":
+    main()

@@ -176,3 +176,21 @@ def test_cli_geometry_driven(tmp_path):
 def test_cli_no_inputs_errors():
     with pytest.raises(SystemExit):
         cli.main(["--osm-tags-filter", "{}"])
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    from quackosm_spark.curate_cli import main as curate_main
+
+    out = str(tmp_path / "curated")
+    result = curate_main([
+        "/root/testdata/sf0.001/documents.parquet",
+        "-o", out,
+        "--no-near-dup",
+        "--min-tokens", "3",
+    ])
+    assert result == out
+    printed = capsys.readouterr().out
+    assert "input:" in printed and "quality:" in printed
+    curated = spark.read.parquet(out)
+    assert 0 < curated.count() <= 500
+    assert "text" in curated.columns
