@@ -110,3 +110,65 @@ def test_bm25_matches_pure_python(spark, seed):
     for did in expected:
         assert got[did][1] == expected[did][1]
         assert got[did][0] == pytest.approx(expected[did][0], abs=2e-4)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_semantic_dedup_matches_bruteforce(spark, seed):
+    from quackosm_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)], rng.randrange(3))
+        for i in range(40)
+    ]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    thr = 0.5
+    dropped = {
+        b_id
+        for a_id, a, ca in rows
+        for b_id, b, cb in rows
+        if a_id < b_id and ca == cb and cos(a, b) >= thr
+    }
+    expected = sorted(i for i, _, _ in rows if i not in dropped)
+
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+    got = sorted(r.vec_id for r in semantic_dedup(emb, "label", threshold=thr).collect())
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_verify_candidate_pairs_matches_python_jaccard(spark, seed):
+    from quackosm_spark.operators.dedup import verify_candidate_pairs
+
+    docs = _random_docs(seed, n=30)
+    ids = [i for i, t in docs if t]
+    rng = random.Random(seed)
+    cand = sorted({(a, b) for a, b in
+                   (sorted(rng.sample(ids, 2)) for _ in range(40)) if a != b})
+
+    def shingles(t):
+        t = t.lower()
+        if len(t) <= 5:
+            return {t[:5]} if t else set()
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+
+    texts = dict(docs)
+    expected = {}
+    for a, b in cand:
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        if sa and sb:
+            j = round(len(sa & sb) / len(sa | sb), 6)
+            if j >= 0.3:
+                expected[(a, b)] = j
+
+    d = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame(cand, "doc_a LONG, doc_b LONG")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in verify_candidate_pairs(d, pairs, min_jaccard=0.3).collect()}
+    assert got == expected
