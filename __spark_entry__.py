@@ -899,6 +899,16 @@ def q62_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "valid_from", "valid_to")
 
 
+def q63_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH→verify composition under the cross-engine gate: banding
+    candidates (q18's machinery) confirmed with exact shingle-set jaccard
+    (never drop data on a band collision alone). Oracle replays signature,
+    banding, AND the jaccard in SQL."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    candidates = D.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    return D.verify_candidate_pairs(docs, candidates, min_jaccard=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -963,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_quality_deciles": q60_quality_deciles,
         "q61_pivot_counts": q61_pivot_counts,
         "q62_event_history": q62_event_history,
+        "q63_verified_neardup": q63_verified_neardup,
     }
 
 
@@ -1036,6 +1047,33 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY a.doc_id, b.doc_id
     """
 
+    # q63 oracle: q18's candidates + exact shingle-set jaccard confirmation
+    q63_sql = f"""
+        WITH docs AS (
+            SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        sigs AS (SELECT doc_id, sh, [{sig_elems}] AS sig FROM docs),
+        banded AS (
+            SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, j AS jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(da.sh, db.sh))::DOUBLE /
+                         (len(da.sh) + len(db.sh)
+                          - len(list_intersect(da.sh, db.sh))), 6) AS j
+            FROM cand
+            JOIN docs da ON doc_a = da.doc_id
+            JOIN docs db ON doc_b = db.doc_id
+        ) WHERE j >= 0.2
+    """
+
     # q27 oracle: replicate dedup.simhash bit votes — per bit b of the
     # 32-bit md5-prefix shingle hash: +1/−1 on (h >> b) & 1, fingerprint
     # bit set iff the vote sum is positive.
@@ -1100,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q18_minhash_lsh": q18_sql,
+        "q63_verified_neardup": q63_sql,
         "q27_simhash": q27_sql,
         "q28_lsh_ann": q28_sql,
         "q01_pricing_summary": """
