@@ -909,6 +909,26 @@ def q63_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.verify_candidate_pairs(docs, candidates, min_jaccard=0.2)
 
 
+def q64_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (the LISTAGG shape): each user's event-type
+    journey as a comma-joined sequence in (ts, event_id) order — ordered
+    collect_list of structs + transform + array_join, one shuffle on the
+    key with partial collect."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ",",
+        ).alias("path"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -974,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_pivot_counts": q61_pivot_counts,
         "q62_event_history": q62_event_history,
         "q63_verified_neardup": q63_verified_neardup,
+        "q64_event_paths": q64_event_paths,
     }
 
 
@@ -1769,6 +1790,12 @@ def oracle_sql() -> dict[str, str]:
                        f"count(*) FILTER (lang = '{lg}') AS {lg}" for lg in _Q61_LANGS
                    )}
             FROM documents GROUP BY source
+        """,
+        "q64_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "q62_event_history": """
             SELECT event_id, user_id,
