@@ -929,6 +929,18 @@ def q64_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr, sample stddev, variance) — the
+    co-moment family is a true partial aggregate (per-partition moments
+    merged pairwise), so it map-side combines like sum/count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -995,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_event_history": q62_event_history,
         "q63_verified_neardup": q63_verified_neardup,
         "q64_event_paths": q64_event_paths,
+        "q65_stat_moments": q65_stat_moments,
     }
 
 
@@ -1790,6 +1803,13 @@ def oracle_sql() -> dict[str, str]:
                        f"count(*) FILTER (lang = '{lg}') AS {lg}" for lg in _Q61_LANGS
                    )}
             FROM documents GROUP BY source
+        """,
+        "q65_stat_moments": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(stddev_samp(l_discount), 6) AS sd_discount,
+                   round(var_samp(l_quantity), 4) AS var_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q64_event_paths": """
             SELECT user_id,
