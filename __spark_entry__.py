@@ -941,6 +941,15 @@ def q65_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: fixed-size overlapping character windows as a
+    map-only codegen job (sequence + explode + substring; zero shuffles)."""
+    from quackosm_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return T.chunk_documents(docs, size=120, stride=90)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1008,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_verified_neardup": q63_verified_neardup,
         "q64_event_paths": q64_event_paths,
         "q65_stat_moments": q65_stat_moments,
+        "q66_chunk_documents": q66_chunk_documents,
     }
 
 
@@ -1810,6 +1820,18 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(l_discount), 6) AS sd_discount,
                    round(var_samp(l_quantity), 4) AS var_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q66_chunk_documents": """
+            WITH c AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, (length(text) - 1) // 90))
+                           AS i
+                FROM documents WHERE doc_id % 7 = 0 AND length(text) > 0
+            )
+            SELECT doc_id, i::INT AS chunk_idx,
+                   substr(text, 1 + i::INT * 90, 120) AS chunk_text,
+                   length(substr(text, 1 + i::INT * 90, 120)) AS chunk_len
+            FROM c
         """,
         "q64_event_paths": """
             SELECT user_id,

@@ -276,3 +276,43 @@ def unigram_logprob(
             )
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks (the
+    RAG / context-window preparation step).
+
+    Chunk ``i`` covers characters ``[i*stride, i*stride + size)``; the last
+    chunk is allowed to be short. A document of length ``n > 0`` yields
+    ``floor((n-1)/stride) + 1`` chunks, so every character belongs to at
+    least one chunk and consecutive chunks overlap by ``size - stride``
+    characters. Empty documents yield no chunks.
+
+    Scale shape: pure Column expressions — ``sequence`` + ``explode`` +
+    ``substring`` run inside whole-stage codegen with NO shuffle; output
+    partitioning inherits the scan, so chunking 100 TB is a map-only job.
+    APPENDS (chunk_idx, chunk_text, chunk_len) to the id column.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n = F.length(F.col(text_col))
+    d = docs.where(n > 0).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - F.lit(1)) / stride).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.substring(F.col(text_col), F.col("chunk_idx") * stride + 1, F.lit(size))
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )

@@ -416,3 +416,24 @@ def test_unigram_logprob_ranks_outliers_low(spark):
     import math
     # doc1: P(common)=P(words)=10/22 -> avg ln = ln(10/22)
     assert got[1] == pytest.approx(round(math.log(10 / 22), 4), abs=1e-9)
+
+
+def test_chunk_documents_covers_every_char_with_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "xy")], "doc_id: long, text: string"
+    )
+    rows = (
+        T.chunk_documents(df, size=4, stride=3)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # empty doc -> no chunks
+    assert [r.chunk_text for r in by_doc[1]] == ["abcd", "defg", "ghij", "j"]
+    assert [r.chunk_text for r in by_doc[3]] == ["xy"]
+    # every chunk i starts at i*stride and overlaps its successor by 1 char
+    for r in by_doc[1]:
+        assert r.chunk_text == "abcdefghij"[r.chunk_idx * 3 : r.chunk_idx * 3 + 4]
+        assert r.chunk_len == len(r.chunk_text)
