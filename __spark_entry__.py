@@ -950,6 +950,15 @@ def q66_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(docs, size=120, stride=90)
 
 
+def q67_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin blocking):
+    only the rarest ``n - ceil(t*n) + 1`` tokens of each doc enter the
+    inverted index, yet no qualifying pair can be missed. The brute-force
+    oracle proves the blocking is invisible."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    return D.prefix_jaccard_pairs(docs, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1018,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_event_paths": q64_event_paths,
         "q65_stat_moments": q65_stat_moments,
         "q66_chunk_documents": q66_chunk_documents,
+        "q67_prefix_jaccard": q67_prefix_jaccard,
     }
 
 
@@ -1820,6 +1830,31 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(l_discount), 6) AS sd_discount,
                    round(var_samp(l_quantity), 4) AS var_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # brute-force all-pairs jaccard: the prefix-filter blocking must be
+        # invisible in the result for the hashes to match
+        "q67_prefix_jaccard": """
+            WITH raw AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            tok AS (SELECT doc_id, tok FROM raw WHERE tok <> ''),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
         """,
         "q66_chunk_documents": """
             WITH c AS (

@@ -172,3 +172,29 @@ def test_verify_candidate_pairs_matches_python_jaccard(spark, seed):
     got = {(r.doc_a, r.doc_b): r.jaccard
            for r in verify_candidate_pairs(d, pairs, min_jaccard=0.3).collect()}
     assert got == expected
+
+
+@pytest.mark.parametrize("seed,threshold", [(11, 0.5), (12, 0.3), (13, 0.8)])
+def test_prefix_jaccard_matches_bruteforce(spark, seed, threshold):
+    """Prefix-filter blocking must be invisible: exact same pair set +
+    jaccard values as the O(n^2) all-pairs reference."""
+    from quackosm_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _random_docs(seed, n=50)
+    sets = {i: set(t.lower().split()) for i, t in docs if t.strip()}
+    expected = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                expected[(a, b)] = round(inter / union, 6)
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert got == pytest.approx(expected)
