@@ -959,6 +959,17 @@ def q67_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(docs, threshold=0.5)
 
 
+def q68_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + gap-fill + forward-fill per user: per-day last
+    observation (max_by partial agg), generated day grid, expanding
+    last(ignorenulls) window — the time-series densification shape."""
+    from quackosm_spark.operators import temporal as TP
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 5 == 0)
+    out = TP.resample_ffill(ev)
+    return out.withColumn("value", F.round("value", 6))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1028,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_stat_moments": q65_stat_moments,
         "q66_chunk_documents": q66_chunk_documents,
         "q67_prefix_jaccard": q67_prefix_jaccard,
+        "q68_resample_ffill": q68_resample_ffill,
     }
 
 
@@ -1830,6 +1842,35 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(l_discount), 6) AS sd_discount,
                    round(var_samp(l_quantity), 4) AS var_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q68_resample_ffill": """
+            WITH b AS (
+              SELECT user_id, day, v, n_obs FROM (
+                SELECT user_id, ts::DATE AS day, value AS v,
+                       row_number() OVER (PARTITION BY user_id, ts::DATE
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn,
+                       count(*) OVER (PARTITION BY user_id, ts::DATE)
+                           AS n_obs
+                FROM events WHERE user_id % 5 = 0
+              ) WHERE rn = 1
+            ),
+            bounds AS (
+              SELECT user_id, min(day) mn, max(day) mx FROM b GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE
+                         AS day
+              FROM bounds
+            )
+            SELECT g.user_id, g.day,
+                   round(last_value(b.v IGNORE NULLS)
+                         OVER (PARTITION BY g.user_id ORDER BY g.day), 6)
+                       AS value,
+                   coalesce(b.n_obs, 0) AS n_obs
+            FROM grid g
+            LEFT JOIN b ON b.user_id = g.user_id AND b.day = g.day
         """,
         # brute-force all-pairs jaccard: the prefix-filter blocking must be
         # invisible in the result for the hashes to match

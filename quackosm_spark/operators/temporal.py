@@ -251,3 +251,58 @@ def history_from_events(
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .drop(ts_col)
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series resampling to a daily grid with gap-fill + forward-fill.
+
+    Per key: bucket events by calendar day, keep the LAST observation of
+    each day (deterministic: max by (ts, id)), generate the full day grid
+    from the key's first to last observed day (``sequence`` + ``explode``
+    — no driver-side calendar), left-join observations onto the grid, and
+    forward-fill gaps with ``last(ignorenulls)`` over an expanding window.
+    The first grid day always has an observation by construction, so no
+    leading nulls. Returns (key, day, value, n_obs) where n_obs=0 marks
+    filled gaps.
+
+    Scale shape: one shuffle for the per-day reduction (map-side combined),
+    then the grid join and the fill window both hash on the key — AQE
+    coalesces them into the same exchange layout. Grid size is bounded by
+    the key's active time span, never by corpus size; no global sort.
+    """
+    day = F.col(ts_col).cast("date")
+    b = (
+        events.groupBy(F.col(key_col).alias("key"), day.alias("day"))
+        .agg(
+            F.max_by(
+                F.col(value_col), F.struct(F.col(ts_col), F.col(id_col))
+            ).alias("v"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    bounds = b.groupBy("key").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = bounds.select(
+        "key", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["key", "day"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "day",
+            F.last("v", ignorenulls=True).over(w).alias(value_col),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )

@@ -212,3 +212,30 @@ def test_history_from_events_intervals_chain(spark):
     assert out[2].valid_to == out[3].valid_from
     assert out[3].valid_to is None and out[4].valid_to is None  # current rows
     assert "ts" not in out[1].asDict()
+
+
+def test_resample_ffill_fills_gaps_with_last_observation(spark):
+    from quackosm_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # user 1: obs day 1 (two events; later one wins), gap days 2-3, obs day 4
+        (1, datetime(2024, 3, 1, 9), 1, 10.0),
+        (2, datetime(2024, 3, 1, 17), 1, 20.0),
+        (3, datetime(2024, 3, 4, 8), 1, 99.0),
+        # user 2: single day -> single grid row
+        (4, datetime(2024, 3, 2, 12), 2, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, value: double"
+    )
+    got = {
+        (r.user_id, str(r.day)): (r.value, r.n_obs)
+        for r in resample_ffill(df).collect()
+    }
+    assert got == {
+        (1, "2024-03-01"): (20.0, 2),   # last obs of the day wins
+        (1, "2024-03-02"): (20.0, 0),   # gap forward-filled
+        (1, "2024-03-03"): (20.0, 0),
+        (1, "2024-03-04"): (99.0, 1),
+        (2, "2024-03-02"): (5.0, 1),
+    }
