@@ -970,6 +970,18 @@ def q68_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value", F.round("value", 6))
 
 
+def q69_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis with md5 in
+    place of the RNG): 40 docs per language, inclusion odds ∝ n_chars,
+    identical selection on any engine / partitioning / retry."""
+    from quackosm_spark.operators import mix as M
+
+    docs = _t(spark, sf_dir, "documents")
+    return M.weighted_sample(
+        docs, k=40, weight_col="n_chars", group_col="lang"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1040,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_chunk_documents": q66_chunk_documents,
         "q67_prefix_jaccard": q67_prefix_jaccard,
         "q68_resample_ffill": q68_resample_ffill,
+        "q69_weighted_sample": q69_weighted_sample,
     }
 
 
@@ -1842,6 +1855,19 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(l_discount), 6) AS sd_discount,
                    round(var_samp(l_quantity), 4) AS var_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q69_weighted_sample": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ln((('0x' || substr(md5(doc_id::VARCHAR),
+                                                    1, 4))::BIGINT + 1)
+                                   / 65536.0) / n_chars DESC,
+                                doc_id
+                     ) AS rn
+              FROM documents WHERE n_chars > 0
+            ) WHERE rn <= 40
         """,
         "q68_resample_ffill": """
             WITH b AS (

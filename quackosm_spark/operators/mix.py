@@ -156,3 +156,37 @@ def stratified_fixed_n(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k per
+    group), the A-ES / Efraimidis-Spirakis scheme with the RNG replaced by
+    the md5 hash: ``u = (bucket(id) + 1) / 65536 ∈ (0,1]``, priority
+    ``ln(u) / w``, keep the ``k`` largest priorities. Inclusion
+    probability is proportional to weight, yet which rows are kept is a
+    pure function of the data — retries, re-partitioning, and different
+    engines all select the SAME rows (the DuckDB oracle replays the exact
+    formula). Rows with non-positive weight are excluded.
+
+    Scale shape: priority is a scan-stage Column; selection is one row_number
+    window per group — top-k never leaves the executors and no global sort
+    exists when grouped. For the ungrouped case prefer a group column
+    anyway (or accept a single-reducer top-k, which is fine for small k).
+    """
+    u = (_hash_bucket(F.col(id_col)) + F.lit(1)) / F.lit(65536.0)
+    priority = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(
+        F.col(group_col) if group_col else F.lit(1)
+    ).orderBy(priority.desc(), F.col(id_col))
+    return (
+        docs.where(F.col(weight_col) > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -437,3 +437,20 @@ def test_chunk_documents_covers_every_char_with_overlap(spark):
     for r in by_doc[1]:
         assert r.chunk_text == "abcdefghij"[r.chunk_idx * 3 : r.chunk_idx * 3 + 4]
         assert r.chunk_len == len(r.chunk_text)
+
+
+def test_weighted_sample_favors_heavy_weights_and_is_deterministic(spark):
+    from quackosm_spark.operators.mix import weighted_sample
+
+    # ids 0-49 weight 1000, ids 50-99 weight 1 -> top-10 should be all heavy
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(100)]
+    rows.append((100, 0.0))  # non-positive weight: excluded outright
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    picked = {r.doc_id for r in weighted_sample(df, k=10, weight_col="w").collect()}
+    assert len(picked) == 10 and all(i < 50 for i in picked)
+    # pure function of the data: identical under a different partitioning
+    again = {
+        r.doc_id
+        for r in weighted_sample(df.repartition(13), k=10, weight_col="w").collect()
+    }
+    assert again == picked
