@@ -982,6 +982,33 @@ def q69_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q70_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-active-day cohorts × day offset →
+    active-user counts; co-partitioned join + plain count (no
+    count-distinct expansion)."""
+    from quackosm_spark.operators import temporal as TP
+
+    return TP.cohort_retention(_events(spark, sf_dir))
+
+
+def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (each step strictly after the
+    previous), reduced to per-step reach counts."""
+    from quackosm_spark.operators import temporal as TP
+
+    fu = TP.funnel(_events(spark, sf_dir), ["view", "click", "purchase"])
+    return fu.agg(
+        F.count("t0").alias("c0"),
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+    ).select(
+        F.expr(
+            "stack(3, 'view', c0, 'click', c1, 'purchase', c2)"
+            " AS (step, n_users)"
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1053,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_prefix_jaccard": q67_prefix_jaccard,
         "q68_resample_ffill": q68_resample_ffill,
         "q69_weighted_sample": q69_weighted_sample,
+        "q70_cohort_retention": q70_cohort_retention,
+        "q71_funnel": q71_funnel,
     }
 
 
@@ -1855,6 +1884,39 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(l_discount), 6) AS sd_discount,
                    round(var_samp(l_quantity), 4) AS var_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q70_cohort_retention": """
+            WITH f AS (
+              SELECT user_id, min(ts::DATE) AS cohort_day
+              FROM events GROUP BY 1
+            ),
+            d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+            SELECT cohort_day, (day - cohort_day) AS day_offset,
+                   count(*) AS n_users
+            FROM d JOIN f USING (user_id) GROUP BY 1, 2
+        """,
+        "q71_funnel": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s1 AS (
+              SELECT s0.user_id, min(e.ts) AS t1
+              FROM s0 JOIN events e
+                ON e.user_id = s0.user_id
+               AND e.event_type = 'click' AND e.ts > s0.t0
+              GROUP BY 1
+            ),
+            s2 AS (
+              SELECT s1.user_id, min(e.ts) AS t2
+              FROM s1 JOIN events e
+                ON e.user_id = s1.user_id
+               AND e.event_type = 'purchase' AND e.ts > s1.t1
+              GROUP BY 1
+            )
+            SELECT 'view' AS step, count(*) AS n_users FROM s0
+            UNION ALL SELECT 'click', count(*) FROM s1
+            UNION ALL SELECT 'purchase', count(*) FROM s2
         """,
         "q69_weighted_sample": """
             SELECT doc_id, lang, n_chars FROM (

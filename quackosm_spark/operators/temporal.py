@@ -306,3 +306,81 @@ def resample_ffill(
             F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the key's first active day;
+    ``n_users`` = how many of that cohort were active again ``day_offset``
+    days later. The product-analytics staple.
+
+    Scale shape: (key → first day) and the (key, day) distinct both hash on
+    the key, so the join that attaches cohorts is co-partitioned (AQE
+    reuses the exchange); because (key, day) is already distinct, the final
+    matrix aggregation is a plain count — no count-distinct expansion. The
+    matrix itself is tiny (days²) regardless of corpus size.
+    """
+    day = F.col(ts_col).cast("date")
+    firsts = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.min(day).alias("cohort_day")
+    )
+    active = events.select(
+        F.col(key_col).alias("key"), day.alias("day")
+    ).distinct()
+    return (
+        active.join(firsts, "key")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per key, the earliest time each step was reached
+    with every step STRICTLY AFTER the previous one (the first step-2
+    event after the first step-1 event, and so on — the standard
+    product-funnel semantics, not mere per-step minima).
+
+    Returns one row per key that reached step 0, with nullable columns
+    ``t0..t{k-1}`` (null = funnel abandoned at that step).
+
+    Scale shape: one hash aggregation per step, all on the key — k small
+    joins co-partitioned on the same exchange layout, each input pre-filtered
+    to a single event type at the scan (predicate pushdown). No windows, no
+    per-key event collection.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_tp"),
+    )
+    cur = (
+        ev.where(F.col("_tp") == steps[0])
+        .groupBy("key")
+        .agg(F.min("_ts").alias("t0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = ev.where(F.col("_tp") == step)
+        carried = ["key"] + [f"t{j}" for j in range(i)]
+        cur = (
+            cur.join(nxt, "key", "left")
+            .groupBy(*carried)
+            .agg(
+                F.min(
+                    F.when(F.col("_ts") > F.col(f"t{i-1}"), F.col("_ts"))
+                ).alias(f"t{i}")
+            )
+        )
+    return cur.withColumnRenamed("key", key_col)

@@ -239,3 +239,47 @@ def test_resample_ffill_fills_gaps_with_last_observation(spark):
         (1, "2024-03-04"): (99.0, 1),
         (2, "2024-03-02"): (5.0, 1),
     }
+
+
+def test_funnel_requires_strict_step_order(spark):
+    from quackosm_spark.operators.temporal import funnel
+
+    d = datetime
+    rows = [
+        # user 1 completes in order
+        (1, d(2024, 1, 1), 1, "view"), (2, d(2024, 1, 2), 1, "click"),
+        (3, d(2024, 1, 3), 1, "purchase"),
+        # user 2: purchase BEFORE click -> abandoned at purchase
+        (4, d(2024, 1, 1), 2, "view"), (5, d(2024, 1, 3), 2, "click"),
+        (6, d(2024, 1, 2), 2, "purchase"),
+        # user 3: never viewed -> not in funnel at all
+        (7, d(2024, 1, 1), 3, "click"),
+        # user 4: view only
+        (8, d(2024, 1, 5), 4, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string"
+    )
+    got = {r.user_id: (r.t0, r.t1, r.t2)
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1] == (d(2024, 1, 1), d(2024, 1, 2), d(2024, 1, 3))
+    assert got[2] == (d(2024, 1, 1), d(2024, 1, 3), None)  # purchase too early
+    assert got[4] == (d(2024, 1, 5), None, None)
+
+
+def test_cohort_retention_counts(spark):
+    from quackosm_spark.operators.temporal import cohort_retention
+
+    d = datetime
+    rows = [
+        (1, d(2024, 1, 1), 1), (2, d(2024, 1, 3), 1),  # cohort 1/1, offsets 0,2
+        (3, d(2024, 1, 1), 2), (4, d(2024, 1, 1, 9), 2),  # same-day dup: one row
+        (5, d(2024, 1, 3), 3),  # cohort 1/3, offset 0
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, user_id: long")
+    got = {(str(r.cohort_day), r.day_offset): r.n_users
+           for r in cohort_retention(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 2): 1, ("2024-01-03", 0): 1,
+    }
