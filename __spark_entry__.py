@@ -1009,6 +1009,75 @@ def q71_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 rounds, dangling-mass redistribution) on the
+    customer→supplier purchase graph — the driver-coordinated iterative
+    pattern, pinned to an UNROLLED recursive-CTE oracle so even the
+    iteration is cross-engine verified."""
+    from quackosm_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), o.o_custkey).alias("src"),
+            F.concat(F.lit("s"), li.l_suppkey).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=3)
+    return pr.select(
+        "node", F.round(F.col("pr") * 1000, 6).alias("pr_permille")
+    )
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB has no
+    mutable recursion state rich enough for this; unrolling keeps the
+    oracle pure ANSI SQL)."""
+    parts = [
+        """
+        WITH e AS (
+          SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        outdeg AS (SELECT src AS node, count(*)::DOUBLE AS deg
+                   FROM e GROUP BY 1),
+        pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN cnt)
+        """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+        , dm{i} AS (
+            SELECT coalesce(sum(p.pr), 0) AS dm
+            FROM pr{i-1} p LEFT JOIN outdeg o ON o.node = p.node
+            WHERE o.deg IS NULL
+        ),
+        in{i} AS (
+            SELECT e.dst AS node, sum(p.pr / o.deg) AS inflow
+            FROM e JOIN pr{i-1} p ON p.node = e.src
+                   JOIN outdeg o ON o.node = e.src
+            GROUP BY 1
+        ),
+        pr{i} AS (
+            SELECT nodes.node,
+                   0.15 / cnt.n
+                   + 0.85 * (coalesce(i.inflow, 0) + dm{i}.dm / cnt.n) AS pr
+            FROM nodes CROSS JOIN cnt CROSS JOIN dm{i}
+            LEFT JOIN in{i} i ON i.node = nodes.node
+        )
+        """
+        )
+    parts.append(
+        f"SELECT node, round(pr * 1000, 6) AS pr_permille FROM pr{iterations}"
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1082,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_weighted_sample": q69_weighted_sample,
         "q70_cohort_retention": q70_cohort_retention,
         "q71_funnel": q71_funnel,
+        "q72_pagerank": q72_pagerank,
     }
 
 
@@ -1885,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
                    round(var_samp(l_quantity), 4) AS var_qty
             FROM lineitem GROUP BY l_returnflag
         """,
+        "q72_pagerank": _pagerank_oracle(3),
         "q70_cohort_retention": """
             WITH f AS (
               SELECT user_id, min(ts::DATE) AS cohort_day

@@ -108,3 +108,62 @@ def approx_distinct_counts(
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def countmin_sketch(
+    items: DataFrame,
+    item_col: str = "item",
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch over an item stream as a tiny mergeable table of
+    ``depth × width`` cells: cell (d, xxhash64(item, d) % width) accumulates
+    the item's count. Standard CMS guarantees: estimates never undercount,
+    and overcount by ≤ e·N/width with probability 1 − exp(−depth).
+
+    This is the at-scale frequency path when the exact groupBy's key
+    cardinality itself is the problem (billions of distinct tokens):
+    the shuffle carries at most depth·width rows per partition after
+    map-side combine — CONSTANT in both corpus size and cardinality.
+    Sketches from different corpora/partitions merge by cell-wise sum.
+    """
+    d = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    return (
+        d.withColumn("bucket", F.pmod(F.xxhash64("item", "d"), F.lit(width)))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str = "item",
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query a count-min sketch: estimate(item) = min over the
+    ``depth`` rows it hashes to. The sketch is tiny, so it BROADCASTS —
+    estimating any number of items is a map-side join at any scale.
+    Items that hit only empty cells estimate 0."""
+    q = queries.select(
+        F.col(item_col).alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("item", "d"), F.lit(width)))
+    return (
+        q.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+def merge_countmin(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min sketches built with the same (width, depth):
+    cell-wise sum. Associative + commutative — the property that lets
+    per-corpus / per-day sketches roll up without touching raw data."""
+    return (
+        a.unionByName(b).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )

@@ -454,3 +454,28 @@ def test_weighted_sample_favors_heavy_weights_and_is_deterministic(spark):
         for r in weighted_sample(df.repartition(13), k=10, weight_col="w").collect()
     }
     assert again == picked
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    from quackosm_spark.operators.stats import (
+        countmin_estimate,
+        countmin_sketch,
+        merge_countmin,
+    )
+
+    # skewed stream: token i appears i*10 times, i in 1..8
+    rows = [(f"tok{i}",) for i in range(1, 9) for _ in range(i * 10)]
+    df = spark.createDataFrame(rows, "item: string")
+    sk = countmin_sketch(df, width=64, depth=4)
+    truth = {f"tok{i}": i * 10 for i in range(1, 9)}
+    qdf = spark.createDataFrame([(t,) for t in truth] + [("absent",)], "item: string")
+    est = {r.item: r.est_count for r in countmin_estimate(sk, qdf, width=64, depth=4).collect()}
+    n = sum(truth.values())
+    for t, c in truth.items():
+        assert est[t] >= c                      # CMS never undercounts
+        assert est[t] <= c + (2.7 * n / 64) + 1  # e*N/width overcount bound
+    assert est["absent"] <= 2.7 * n / 64 + 1
+    # merging the sketch with itself doubles every estimate exactly
+    merged = merge_countmin(sk, sk)
+    est2 = {r.item: r.est_count for r in countmin_estimate(merged, qdf, width=64, depth=4).collect()}
+    assert all(est2[t] == 2 * est[t] for t in truth)
