@@ -1078,6 +1078,24 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     return "".join(parts)
 
 
+def q73_pq_fullshortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search pinned to the exact oracle (the q49
+    pattern): with the ADC shortlist covering the whole corpus, the exact
+    rerank must return the true L2 top-k — verifying the entire
+    encode→ADC→shortlist→rerank plumbing. Sub-corpus shortlists trade
+    recall for scan cost (measured 0.80 recall@10 at shortlist=50)."""
+    from quackosm_spark.operators.similarity import (
+        pq_topk_reranked,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=16, sample_size=512)
+    return pq_topk_reranked(
+        emb, emb.where(F.col("vec_id") < 3), books, k=5, shortlist=1_000_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1152,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_cohort_retention": q70_cohort_retention,
         "q71_funnel": q71_funnel,
         "q72_pagerank": q72_pagerank,
+        "q73_pq_fullshortlist": q73_pq_fullshortlist,
     }
 
 
@@ -1956,6 +1975,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "q72_pagerank": _pagerank_oracle(3),
+        "q73_pq_fullshortlist": """
+            SELECT query_id, match_id, l2, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       round(list_distance(q.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[]), 6) AS l2,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_distance(
+                                        q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) ASC,
+                                    c.vec_id
+                       ) AS rank
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 3
+            ) WHERE rank <= 5
+        """,
         "q70_cohort_retention": """
             WITH f AS (
               SELECT user_id, min(ts::DATE) AS cohort_day

@@ -479,3 +479,64 @@ def test_countmin_never_undercounts_and_merges(spark):
     merged = merge_countmin(sk, sk)
     est2 = {r.item: r.est_count for r in countmin_estimate(merged, qdf, width=64, depth=4).collect()}
     assert all(est2[t] == 2 * est[t] for t in truth)
+
+
+def test_pq_adc_exact_when_codebook_is_lossless(spark):
+    """With every distinct subvector its own centroid, PQ encoding is
+    lossless and ADC distance equals exact L2 -> identical top-k."""
+    import numpy as np
+    from quackosm_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(8, 8)  # 8 distinct subvector patterns of dim 8
+    vecs = []
+    for i in range(30):
+        # each vector = concat of 2 patterns -> <=8 distinct per subspace
+        vecs.append((i, np.concatenate([base[i % 8], base[(i * 3) % 8]]).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    books = train_pq_codebooks(df, m=2, k=8, sample_size=30)
+    codes = pq_encode(df, books)
+    got = pq_adc_topk(codes, df.where("vec_id < 5"), books, k=3).collect()
+
+    mat = {i: np.array(v) for i, v in vecs}
+    for r in got:
+        exact = sorted(
+            ((np.linalg.norm(mat[r.query_id] - mat[m]), m) for m in mat if m != r.query_id),
+        )
+        d, m_id = exact[r.rank - 1]
+        assert r.approx_l2 == pytest.approx(round(d, 6), abs=2e-6)
+
+
+def test_pq_adc_recall_on_synthetic_embeddings(spark):
+    import numpy as np
+    from quackosm_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    from quackosm_spark.operators.similarity import pq_topk_reranked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, k=16, sample_size=512)
+    queries = emb.where("vec_id < 5")
+    got = pq_topk_reranked(emb, queries, books, k=10, shortlist=50).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    hits = total = 0
+    for qid in range(5):
+        exact_top = sorted(
+            ((np.linalg.norm(mat[qid] - mat[m]), m) for m in mat if m != qid)
+        )[:10]
+        approx = {r.match_id: r.l2 for r in got if r.query_id == qid}
+        hits += len({m for _, m in exact_top} & set(approx))
+        total += 10
+        # reranked distances are EXACT for every true hit
+        for d, m in exact_top:
+            if m in approx:
+                assert approx[m] == pytest.approx(round(d, 6), abs=2e-6)
+    assert hits / total >= 0.7  # measured 0.80 at shortlist=50 (0.22 raw ADC)
