@@ -74,3 +74,31 @@ def test_contamination_benchmark_side_broadcasts(docs):
     train = docs.where(F.col("doc_id") % 97 != 0)
     plan = _plan(contamination_matches(train, benchmark, n=3))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """The write-once-shuffle-never pattern: two tables bucketed on the
+    join key sort-merge-join with NO Exchange in the executed plan."""
+    from quackosm_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        write_bucketed(o, "t_orders_bucketed", "o_orderkey", buckets=8)
+        write_bucketed(li, "t_lineitem_bucketed", "l_orderkey", buckets=8)
+        a = read_bucketed(spark, "t_orders_bucketed")
+        b = read_bucketed(spark, "t_lineitem_bucketed")
+        j = a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0          # the whole point
+        assert "Bucketed: true" in plan
+        assert j.count() == li.count()              # inner join, FK complete
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bucketed")
