@@ -1096,6 +1096,31 @@ def q73_pq_fullshortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q74_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+
+
+def q74_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (non-null / exact-distinct / min / max per
+    column): the multi-distinct plans as a single Expand scan, not one job
+    per column."""
+    from quackosm_spark.operators import stats as S
+
+    return S.profile_table(_t(spark, sf_dir, "orders"), _Q74_COLS)
+
+
+def q75_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin source interleaving with ARITHMETIC global
+    positions (per-source windows + size table — no global ORDER BY
+    window); the oracle computes the same order with a global row_number,
+    proving the distributed construction equals the serial one."""
+    from quackosm_spark.operators import mix as M
+
+    docs = _t(spark, sf_dir, "documents")
+    return M.interleave_sources(docs).select(
+        "doc_id", "source", "rn", "global_pos"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1171,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_funnel": q71_funnel,
         "q72_pagerank": q72_pagerank,
         "q73_pq_fullshortlist": q73_pq_fullshortlist,
+        "q74_profile_table": q74_profile_table,
+        "q75_interleave_sources": q75_interleave_sources,
     }
 
 
@@ -1975,6 +2002,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "q72_pagerank": _pagerank_oracle(3),
+        "q75_interleave_sources": """
+            SELECT doc_id, source, rn,
+                   row_number() OVER (ORDER BY rn, source) - 1 AS global_pos
+            FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(doc_id::VARCHAR), doc_id
+                     ) AS rn
+              FROM documents
+            )
+        """,
+        "q74_profile_table": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS column_name,
+                   count({c})::BIGINT AS n_nonnull,
+                   count(DISTINCT {c})::BIGINT AS n_distinct,
+                   min({c})::VARCHAR AS min_value,
+                   max({c})::VARCHAR AS max_value
+            FROM orders
+            """
+            for c in _Q74_COLS
+        ),
         "q73_pq_fullshortlist": """
             SELECT query_id, match_id, l2, rank FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS match_id,

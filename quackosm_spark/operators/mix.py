@@ -190,3 +190,43 @@ def weighted_sample(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def interleave_sources(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic round-robin interleaving of sources into a single
+    training order: within each source documents are md5-shuffled and
+    numbered (``rn``); the epoch reads position 0,1,2,… which cycles
+    source₁,source₂,… per round, degrading gracefully as smaller sources
+    run dry. Returns (input columns…, rn, global_pos).
+
+    The global position is computed ARITHMETICALLY, not with a global
+    window: ``pos = Σ_{s'} min(size_{s'}, rn−1) + #{s' < s : size_{s'} ≥
+    rn}`` from the tiny per-source size table (collected to the driver and
+    folded into a Column expression). Per-source windows parallelize
+    across sources and hash-streams; nothing ever funnels through a
+    single-partition ORDER BY — the 100 TB version of `row_number() OVER
+    (ORDER BY …)`.
+    """
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(order_key, F.col(id_col))
+    d = docs.withColumn("rn", F.row_number().over(w))
+    sizes = sorted(
+        (r["src"], r["n"])
+        for r in d.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    rn1 = F.col("rn") - 1
+    pos = F.lit(0).cast("long")
+    for s_name, s_size in sizes:
+        pos = pos + F.least(F.lit(s_size), rn1)
+    for s_name, s_size in sizes:
+        pos = pos + F.when(
+            (F.lit(s_name) < F.col(source_col)) & (F.lit(s_size) >= F.col("rn")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    return d.withColumn("global_pos", pos.cast("long"))

@@ -167,3 +167,36 @@ def merge_countmin(a: DataFrame, b: DataFrame) -> DataFrame:
     return (
         a.unionByName(b).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column profiling (the data-quality 'ANALYZE' step): per column, the
+    non-null count, exact distinct count, and min/max (stringified for a
+    uniform schema). Returns (column_name, n_nonnull, n_distinct,
+    min_value, max_value).
+
+    One aggregation job over the table: the multi-count-distinct plans as
+    a single Expand pass (rows × #cols before partial aggregation) — one
+    scan of 100 TB, not one per column. For cardinalities where exact
+    distinct is itself the bottleneck swap in approx_count_distinct /
+    ``approx_distinct_counts`` (HLL sketch, constant state).
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.count_distinct(F.col(c)).alias(f"{c}__d"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__mn, {c}__mx" for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nonnull, n_distinct, min_value, max_value)"
+        )
+    )

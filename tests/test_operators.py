@@ -540,3 +540,32 @@ def test_pq_adc_recall_on_synthetic_embeddings(spark):
             if m in approx:
                 assert approx[m] == pytest.approx(round(d, 6), abs=2e-6)
     assert hits / total >= 0.7  # measured 0.80 at shortlist=50 (0.22 raw ADC)
+
+
+def test_interleave_sources_round_robin_with_uneven_sizes(spark):
+    from quackosm_spark.operators.mix import interleave_sources
+
+    # a:4 docs, b:2, c:1 -> rounds: (a,b,c),(a,b),(a),(a)
+    rows = [(i, "a") for i in range(4)] + [(10 + i, "b") for i in range(2)] + [(20, "c")]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    got = sorted(
+        (r.global_pos, r.source, r.rn)
+        for r in interleave_sources(df).collect()
+    )
+    # positions are a permutation of 0..6
+    assert [p for p, _, _ in got] == list(range(7))
+    # round 1 = one doc from each source in source order; then b,c drop out
+    assert [s for _, s, _ in got] == ["a", "b", "c", "a", "b", "a", "a"]
+    assert [rn for _, _, rn in got] == [1, 1, 1, 2, 2, 3, 4]
+
+
+def test_profile_table_counts(spark):
+    from quackosm_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "a: long, b: string"
+    )
+    got = {r.column_name: r for r in profile_table(df).collect()}
+    assert (got["a"].n_nonnull, got["a"].n_distinct) == (3, 2)
+    assert (got["a"].min_value, got["a"].max_value) == ("1", "2")
+    assert (got["b"].n_nonnull, got["b"].n_distinct) == (2, 2)
