@@ -1121,6 +1121,21 @@ def q75_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42's decontamination routed through a distributed Bloom filter
+    (bit_or-aggregated word table, broadcast, map-side probe) + exact
+    verify — the regime where the benchmark gram set no longer broadcasts
+    exactly. Shares q42's oracle: the bloom must be invisible."""
+    from quackosm_spark.operators.bloom import contamination_matches_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_matches_bloom(
+        train, benchmark, n=3, min_shared=1, m_bits=1 << 18, k=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1198,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_pq_fullshortlist": q73_pq_fullshortlist,
         "q74_profile_table": q74_profile_table,
         "q75_interleave_sources": q75_interleave_sources,
+        "q76_bloom_decontamination": q76_bloom_decontamination,
     }
 
 
@@ -1360,7 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
-    return {
+    out = {
         "q18_minhash_lsh": q18_sql,
         "q63_verified_neardup": q63_sql,
         "q27_simhash": q27_sql,
@@ -2188,6 +2204,10 @@ def oracle_sql() -> dict[str, str]:
         # engine-defined — rows-only by design; q49 pins the same IVF
         # machinery at full probe to the exact oracle.
     }
+    # q76 routes q42's decontamination through the bloom prefilter — the
+    # bloom must be invisible, so it shares q42's oracle verbatim.
+    out["q76_bloom_decontamination"] = out["q42_decontamination"]
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

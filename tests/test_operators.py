@@ -569,3 +569,32 @@ def test_profile_table_counts(spark):
     assert (got["a"].n_nonnull, got["a"].n_distinct) == (3, 2)
     assert (got["a"].min_value, got["a"].max_value) == ("1", "2")
     assert (got["b"].n_nonnull, got["b"].n_distinct) == (2, 2)
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    from quackosm_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    members = [(f"key-{i}",) for i in range(300)]
+    bloom = bloom_build(
+        spark.createDataFrame(members, "item: string"), m_bits=1 << 14, k=4
+    )
+    probes = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(600)], "item: string"
+    )
+    got = {r.item for r in bloom_might_contain(bloom, probes, m_bits=1 << 14, k=4).collect()}
+    truth = {m for (m,) in members}
+    assert truth <= got                    # bloom NEVER drops a member
+    fp = len(got - truth)
+    assert fp <= 30                        # (1-e^(-kn/m))^k ~ 0.2% of 300, generous cap
+
+
+def test_bloom_decontamination_equals_exact(spark, docs):
+    from quackosm_spark.operators.bloom import contamination_matches_bloom
+
+    bench = docs.where(F.col("doc_id") == 1)
+    train = docs.where(F.col("doc_id") != 1)
+    exact = {(r.doc_id, r.n_shared)
+             for r in D.contamination_matches(train, bench, n=3).collect()}
+    via_bloom = {(r.doc_id, r.n_shared)
+                 for r in contamination_matches_bloom(train, bench, n=3, m_bits=1 << 12).collect()}
+    assert via_bloom == exact and exact    # identical result, non-empty
