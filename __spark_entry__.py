@@ -1136,6 +1136,16 @@ def q76_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (merging-window state) in batch
+    mode, vs the classic gaps-and-islands SQL (new session when the gap
+    ≥ 30 min — session_window treats a touch-exactly boundary as a new
+    session, hence >= not >)."""
+    from quackosm_spark.streaming import session_window_stats
+
+    return session_window_stats(_events(spark, sf_dir), gap="30 minutes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1214,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_profile_table": q74_profile_table,
         "q75_interleave_sources": q75_interleave_sources,
         "q76_bloom_decontamination": q76_bloom_decontamination,
+        "q77_session_window": q77_session_window,
     }
 
 
@@ -2018,6 +2029,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "q72_pagerank": _pagerank_oracle(3),
+        "q77_session_window": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, sum(new_s) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING
+              ) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
         "q75_interleave_sources": """
             SELECT doc_id, source, rn,
                    row_number() OVER (ORDER BY rn, source) - 1 AS global_pos

@@ -361,3 +361,40 @@ def write_events_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregation with Spark's NATIVE ``session_window``
+    (merging-window state store) — the built-in counterpart to the custom
+    ``sessionize_stream`` processor: sessions close when a key is silent
+    for ``gap``; watermark expires session state.
+
+    On a batch frame the same expression computes identical sessions (the
+    batch/stream parity test pins this), so one definition serves both the
+    backfill and the live pipeline. Returns (user_id, session_start,
+    session_end, n_events, sum_value)."""
+    with_wm = (
+        events.withWatermark("ts", watermark_delay)
+        if events.isStreaming
+        else events
+    )
+    return (
+        with_wm.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

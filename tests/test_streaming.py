@@ -338,3 +338,25 @@ def test_parquet_sink_exactly_once_across_restart(spark, events_batch, events_di
     got = spark.read.parquet(out)
     assert got.count() == n_src
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_session_window_stream_matches_batch(spark, events_batch, events_dir):
+    from quackosm_spark.streaming import session_window_stats
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        session_window_stats(stream, gap="30 minutes", watermark_delay="1 hour"),
+        "native_sessions",
+    ).collect()
+    expect = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in session_window_stats(events_batch, gap="30 minutes").collect()
+    }
+    assert len(got) == len(expect) > 0
+    for r in got:
+        assert expect[(r["user_id"], r["session_start"])] == (
+            r["session_end"], r["n_events"], r["sum_value"]
+        )
