@@ -27,6 +27,7 @@ HEADLINE = [
     "q25_sessionize",        # lag/gap sessionization
     "q44_asof_previous_event",  # as-of join (union+window vs DuckDB native ASOF)
     "q52_segment_dedup",     # CCNet segment dedup (count shuffle + broadcast removal)
+    "q77_session_window",    # native merging-window session aggregation
     # q55_revenue_by_nation is contract-checked but not headline: at sf0.1
     # its 6-table join is pure per-query floor (5 broadcast jobs on 600k
     # rows) — the overhead regime q07/q20 already measure once each.
