@@ -102,3 +102,41 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bucketed")
+
+
+def test_zorder_write_shrinks_per_file_value_ranges(spark, tmp_path):
+    """Z-order clustering: every output file covers a small tile of the
+    (user_id, value) domain, so footer min-max stats prune range queries
+    on EITHER column; an unclustered write spans ~the full domain per file."""
+    import pyarrow.parquet as pq
+    from quackosm_spark.sinks.cluster import cluster_write
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    ev.repartition(8).write.parquet(plain_dir)
+    cluster_write(ev, z_dir, ["user_id", "value"], num_files=8)
+
+    def avg_span(d, col):
+        import glob
+        spans, glo, ghi = [], None, None
+        for f in sorted(glob.glob(d + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mns = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+            mxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+            lo, hi = min(mns), max(mxs)
+            spans.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return sum(spans) / len(spans) / ((ghi - glo) or 1)
+
+    for col in ("user_id", "value"):
+        plain_frac = avg_span(plain_dir, col)
+        z_frac = avg_span(z_dir, col)
+        assert plain_frac > 0.6          # unclustered: files span most of the domain
+        assert z_frac < 0.55             # z-ordered: tiles (both dims shrink)
+        assert z_frac < plain_frac * 0.75
+    # data intact
+    assert spark.read.parquet(z_dir).count() == ev.count()
