@@ -1146,6 +1146,62 @@ def q77_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stats(_events(spark, sf_dir), gap="30 minutes")
 
 
+def q78_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial bucketing (pure Column bit arithmetic, no UDF):
+    events mapped to synthetic coordinates, aggregated per precision-6
+    cell. The oracle replays the quantize→interleave→base32 pipeline in
+    generated SQL, so the encoding is cross-engine verified bit-for-bit."""
+    from quackosm_spark.geometry.geohash import geohash_encode
+
+    ev = _events(spark, sf_dir)
+    lat = (F.col("value") % 180.0) - 90.0
+    lon = ((F.col("event_id") % 3600) / 10.0) - 180.0
+    return (
+        ev.select(geohash_encode(lat, lon, 6).alias("cell"), "value")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _geohash_oracle(precision: int = 6) -> str:
+    """The geohash encoder unrolled into SQL (same literal shifts as the
+    Column implementation)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    terms = []
+    for k in range(lon_bits):
+        terms.append(f"(((lon_q >> {lon_bits - 1 - k}) & 1) << {total - 1 - 2 * k})")
+    for k in range(lat_bits):
+        terms.append(f"(((lat_q >> {lat_bits - 1 - k}) & 1) << {total - 1 - (2 * k + 1)})")
+    inter = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz',"
+        f" CAST(((inter >> {5 * (precision - 1 - j)}) & 31) + 1 AS INT), 1)"
+        for j in range(precision)
+    )
+    return f"""
+        WITH coords AS (
+          SELECT (value % 180.0) - 90.0 AS lat,
+                 ((event_id % 3600) / 10.0) - 180.0 AS lon,
+                 value
+          FROM events
+        ),
+        q AS (
+          SELECT value,
+                 least({(1 << lon_bits) - 1},
+                       CAST(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT)) AS lon_q,
+                 least({(1 << lat_bits) - 1},
+                       CAST(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT)) AS lat_q
+          FROM coords
+        ),
+        i AS (SELECT value, {inter} AS inter FROM q)
+        SELECT {chars} AS cell, count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM i GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1225,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_interleave_sources": q75_interleave_sources,
         "q76_bloom_decontamination": q76_bloom_decontamination,
         "q77_session_window": q77_session_window,
+        "q78_geohash_cells": q78_geohash_cells,
     }
 
 
@@ -2029,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "q72_pagerank": _pagerank_oracle(3),
+        "q78_geohash_cells": _geohash_oracle(6),
         "q77_session_window": """
             WITH o AS (
               SELECT user_id, event_id, ts, value,

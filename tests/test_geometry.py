@@ -134,3 +134,59 @@ def test_hilbert_locality_and_determinism():
     # full-extent corners map to curve start
     d0 = hilbert_index(np.array([0.0]), np.array([0.0]), extent)
     assert d0[0] == 0
+
+
+def _py_geohash(lat, lon, precision):
+    # straight bisection reference (textbook algorithm)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even = 0, [], True
+    ch = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_r[0] + lon_r[1]) / 2
+            if lon >= mid:
+                ch = ch * 2 + 1
+                lon_r[0] = mid
+            else:
+                ch = ch * 2
+                lon_r[1] = mid
+        else:
+            mid = (lat_r[0] + lat_r[1]) / 2
+            if lat >= mid:
+                ch = ch * 2 + 1
+                lat_r[0] = mid
+            else:
+                ch = ch * 2
+                lat_r[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_encode_matches_bisection_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from quackosm_spark.geometry.geohash import geohash_encode
+
+    rng = random.Random(42)
+    pts = [(rng.uniform(-90, 90), rng.uniform(-180, 180)) for _ in range(200)]
+    pts += [(57.64911, 10.40744), (0.0, 0.0), (-89.999, 179.999)]
+    df = spark.createDataFrame(pts, "lat: double, lon: double")
+    got = {
+        (r.lat, r.lon): r.gh
+        for r in df.select(
+            "lat", "lon", geohash_encode(F.col("lat"), F.col("lon"), 9).alias("gh")
+        ).collect()
+    }
+    for lat, lon in pts:
+        assert got[(lat, lon)] == _py_geohash(lat, lon, 9), (lat, lon)
+    # canonical test vector (wikipedia): u4pruydqqvj
+    df2 = spark.createDataFrame([(57.64911, 10.40744)], "lat: double, lon: double")
+    gh11 = df2.select(geohash_encode(F.col("lat"), F.col("lon"), 11).alias("g")).collect()[0].g
+    assert gh11 == "u4pruydqqvj"
