@@ -1202,6 +1202,21 @@ def _geohash_oracle(precision: int = 6) -> str:
     """
 
 
+def q79_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial self-join: all point pairs within 0.5° via a
+    3×3 cell-neighborhood join + exact distance verify — the brute-force
+    oracle proves the blocking loses nothing."""
+    from quackosm_spark.geometry.proximity import near_pairs
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 17 == 0)
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("value") % 180.0) - 90.0).alias("lat"),
+        (((F.col("event_id") / 17) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    return near_pairs(pts, radius=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1282,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_bloom_decontamination": q76_bloom_decontamination,
         "q77_session_window": q77_session_window,
         "q78_geohash_cells": q78_geohash_cells,
+        "q79_near_pairs": q79_near_pairs,
     }
 
 
@@ -2087,6 +2103,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q72_pagerank": _pagerank_oracle(3),
         "q78_geohash_cells": _geohash_oracle(6),
+        # brute-force all-pairs distance join: grid blocking must be invisible
+        "q79_near_pairs": """
+            WITH pts AS (
+              SELECT event_id AS id,
+                     (value % 180.0) - 90.0 AS lat,
+                     (((event_id / 17) % 3600) / 10.0) - 180.0 AS lon
+              FROM events WHERE event_id % 17 = 0
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                            + (a.lon - b.lon) * (a.lon - b.lon)), 6) AS dist
+            FROM pts a JOIN pts b ON a.id < b.id
+            WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon) <= 0.25
+        """,
         "q77_session_window": """
             WITH o AS (
               SELECT user_id, event_id, ts, value,

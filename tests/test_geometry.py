@@ -190,3 +190,24 @@ def test_geohash_encode_matches_bisection_reference(spark):
     df2 = spark.createDataFrame([(57.64911, 10.40744)], "lat: double, lon: double")
     gh11 = df2.select(geohash_encode(F.col("lat"), F.col("lon"), 11).alias("g")).collect()[0].g
     assert gh11 == "u4pruydqqvj"
+
+
+def test_near_pairs_matches_bruteforce_across_cell_boundaries(spark):
+    import random
+
+    from quackosm_spark.geometry.proximity import near_pairs
+
+    rng = random.Random(9)
+    pts = [(i, rng.uniform(-2, 2), rng.uniform(-2, 2)) for i in range(120)]
+    # adversarial: straddle a cell boundary exactly
+    pts += [(200, 0.999, 0.0), (201, 1.001, 0.0), (202, -0.001, -0.001)]
+    df = spark.createDataFrame(pts, "id: long, lat: double, lon: double")
+    r = 0.3
+    got = {(p.id_a, p.id_b) for p in near_pairs(df, radius=r).collect()}
+    want = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r:
+                want.add(tuple(sorted((a[0], b[0]))))
+    assert got == want and want  # complete + non-empty
