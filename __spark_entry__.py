@@ -1217,6 +1217,19 @@ def q79_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_pairs(pts, radius=0.5)
 
 
+def q80_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the 'new batch' (doc_id % 3 == 2) anti-
+    joined against the existing corpus's digest set, after self-dedup —
+    the continuous-feed shape where history is only ever touched as
+    digests."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 3 == 2)
+    existing = docs.where(F.col("doc_id") % 3 != 2)
+    return D.dedup_against_corpus(new, existing).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1298,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_session_window": q77_session_window,
         "q78_geohash_cells": q78_geohash_cells,
         "q79_near_pairs": q79_near_pairs,
+        "q80_incremental_dedup": q80_incremental_dedup,
     }
 
 
@@ -2103,6 +2117,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q72_pagerank": _pagerank_oracle(3),
         "q78_geohash_cells": _geohash_oracle(6),
+        "q80_incremental_dedup": """
+            WITH new_batch AS (
+              SELECT * FROM documents WHERE doc_id % 3 = 2
+            ),
+            self_deduped AS (
+              SELECT doc_id, lang, source, text FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM new_batch
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, lang, source FROM self_deduped s
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents e
+              WHERE e.doc_id % 3 != 2 AND md5(e.text) = md5(s.text)
+            )
+        """,
         # brute-force all-pairs distance join: grid blocking must be invisible
         "q79_near_pairs": """
             WITH pts AS (

@@ -17,10 +17,16 @@
 - ``multimodal`` — opaque-binary media columns: decode/feature/resize/frame ops
 - ``osm``        — OSM corpus statistics (taginfo-style histograms)
 - ``recipes``    — end-to-end corpus-curation chain composing the above
+- ``bloom``      — distributed Bloom filter (membership at set sizes past
+                   exact-broadcast) + bloom-prefiltered exact decontamination
+- ``graph``      — iterative graph algorithms (PageRank with dangling-mass
+                   redistribution)
 """
 
 from quackosm_spark.operators import (
+    bloom,
     dedup,
+    graph,
     mix,
     multimodal,
     osm,
@@ -34,7 +40,9 @@ from quackosm_spark.operators import (
 )
 
 __all__ = [
+    "bloom",
     "dedup",
+    "graph",
     "mix",
     "multimodal",
     "osm",

@@ -785,3 +785,31 @@ def prefix_jaccard_pairs(
         )
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: drop new documents whose text already
+    exists (byte-identical) in the existing corpus — the every-day shape of
+    a continuously-fed training corpus, where re-deduping 100 TB of history
+    per batch is not an option.
+
+    One ``left_anti`` join of the new batch against the existing DIGEST set
+    (16-byte md5 rows, not documents): the history is touched only as a
+    digest scan — at steady state keep the digest table materialized
+    (bucketed on digest via ``sinks.bucketed``) and the anti join is
+    Exchange-free on the history side. The new batch also self-dedups
+    (keep smallest id) so a batch can't introduce its own duplicates.
+    """
+    digest = F.md5(F.col(text_col))
+    existing_digests = existing.select(digest.alias("digest")).distinct()
+    return (
+        drop_exact_duplicates(new_docs, id_col=id_col, text_col=text_col)
+        .withColumn("digest", digest)
+        .join(existing_digests, "digest", "left_anti")
+        .drop("digest")
+    )

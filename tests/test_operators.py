@@ -598,3 +598,22 @@ def test_bloom_decontamination_equals_exact(spark, docs):
     via_bloom = {(r.doc_id, r.n_shared)
                  for r in contamination_matches_bloom(train, bench, n=3, m_bits=1 << 12).collect()}
     assert via_bloom == exact and exact    # identical result, non-empty
+
+
+def test_dedup_against_corpus_drops_history_and_self_dups(spark):
+    existing = spark.createDataFrame(
+        [(1, "seen before"), (2, "old news")], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen before"),   # duplicate of history -> dropped
+            (11, "fresh take"),    # genuinely new -> kept
+            (12, "fresh take"),    # intra-batch dup -> only 11 survives
+            (13, "another one"),
+        ],
+        "doc_id: long, text: string",
+    )
+    kept = sorted(
+        r.doc_id for r in D.dedup_against_corpus(new, existing).collect()
+    )
+    assert kept == [11, 13]
