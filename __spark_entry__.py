@@ -1230,6 +1230,25 @@ def q80_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty: share of each doc's word 3-grams appearing in no
+    other document — the aggregate complement of near-dedup (boilerplate
+    scores ~0, unique content ~1)."""
+    return T.novelty_score(_t(spark, sf_dir, "documents"), n=3)
+
+
+def q82_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: event values clipped to the type's exact
+    [p05, p95] — percentile partial agg broadcast back, clip in the scan
+    stage."""
+    from quackosm_spark.operators import stats as S
+
+    ev = _events(spark, sf_dir)
+    return S.winsorize(ev, "value", "event_type").select(
+        "event_id", "event_type", "value", "value_w"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1312,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_geohash_cells": q78_geohash_cells,
         "q79_near_pairs": q79_near_pairs,
         "q80_incremental_dedup": q80_incremental_dedup,
+        "q81_novelty_score": q81_novelty_score,
+        "q82_winsorize": q82_winsorize,
     }
 
 
@@ -2117,6 +2138,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q72_pagerank": _pagerank_oracle(3),
         "q78_geohash_cells": _geohash_oracle(6),
+        "q81_novelty_score": """
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(w) - 2 > 0 THEN
+                               list_transform(range(1, len(w) - 2 + 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+                           ELSE [] END
+                       )) AS ngram
+                FROM words
+            ),
+            dfc AS (SELECT ngram, count(*) AS df FROM grams GROUP BY 1)
+            SELECT g.doc_id, count(*) AS n_grams,
+                   round(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS novelty
+            FROM grams g JOIN dfc USING (ngram) GROUP BY 1
+        """,
+        "q82_winsorize": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY 1
+            )
+            SELECT event_id, e.event_type, value,
+                   round(least(greatest(value, lo), hi), 6) AS value_w
+            FROM events e JOIN b USING (event_type)
+        """,
         "q80_incremental_dedup": """
             WITH new_batch AS (
               SELECT * FROM documents WHERE doc_id % 3 = 2

@@ -200,3 +200,38 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "(column_name, n_nonnull, n_distinct, min_value, max_value)"
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group winsorization (robust-scaling clip): values clamped to the
+    group's exact [lower_q, upper_q] quantiles. The outlier treatment a
+    numeric training signal gets before normalization.
+
+    The quantile bounds are one JVM-side ``percentile`` partial aggregate
+    per group (tiny result, broadcast back); the clip itself is a
+    scan-stage Column expression. APPENDS ``{value_col}_w`` with the
+    clipped value rounded for engine portability."""
+    bounds = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.percentile(value_col, lower_q).alias("__lo"),
+        F.percentile(value_col, upper_q).alias("__hi"),
+    )
+    return (
+        df.join(
+            F.broadcast(bounds), F.col(group_col) == F.col("__g")
+        )
+        .withColumn(
+            f"{value_col}_w",
+            F.round(
+                F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+                decimals,
+            ),
+        )
+        .drop("__g", "__lo", "__hi")
+    )

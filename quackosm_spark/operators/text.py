@@ -316,3 +316,37 @@ def chunk_documents(
         chunk.alias("chunk_text"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+def novelty_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> Column | DataFrame:
+    """Corpus novelty signal: the fraction of a document's distinct word
+    n-grams that appear in NO other document (df == 1). High novelty =
+    unique content; near-zero = boilerplate / template / near-duplicate
+    text — the aggregate complement of pairwise near-dedup.
+
+    Two hash aggregations on the gram key (doc-distinct grams → corpus
+    document frequencies → per-doc share), both map-side combinable.
+    Returns (doc_id, n_grams, novelty); docs with no n-grams emit no row.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"),
+    )
+    df_counts = grams.groupBy("ngram").agg(F.count("*").alias("df"))
+    return (
+        grams.join(df_counts, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -617,3 +617,32 @@ def test_dedup_against_corpus_drops_history_and_self_dups(spark):
         r.doc_id for r in D.dedup_against_corpus(new, existing).collect()
     )
     assert kept == [11, 13]
+
+
+def test_novelty_score_boilerplate_vs_unique(spark):
+    rows = [
+        (1, "a b c d e"),           # shares all grams with doc 2
+        (2, "a b c d e"),
+        (3, "totally unique words right here"),
+        (4, "xx"),                  # <3 words -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: (r.n_grams, r.novelty) for r in T.novelty_score(df, n=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, 0.0) and got[2] == (3, 0.0)   # pure boilerplate
+    assert got[3] == (3, 1.0)                           # fully novel
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from quackosm_spark.operators.stats import winsorize
+
+    rows = [(i, "g", float(i)) for i in range(1, 11)]  # 1..10
+    rows += [(100, "h", 1000.0), (101, "h", -5.0), (102, "h", 2.0)]
+    df = spark.createDataFrame(rows, "event_id: long, event_type: string, value: double")
+    got = {r.event_id: r.value_w for r in winsorize(df, "value", "event_type", 0.1, 0.9).collect()}
+    # group g: p10 = 1.9, p90 = 9.1 (linear interpolation over 1..10)
+    assert got[1] == pytest.approx(1.9)
+    assert got[10] == pytest.approx(9.1)
+    assert got[5] == 5.0                     # interior untouched
+    # group h clips independently of g
+    assert got[100] < 1000.0 and got[101] > -5.0
