@@ -67,6 +67,19 @@ class GeometryNotCoveredWarning(UserWarning):
     pass
 
 
+class OsmExtractsUnavailableError(RuntimeError):
+    """Every extract matching a query failed to download (reference
+    _exceptions.OsmExtractsUnavailableError semantics)."""
+
+    def __init__(self, message: str, matching_full_names: list[str] | None = None):
+        super().__init__(message)
+        self.matching_full_names = matching_full_names or []
+
+
+class OsmExtractUnavailableWarning(UserWarning):
+    pass
+
+
 # --------------------------------------------------------------------------
 # data model (reference osm_extracts/extract.py:78 column contract)
 # --------------------------------------------------------------------------
@@ -167,11 +180,46 @@ class _Grid:
         self.py = gy.ravel()
         self.cell_area = self.dx * self.dy
 
+    def _decimate(self, ring: list) -> np.ndarray:
+        """Snap ring vertices to the grid cell size and drop consecutive
+        duplicates: sub-cell detail cannot change which cell CENTERS are
+        inside by more than the raster's intrinsic half-cell error, and it
+        bounds the edge count at O(perimeter / cell) — a 100k-vertex
+        country boundary collapses to a few thousand edges, keeping the
+        O(points × edges) ray-cast matrix small."""
+        arr = np.asarray(ring, dtype=np.float64)
+        if arr.shape[0] <= 256:
+            return arr
+        step = min(self.dx, self.dy)
+        snapped = np.round(arr / step) * step
+        keep = np.ones(len(snapped), dtype=bool)
+        keep[1:] = (snapped[1:] != snapped[:-1]).any(axis=1)
+        out = arr[keep]
+        return out if out.shape[0] >= 3 else arr
+
     def rasterize(self, geom: Geometry) -> _Raster:
         mask = np.zeros(len(self.px), dtype=bool)
+        gminx, gminy = self.minx, self.miny
+        gmaxx = gminx + self.dx * int(round((self.px.max() - gminx) / self.dx + 1))
+        gmaxy = gminy + self.dy * int(round((self.py.max() - gminy) / self.dy + 1))
         for poly in normalize_to_polygons(geom):
-            inside = points_in_polygon(self.px, self.py, poly)
-            mask |= inside
+            outer = np.asarray(poly[0], dtype=np.float64)
+            # bbox prefilter: a polygon that cannot touch the grid never
+            # pays the ray-cast
+            if (
+                outer[:, 0].min() > gmaxx
+                or outer[:, 0].max() < gminx
+                or outer[:, 1].min() > gmaxy
+                or outer[:, 1].max() < gminy
+            ):
+                continue
+            dec = [self._decimate(ring).tolist() for ring in poly]
+            # chunk the point set so points×edges stays bounded in memory
+            n_edges = max(len(r) for r in dec)
+            chunk = max(4096, min(len(self.px), (1 << 24) // max(n_edges, 1)))
+            for s in range(0, len(self.px), chunk):
+                sl = slice(s, s + chunk)
+                mask[sl] |= points_in_polygon(self.px[sl], self.py[sl], dec)
         return _Raster(mask, self.cell_area)
 
 
@@ -352,13 +400,18 @@ def find_smallest_containing_extracts(
     geometry_coverage_iou_threshold: float = 0.01,
     allow_uncovered_geometry: bool = False,
     resolution: int = DEFAULT_RASTER_RESOLUTION,
+    excluded_extracts_ids: Optional[set[str]] = None,
 ) -> set[str]:
     """Select extract ids covering the geometry; discard low-IoU picks
-    (except the first) with a warning."""
+    (except the first) with a warning. ``excluded_extracts_ids`` removes
+    known-unavailable extracts before the search (the download retry loop's
+    recalculation hook — reference osm_extracts/__init__.py:525-553)."""
     if not 0 <= geometry_coverage_iou_threshold <= 1:
         raise ValueError(
             "geometry_coverage_iou_threshold is outside required bounds [0, 1]"
         )
+    if excluded_extracts_ids:
+        index = [e for e in index if e.id not in excluded_extracts_ids]
     checked_ids, ious = _cover_geometry_with_extracts(
         geometry, index, allow_uncovered_geometry, resolution
     )
@@ -452,24 +505,162 @@ def find_extracts_for_geometry(
 
 
 # --------------------------------------------------------------------------
-# download stub (network is unavailable in this build)
+# download (injectable fetcher; live path gated on connectivity)
 # --------------------------------------------------------------------------
 
+def _default_pbf_fetcher(url: str) -> Optional[bytes]:
+    """Live HTTP fetch (unused in the offline build's tests): bytes on
+    success, None on HTTP 404 — the 'unavailable' signal the retry loops
+    react to."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, headers={"User-Agent": "quackosm-spark (PySpark analytics engine)"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.read()
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return None
+        raise
+
+
 def download_extract(
-    extract: OpenStreetMapExtract, download_directory: str | Path = "files"
-) -> Path:
+    extract: OpenStreetMapExtract,
+    download_directory: str | Path = "files",
+    fetcher: Any = None,
+) -> Optional[Path]:
     """Return the local path of an extract's PBF, downloading if needed.
 
-    STUB: this environment has no network access; only pre-existing local
-    files resolve. The reference downloads via HTTP with a retry loop that
-    excludes 404'd extracts (osm_extracts/__init__.py:485-553) — hook the
-    download here when running with connectivity."""
+    ``fetcher(url) -> bytes | None`` is injectable (None = 404/unavailable,
+    mirroring reference osm_extracts/__init__.py download semantics); the
+    default is a urllib fetch, which in this offline build only resolves
+    pre-existing local files."""
     target = Path(download_directory) / f"{extract.file_name}.osm.pbf"
     if target.exists():
         return target
-    raise NotImplementedError(
-        f"Offline build: cannot download {extract.url!r}; place the file at {target}."
-    )
+    fetcher = fetcher or _default_pbf_fetcher
+    payload = fetcher(extract.url)
+    if payload is None:
+        return None
+    target.parent.mkdir(parents=True, exist_ok=True)
+    target.write_bytes(payload)
+    return target
+
+
+def download_extracts_pbf_files(
+    extracts: Iterable[OpenStreetMapExtract],
+    download_directory: str | Path = "files",
+    fetcher: Any = None,
+    ignore_unavailable: bool = False,
+) -> tuple[list[tuple[OpenStreetMapExtract, Path]], list[OpenStreetMapExtract]]:
+    """Download a batch; returns (downloaded pairs, unavailable extracts).
+    With ``ignore_unavailable=False`` a 404 raises immediately (reference
+    `_download_extracts_pbf_files` semantics)."""
+    downloaded: list[tuple[OpenStreetMapExtract, Path]] = []
+    unavailable: list[OpenStreetMapExtract] = []
+    for extract in extracts:
+        path = download_extract(extract, download_directory, fetcher=fetcher)
+        if path is None:
+            if not ignore_unavailable:
+                raise OsmExtractsUnavailableError(
+                    f'Extract "{extract.file_name}" is unavailable for download.',
+                    matching_full_names=[extract.file_name],
+                )
+            unavailable.append(extract)
+        else:
+            downloaded.append((extract, path))
+    return downloaded, unavailable
+
+
+def download_extract_by_query(
+    query: str,
+    index: Sequence[OpenStreetMapExtract],
+    download_directory: str | Path = "files",
+    select_first_match: bool = True,
+    fetcher: Any = None,
+) -> Path:
+    """Query → download with the reference's 404-retry loop: an unavailable
+    match is excluded and the query re-resolved against the remaining
+    extracts; when every match was excluded this way the error reports an
+    availability problem, not a zero-match query (reference
+    osm_extracts/__init__.py:440-482)."""
+    excluded_extracts_ids: set[str] = set()
+    unavailable_file_names: list[str] = []
+    while True:
+        try:
+            matching = get_extract_by_query(
+                query,
+                index,
+                select_first_match=select_first_match,
+                excluded_extracts_ids=excluded_extracts_ids,
+            )
+        except OsmExtractZeroMatchesError:
+            if not unavailable_file_names:
+                raise
+            raise OsmExtractsUnavailableError(
+                f'All extracts matching query "{query.strip()}" are unavailable'
+                f" for download ({', '.join(unavailable_file_names)})."
+                " Check your internet connection or try a different source.",
+                matching_full_names=sorted(unavailable_file_names),
+            ) from None
+        downloaded, unavailable = download_extracts_pbf_files(
+            [matching], download_directory, fetcher=fetcher, ignore_unavailable=True
+        )
+        if not unavailable:
+            return downloaded[0][1]
+        warnings.warn(
+            f'Matched extract "{matching.file_name}" is unavailable.'
+            " Excluding it and trying the next matching extract.",
+            OsmExtractUnavailableWarning,
+            stacklevel=0,
+        )
+        excluded_extracts_ids.add(matching.id)
+        unavailable_file_names.append(matching.file_name)
+
+
+def find_and_download_extracts_pbf_files(
+    geometry: Geometry,
+    index: Sequence[OpenStreetMapExtract],
+    download_directory: str | Path = "files",
+    geometry_coverage_iou_threshold: float = 0.01,
+    allow_uncovered_geometry: bool = False,
+    resolution: int = DEFAULT_RASTER_RESOLUTION,
+    fetcher: Any = None,
+) -> list[tuple[OpenStreetMapExtract, Path]]:
+    """Coverage search → download, recalculating the coverage without any
+    extract that turns out unavailable until a fully downloadable set is
+    found (reference osm_extracts/__init__.py:485-553)."""
+    excluded_extracts_ids: set[str] = set()
+    by_id = {e.id: e for e in index}
+    while True:
+        selected_ids = find_smallest_containing_extracts(
+            geometry,
+            index,
+            geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
+            allow_uncovered_geometry=allow_uncovered_geometry,
+            resolution=resolution,
+            excluded_extracts_ids=excluded_extracts_ids,
+        )
+        matching = filter_extracts(
+            geometry, selected_ids, [by_id[i] for i in selected_ids],
+            resolution=resolution,
+        )
+        downloaded, unavailable = download_extracts_pbf_files(
+            matching, download_directory, fetcher=fetcher, ignore_unavailable=True
+        )
+        if not unavailable:
+            return downloaded
+        names = ", ".join(e.file_name for e in unavailable)
+        warnings.warn(
+            "Some matching extracts are unavailable and will be excluded from"
+            f" the search ({names}). Recalculating the coverage without them.",
+            OsmExtractUnavailableWarning,
+            stacklevel=0,
+        )
+        excluded_extracts_ids.update(e.id for e in unavailable)
 
 
 def display_available_extracts(

@@ -1,0 +1,574 @@
+"""Extract-provider index builders: the pure parsing logic behind the
+reference's 6 live index scrapers, offline-testable via injectable fetchers.
+
+Reference parity (study targets, no code copied — the reference builds
+geopandas GeoDataFrames through requests/bs4/shapely; here everything is
+stdlib + the repo's own GeoJSON-dict geometry model):
+
+- Geofabrik `index-v1.json`   -> reference osm_extracts/geofabrik.py:50-76
+- BBBike dir listing + .poly  -> reference osm_extracts/bbbike.py:56-111
+- OSM-fr recursive listing    -> reference osm_extracts/osm_fr.py:63-138
+- GEO2Day recursive pages     -> reference osm_extracts/geo2day.py:63-200
+- Movisda admin/grid GeoJSON  -> reference osm_extracts/movisda.py:111-186
+- Osmosis .poly format        -> reference osm_extracts/_poly_parser.py:36-83
+- precalculated index parquet -> reference osm_extracts/extract.py:26-28,
+  precalculated_indexes/*.parquet (geoparquet: WKB geometry column)
+- full-file-name generation   -> reference osm_extracts/extract.py:315-344
+
+Every parser takes already-fetched payloads (or a ``fetcher(url) -> str |
+bytes | None`` callable, None = 404) and returns plain record dicts
+consumable by ``extracts.build_index`` — so the whole surface tests offline
+against recorded payloads, and goes live by passing a urllib-backed fetcher.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import unicodedata
+from html.parser import HTMLParser
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional
+from urllib.parse import urljoin, urlparse
+
+Geometry = dict[str, Any]
+Fetcher = Callable[[str], Optional[str]]
+
+GEOFABRIK_INDEX_URL = "https://download.geofabrik.de/index-v1.json"
+BBBIKE_EXTRACTS_INDEX_URL = "https://download.bbbike.org/osm/bbbike"
+BBBIKE_EXTRACTS_CSV_LIST_URL = (
+    "https://raw.githubusercontent.com/wosch/bbbike-world/world/etc/cities.csv"
+)
+OPENSTREETMAP_FR_POLYGONS_INDEX_URL = "https://download.openstreetmap.fr/polygons"
+OPENSTREETMAP_FR_EXTRACTS_INDEX_URL = "https://download.openstreetmap.fr/extracts"
+GEO2DAY_BASE_URL = "https://geo2day.com/"
+MOVISDA_ADMIN_GEOJSON_URL = "https://osm.download.movisda.io/admin/Admin-latest.geojson"
+MOVISDA_ADMIN_PBF_BASE_URL = "https://osm.download.movisda.io/admin"
+MOVISDA_GRID_GEOJSON_URL = "https://osm.download.movisda.io/grid/grid-latest.geojson"
+MOVISDA_GRID_PBF_BASE_URL = "https://osm.download.movisda.io/grid"
+
+# source-enum string values (reference osm_extracts/extract.py:43-52)
+SOURCE_GEOFABRIK = "Geofabrik"
+SOURCE_OSM_FR = "osmfr"
+SOURCE_BBBIKE = "BBBike"
+SOURCE_GEO2DAY = "GEO2Day"
+SOURCE_MOVISDA_ADMIN = "Movisda-admin"
+SOURCE_MOVISDA_GRID = "Movisda-grid"
+
+
+# --------------------------------------------------------------------------
+# Osmosis .poly format (reference _poly_parser.py:36-83)
+# --------------------------------------------------------------------------
+
+def parse_poly(lines: Iterable[str]) -> Geometry:
+    """Parse an Osmosis polygon filter file into a GeoJSON MultiPolygon.
+
+    Format: first line is the region name (ignored), then repeated ring
+    sections — a header line (ring name; ``!``-prefixed = hole of the
+    previous shell), coordinate lines (``lon lat``), an ``END`` line per
+    ring, and a final ``END`` for the file.
+    """
+    polygons: list[list[list[list[float]]]] = []  # [shell+holes][ring][pt]
+    in_ring = False
+    ring: list[list[float]] = []
+    for index, line in enumerate(lines):
+        stripped = line.strip()
+        if index == 0:
+            continue
+        if index == 1:
+            polygons.append([[]])
+            ring = polygons[-1][0]
+            in_ring = True
+        elif in_ring and stripped == "END":
+            in_ring = False
+        elif in_ring:
+            ring.append([float(v) for v in stripped.split()])
+        elif stripped == "END":
+            break
+        elif stripped.startswith("!"):
+            polygons[-1].append([])
+            ring = polygons[-1][-1]
+            in_ring = True
+        else:
+            polygons.append([[]])
+            ring = polygons[-1][0]
+            in_ring = True
+    closed = []
+    for rings in polygons:
+        closed_rings = []
+        for r in rings:
+            if r and r[0] != r[-1]:
+                r = r + [r[0]]
+            closed_rings.append(r)
+        closed.append(closed_rings)
+    return {"type": "MultiPolygon", "coordinates": closed}
+
+
+# --------------------------------------------------------------------------
+# GeoJSON helpers (reference _geojson_parser.py:40-76)
+# --------------------------------------------------------------------------
+
+def parse_geojson(data: dict[str, Any]) -> Optional[Geometry]:
+    """FeatureCollection / Feature / bare geometry → one geometry dict.
+    Multiple features merge into a (Multi)Polygon of all parts."""
+    gtype = data.get("type")
+    if gtype == "FeatureCollection":
+        geoms = [
+            f["geometry"]
+            for f in data.get("features", [])
+            if f.get("geometry") is not None
+        ]
+        if not geoms:
+            return None
+        if len(geoms) == 1:
+            return geoms[0]
+        parts: list[Any] = []
+        for g in geoms:
+            if g["type"] == "Polygon":
+                parts.append(g["coordinates"])
+            elif g["type"] == "MultiPolygon":
+                parts.extend(g["coordinates"])
+            else:
+                raise ValueError(f"cannot merge geometry type {g['type']}")
+        return {"type": "MultiPolygon", "coordinates": parts}
+    if gtype == "Feature":
+        return data.get("geometry")
+    return data
+
+
+# --------------------------------------------------------------------------
+# full-file-name generation (reference extract.py:315-344)
+# --------------------------------------------------------------------------
+
+def slugify_file_name_part(value: str) -> str:
+    """Lowercase, whitespace→underscore, diacritics→ascii, strip the rest."""
+    ascii_value = (
+        unicodedata.normalize("NFKD", value).encode("ascii", "ignore").decode()
+    )
+    ascii_value = re.sub(r"\s+", "_", ascii_value.strip().lower())
+    return re.sub(r"[^a-z0-9_-]+", "", ascii_value)
+
+
+def attach_file_names(records: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Set ``file_name`` on each record: the slugified names along the
+    parent chain, root-first (unknown parents slugified as-is)."""
+    by_id = {r["id"]: r for r in records}
+    for r in records:
+        parts = []
+        current: Optional[str] = r["id"]
+        while current is not None:
+            row = by_id.get(current)
+            if row is None:
+                parts.append(slugify_file_name_part(current))
+                break
+            parts.append(slugify_file_name_part(row["name"]))
+            current = row.get("parent")
+        r["file_name"] = "_".join(reversed(parts))
+    return records
+
+
+# --------------------------------------------------------------------------
+# Geofabrik (reference geofabrik.py:50-76)
+# --------------------------------------------------------------------------
+
+def parse_geofabrik_index(parsed_data: dict[str, Any]) -> list[dict[str, Any]]:
+    """``index-v1.json`` FeatureCollection → extract records."""
+    records = []
+    for feature in parsed_data.get("features", []):
+        props = feature.get("properties", {})
+        raw_id = str(props["id"])
+        parent = props.get("parent")
+        if raw_id.startswith("us/"):
+            # fix US extracts parent tree (reference geofabrik.py:72-74)
+            parent_id = f"{SOURCE_GEOFABRIK}_us"
+        elif parent is not None:
+            parent_id = f"{SOURCE_GEOFABRIK}_{parent}"
+        else:
+            parent_id = SOURCE_GEOFABRIK
+        records.append(
+            {
+                "id": f"{SOURCE_GEOFABRIK}_{raw_id}",
+                "name": raw_id.replace("/", "_"),
+                "parent": parent_id,
+                "url": props["urls"]["pbf"],
+                "geometry": feature["geometry"],
+            }
+        )
+    return attach_file_names(records)
+
+
+# --------------------------------------------------------------------------
+# minimal HTML helpers (stdlib html.parser — bs4 is not in this container)
+# --------------------------------------------------------------------------
+
+class _LinkCollector(HTMLParser):
+    """Collects (href, text) for every <a>; remembers whether the row's
+    <tr> carried class 'd' (BBBike dir rows) and whether the row contained
+    a folder icon img (osm.fr listings)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.links: list[dict[str, Any]] = []
+        self._tr_class = ""
+        self._tr_has_folder = False
+        self._in_a = False
+        self._href = ""
+        self._text: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        a = dict(attrs)
+        if tag == "tr":
+            self._tr_class = a.get("class", "") or ""
+            self._tr_has_folder = False
+        elif tag == "img" and (a.get("src") or "").endswith("folder.gif"):
+            self._tr_has_folder = True
+        elif tag == "a" and "href" in a:
+            self._in_a = True
+            self._href = a["href"]
+            self._text = []
+
+    def handle_data(self, data: str) -> None:
+        if self._in_a:
+            self._text.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._in_a:
+            self._in_a = False
+            self.links.append(
+                {
+                    "href": self._href,
+                    "text": "".join(self._text),
+                    "tr_class": self._tr_class,
+                    "in_folder_row": self._tr_has_folder,
+                }
+            )
+        elif tag == "tr":
+            self._tr_class = ""
+            self._tr_has_folder = False
+
+
+def _collect_links(html: str) -> list[dict[str, Any]]:
+    parser = _LinkCollector()
+    parser.feed(html)
+    return parser.links
+
+
+# --------------------------------------------------------------------------
+# BBBike (reference bbbike.py:56-111)
+# --------------------------------------------------------------------------
+
+def parse_bbbike_index(
+    listing_html: str,
+    cities_csv: str,
+    poly_fetcher: Fetcher,
+) -> list[dict[str, Any]]:
+    """Directory listing (tr.d rows) + per-city .poly (fallback: bbox from
+    the cities.csv column 7) → extract records."""
+    names = [
+        link["text"]
+        for link in _collect_links(listing_html)
+        if "d" in link["tr_class"].split() and link["text"] != ".."
+    ]
+    csv_rows = cities_csv.splitlines()
+    records = []
+    for name in names:
+        poly_text = poly_fetcher(
+            f"{BBBIKE_EXTRACTS_INDEX_URL}/{name}/{name}.poly"
+        )
+        if poly_text is not None:
+            geometry: Geometry = parse_poly(poly_text.splitlines())
+        else:
+            row = next(r for r in csv_rows if r.startswith(name + ":"))
+            minx, miny, maxx, maxy = (float(v) for v in row.split(":")[6].split())
+            geometry = {
+                "type": "Polygon",
+                "coordinates": [[
+                    [minx, miny], [maxx, miny], [maxx, maxy],
+                    [minx, maxy], [minx, miny],
+                ]],
+            }
+        records.append(
+            {
+                "id": f"{SOURCE_BBBIKE}_{name}",
+                "name": name,
+                "parent": SOURCE_BBBIKE,
+                "url": f"{BBBIKE_EXTRACTS_INDEX_URL}/{name}/{name}.osm.pbf",
+                "geometry": geometry,
+            }
+        )
+    return attach_file_names(records)
+
+
+# --------------------------------------------------------------------------
+# OSM-fr (reference osm_fr.py:63-138)
+# --------------------------------------------------------------------------
+
+def parse_osm_fr_index(
+    fetcher: Fetcher,
+    poly_fetcher: Optional[Fetcher] = None,
+    _id_prefix: str = SOURCE_OSM_FR,
+    _directory_url: str = "/",
+) -> list[dict[str, Any]]:
+    """Recursive walk of the osm.fr extracts listing: every
+    ``*-latest.osm.pbf`` link becomes an extract whose geometry is the
+    matching ``.poly`` from the polygons mirror; folder rows recurse."""
+    poly_fetcher = poly_fetcher or fetcher
+    html = fetcher(f"{OPENSTREETMAP_FR_EXTRACTS_INDEX_URL}{_directory_url}")
+    if html is None:
+        return []
+    links = _collect_links(html)
+    records = []
+    for link in links:
+        if link["text"].endswith("-latest.osm.pbf"):
+            name = link["text"].replace("-latest.osm.pbf", "")
+            poly_text = poly_fetcher(
+                f"{OPENSTREETMAP_FR_POLYGONS_INDEX_URL}{_directory_url}{name}.poly"
+            )
+            if poly_text is None:
+                continue
+            records.append(
+                {
+                    "id": f"{_id_prefix}_{name}",
+                    "name": name,
+                    "parent": _id_prefix,
+                    "url": (
+                        f"{OPENSTREETMAP_FR_EXTRACTS_INDEX_URL}"
+                        f"{_directory_url}{link['href']}"
+                    ),
+                    "geometry": parse_poly(poly_text.splitlines()),
+                }
+            )
+        elif link["in_folder_row"]:
+            dir_name = link["text"].replace("/", "")
+            records.extend(
+                parse_osm_fr_index(
+                    fetcher,
+                    poly_fetcher,
+                    _id_prefix=f"{_id_prefix}_{dir_name}",
+                    _directory_url=f"{_directory_url}{link['href']}",
+                )
+            )
+    if _id_prefix == SOURCE_OSM_FR:
+        records = attach_file_names(records)
+    return records
+
+
+# --------------------------------------------------------------------------
+# GEO2Day (reference geo2day.py:63-200)
+# --------------------------------------------------------------------------
+
+def _region_path_segments(url: str) -> list[str]:
+    path = urlparse(url).path.strip("/")
+    if path.endswith(".html"):
+        path = path[: -len(".html")]
+    return [seg for seg in path.split("/") if seg]
+
+
+def parse_geo2day_index(
+    page_fetcher: Fetcher,
+    geojson_fetcher: Callable[[str], Optional[dict[str, Any]]],
+    _id_prefix: str = SOURCE_GEO2DAY,
+    _page_url: str = GEO2DAY_BASE_URL,
+) -> list[dict[str, Any]]:
+    """Recursive walk of geo2day.com region pages: a link is a direct
+    sub-region when its path is exactly one segment deeper; each region's
+    boundary comes from ``<region>.geojson`` next to the page."""
+    html = page_fetcher(_page_url)
+    if html is None:
+        return []
+    current = _region_path_segments(_page_url)
+    records = []
+    seen: set[str] = set()
+    for link in _collect_links(html):
+        href = link["href"]
+        if not href.endswith(".html"):
+            continue
+        absolute = urljoin(_page_url, href)
+        if absolute in seen:
+            continue
+        child = _region_path_segments(absolute)
+        if len(child) != len(current) + 1 or child[: len(current)] != current:
+            continue
+        seen.add(absolute)
+        name = child[-1]
+        child_id = f"{_id_prefix}_{name}"
+        base_url = absolute[: -len(".html")]
+        geojson = geojson_fetcher(f"{base_url}.geojson")
+        geometry = parse_geojson(geojson) if geojson is not None else None
+        if geometry is not None:
+            records.append(
+                {
+                    "id": child_id,
+                    "name": name,
+                    "parent": _id_prefix,
+                    "url": f"{base_url}.pbf",
+                    "geometry": geometry,
+                }
+            )
+        records.extend(
+            parse_geo2day_index(
+                page_fetcher,
+                geojson_fetcher,
+                _id_prefix=child_id,
+                _page_url=absolute,
+            )
+        )
+    if _id_prefix == SOURCE_GEO2DAY:
+        records = attach_file_names(records)
+    return records
+
+
+# --------------------------------------------------------------------------
+# Movisda admin/grid (reference movisda.py:111-186)
+# --------------------------------------------------------------------------
+
+def parse_movisda_index(
+    geojson_data: dict[str, Any],
+    pbf_base_url: str,
+    source_value: str,
+    build_hierarchy: bool,
+) -> list[dict[str, Any]]:
+    """One GeoJSON FeatureCollection describes all extracts; ids/urls come
+    from each feature's ``prefix`` property. Admin boundaries nest by the
+    ISO-style code (``RW-02`` under ``RW``); the grid stays flat."""
+    features = geojson_data.get("features", [])
+    available = {str(f["properties"]["prefix"]).rstrip("-") for f in features}
+    records = []
+    for feature in features:
+        props = feature["properties"]
+        prefix = str(props["prefix"])
+        code = prefix.rstrip("-")
+        if build_hierarchy:
+            name = props.get("name_en") or props["name"]
+            parent_code = code.rsplit("-", 1)[0] if "-" in code else None
+            parent = (
+                f"{source_value}_{parent_code}"
+                if parent_code and parent_code in available
+                else source_value
+            )
+        else:
+            name = code
+            parent = source_value
+        records.append(
+            {
+                "id": f"{source_value}_{code}",
+                "name": name,
+                "parent": parent,
+                "url": f"{pbf_base_url}/{prefix}latest.osm.pbf",
+                "geometry": feature["geometry"],
+            }
+        )
+    return attach_file_names(records)
+
+
+def parse_movisda_admin_index(geojson_data: dict[str, Any]) -> list[dict[str, Any]]:
+    return parse_movisda_index(
+        geojson_data, MOVISDA_ADMIN_PBF_BASE_URL, SOURCE_MOVISDA_ADMIN, True
+    )
+
+
+def parse_movisda_grid_index(geojson_data: dict[str, Any]) -> list[dict[str, Any]]:
+    return parse_movisda_index(
+        geojson_data, MOVISDA_GRID_PBF_BASE_URL, SOURCE_MOVISDA_GRID, False
+    )
+
+
+# --------------------------------------------------------------------------
+# precalculated index parquet (reference extract.py:26-28 + the shipped
+# precalculated_indexes/*.parquet: geoparquet with a WKB geometry column)
+# --------------------------------------------------------------------------
+
+def load_precalculated_index(path: str | Path) -> list[dict[str, Any]]:
+    """Read a reference-format precalculated index parquet (columns id,
+    name, file_name, parent, geometry as WKB binary, area, url) into
+    records for ``extracts.build_index``.
+
+    The stored ``area`` is geodetic km² (used by the reference only as a
+    sort tie-breaker); it is dropped here so ``build_index`` recomputes the
+    degree²-raster area that the IoU coverage search needs — matching the
+    reference, whose IoU also runs on degree² ``geometry.area``.
+    """
+    import pyarrow.parquet as pq
+
+    from quackosm_spark.geometry import wkb
+
+    table = pq.read_table(path)
+    records = []
+    for row in table.to_pylist():
+        records.append(
+            {
+                "id": row["id"],
+                "name": row["name"],
+                "file_name": row["file_name"],
+                "parent": row["parent"],
+                "url": row["url"],
+                "geometry": wkb.loads(row["geometry"]),
+            }
+        )
+    return records
+
+
+# --------------------------------------------------------------------------
+# live fetch wiring (offline-gated; the parsers above never touch it)
+# --------------------------------------------------------------------------
+
+def urllib_fetcher(timeout: float = 30.0) -> Fetcher:
+    """A real ``fetcher`` for live use: returns the response body as text,
+    None on HTTP 404, raises otherwise."""
+    import urllib.error
+    import urllib.request
+
+    def fetch(url: str) -> Optional[str]:
+        req = urllib.request.Request(
+            url, headers={"User-Agent": "quackosm-spark (PySpark analytics engine)"}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.read().decode("utf-8", errors="replace")
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    return fetch
+
+
+def load_provider_index(
+    source: str,
+    fetcher: Optional[Fetcher] = None,
+) -> list[dict[str, Any]]:
+    """Build one provider's records from live (or injected) payloads —
+    the offline-testable core of the reference's ``_load_*_index``
+    family. ``source`` is one of the SOURCE_* values (case-insensitive)."""
+    fetcher = fetcher or urllib_fetcher()
+    s = source.lower()
+    if s == SOURCE_GEOFABRIK.lower():
+        text = fetcher(GEOFABRIK_INDEX_URL)
+        if text is None:
+            raise FileNotFoundError(GEOFABRIK_INDEX_URL)
+        return parse_geofabrik_index(json.loads(text))
+    if s == SOURCE_BBBIKE.lower():
+        listing = fetcher(BBBIKE_EXTRACTS_INDEX_URL)
+        csv_text = fetcher(BBBIKE_EXTRACTS_CSV_LIST_URL)
+        if listing is None or csv_text is None:
+            raise FileNotFoundError(BBBIKE_EXTRACTS_INDEX_URL)
+        return parse_bbbike_index(listing, csv_text, fetcher)
+    if s == SOURCE_OSM_FR.lower():
+        return parse_osm_fr_index(fetcher)
+    if s == SOURCE_GEO2DAY.lower():
+        def _geojson(url: str) -> Optional[dict[str, Any]]:
+            text = fetcher(url)
+            return json.loads(text) if text is not None else None
+
+        return parse_geo2day_index(fetcher, _geojson)
+    if s == SOURCE_MOVISDA_ADMIN.lower():
+        text = fetcher(MOVISDA_ADMIN_GEOJSON_URL)
+        if text is None:
+            raise FileNotFoundError(MOVISDA_ADMIN_GEOJSON_URL)
+        return parse_movisda_admin_index(json.loads(text))
+    if s == SOURCE_MOVISDA_GRID.lower():
+        text = fetcher(MOVISDA_GRID_GEOJSON_URL)
+        if text is None:
+            raise FileNotFoundError(MOVISDA_GRID_GEOJSON_URL)
+        return parse_movisda_grid_index(json.loads(text))
+    raise ValueError(f"Unknown extract source: {source!r}")

@@ -23,13 +23,21 @@ def geohash_encode(lat: Column, lon: Column, precision: int = 7) -> Column:
     total = 5 * precision
     lon_bits = (total + 1) // 2
     lat_bits = total // 2
-    lon_q = F.least(
-        F.lit((1 << lon_bits) - 1),
-        F.floor((lon + 180.0) / 360.0 * F.lit(float(1 << lon_bits))).cast("long"),
+    # clamp BOTH bounds: out-of-domain input (lat < -90 / lon < -180) would
+    # otherwise quantize negative, and sign-extended shifts emit garbage
+    lon_q = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << lon_bits) - 1),
+            F.floor((lon + 180.0) / 360.0 * F.lit(float(1 << lon_bits))).cast("long"),
+        ),
     )
-    lat_q = F.least(
-        F.lit((1 << lat_bits) - 1),
-        F.floor((lat + 90.0) / 180.0 * F.lit(float(1 << lat_bits))).cast("long"),
+    lat_q = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << lat_bits) - 1),
+            F.floor((lat + 90.0) / 180.0 * F.lit(float(1 << lat_bits))).cast("long"),
+        ),
     )
     inter = F.lit(0).cast("long")
     for k in range(lon_bits):

@@ -57,22 +57,43 @@ def bloom_might_contain(
     set). The filter table broadcasts; the probe side never shuffles —
     membership testing is map-side at any probe volume. Keeps the input
     columns of surviving rows (false positives possible, negatives never).
+
+    Row multiplicity is preserved: the k per-row probes are regrouped on a
+    per-row surrogate id, not on the value columns, so duplicate probe rows
+    each survive (or not) independently. Internal temp columns are
+    collision-checked against the probe schema.
     """
-    probe = probes.withColumn(
-        "_p", F.explode(F.array(*_positions(F.col(item_col), m_bits, k)))
-    ).withColumn("_w", (F.col("_p") / 64).cast("long")).withColumn(
-        "_b", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))")
+    rid = "__bloom_rid"
+    tmp = (rid, "__bloom_p", "__bloom_w", "__bloom_b", "bits", "word_idx")
+    clash = [c for c in probes.columns if c in tmp]
+    if clash:
+        raise ValueError(f"probe columns collide with bloom internals: {clash}")
+    probe = (
+        probes.withColumn(rid, F.monotonically_increasing_id())
+        .withColumn(
+            "__bloom_p",
+            F.explode(F.array(*_positions(F.col(item_col), m_bits, k))),
+        )
+        .withColumn("__bloom_w", (F.col("__bloom_p") / 64).cast("long"))
+        .withColumn(
+            "__bloom_b",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bloom_p % 64 AS INT))"),
+        )
     )
     hit = probe.join(
-        F.broadcast(bloom), probe["_w"] == bloom["word_idx"], "left"
+        F.broadcast(bloom), probe["__bloom_w"] == bloom["word_idx"], "left"
     ).withColumn(
-        "_set", F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_b")) != 0
+        "__bloom_set",
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__bloom_b")) != 0,
     )
     return (
-        hit.groupBy(*[F.col(c) for c in probes.columns])
-        .agg(F.bool_and("_set").alias("_all"))
-        .where(F.col("_all"))
-        .drop("_all")
+        hit.groupBy(rid)
+        .agg(
+            *[F.first(c).alias(c) for c in probes.columns],
+            F.bool_and("__bloom_set").alias("__bloom_all"),
+        )
+        .where(F.col("__bloom_all"))
+        .select(*probes.columns)
     )
 
 

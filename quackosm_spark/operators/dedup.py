@@ -740,7 +740,14 @@ def prefix_jaccard_pairs(
         .withColumn("n", F.size("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prefix_len = F.col("n") - F.ceil(F.col("n") * threshold).cast("int") + 1
+    # guard ceil against FP noise: t*n that is mathematically integral can
+    # round up (0.07*100 -> 7.000000000000001 -> ceil 8), shortening the
+    # prefix by one token and silently missing qualifying pairs
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.round(F.col("n") * threshold, 6)).cast("int")
+        + 1
+    )
     prefix = ordered.select(
         "doc_id", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("tok")
     )
@@ -799,13 +806,17 @@ def dedup_against_corpus(
     per batch is not an option.
 
     One ``left_anti`` join of the new batch against the existing DIGEST set
-    (16-byte md5 rows, not documents): the history is touched only as a
+    (32-byte sha256 rows, not documents): the history is touched only as a
     digest scan — at steady state keep the digest table materialized
     (bucketed on digest via ``sinks.bucketed``) and the anti join is
     Exchange-free on the history side. The new batch also self-dedups
     (keep smallest id) so a batch can't introduce its own duplicates.
+
+    sha256, not md5: md5 chosen-prefix collisions are practical, so in a
+    continuously-fed corpus a crafted history entry could silently drop a
+    legitimate new document; sha256 removes that adversarial surface.
     """
-    digest = F.md5(F.col(text_col))
+    digest = F.sha2(F.col(text_col), 256)
     existing_digests = existing.select(digest.alias("digest")).distinct()
     return (
         drop_exact_duplicates(new_docs, id_col=id_col, text_col=text_col)

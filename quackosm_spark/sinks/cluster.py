@@ -22,8 +22,20 @@ def zorder_key(
     bits: int = 16,
 ) -> Column:
     """Interleave the ``bits``-bit normalized values of ``cols`` into one
-    Z-curve key (pure Column bit arithmetic — codegen, no Python)."""
+    Z-curve key (pure Column bit arithmetic — codegen, no Python).
+
+    The interleaved key occupies ``bits * len(cols)`` bits; it must fit in
+    the 63 value bits of a signed long or high bits flip the sign / wrap
+    mod 64 and silently corrupt the ordering, so ``bits`` is auto-scaled
+    down to ``63 // len(cols)`` when the requested width doesn't fit.
+    """
     n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * n > 63:
+        bits = 63 // n
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({n}): need bits >= 1 each")
     quantized = []
     for c in cols:
         lo, hi = bounds[c]

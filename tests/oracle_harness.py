@@ -19,10 +19,20 @@ TABLES = [
 
 
 def normalize(value):
+    # Full repr, NOT rounded formatting: the driver's hash serializes exact
+    # values, so a "%.9g"-loose local gate lets driver-red mismatches through
+    # (that is exactly how the r01 q25/q29/q47 HUGEINT-vs-BIGINT artifact
+    # slipped past this harness — VERDICT r01 "What's wrong" #3).
     if isinstance(value, float):
         if math.isnan(value):
             return "nan"
-        return f"{value:.9g}"
+        return repr(value)
+    if isinstance(value, int) and not isinstance(value, bool):
+        # expose int-typing differences (DuckDB HUGEINT vs Spark bigint reach
+        # Python as int either way, but Decimal does not — see below)
+        return f"i:{value}"
+    if type(value).__name__ == "Decimal":
+        return f"dec:{value}"
     if hasattr(value, "isoformat"):
         return value.isoformat()
     return str(value)
@@ -62,12 +72,15 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
             continue
         try:
             rel = con.sql(sql)
-            dcols_raw = rel.columns
-            drows = rel.fetchall()
-            order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+            # fetch through Arrow, not fetchall(): fetchall() silently
+            # coerces HUGEINT to Python int, hiding the int128-vs-int64
+            # typing artifact that the driver's hash DOES see
+            tbl = rel.fetch_arrow_table()
+            dcols_raw = tbl.column_names
+            drows = tbl.to_pylist()
             dcols = sorted(dcols_raw)
             dset = sorted(
-                tuple(normalize(row[i]) for i in order) for row in drows
+                tuple(normalize(row[c]) for c in dcols) for row in drows
             )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
