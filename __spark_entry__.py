@@ -1249,6 +1249,137 @@ def q82_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_makevalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MakeValid parity (reference wraps every geometry write in
+    ST_MakeValid, pbf_file_reader.py:3592-3644): bowtie (self-intersecting)
+    rings built from event ids are repaired by
+    geometry.repair.make_valid_ring inside an Arrow-batched pandas UDF —
+    scan-stage, no shuffle. DuckDB-spatial is not installable offline, so
+    the oracle is the closed-form even-odd result: a bowtie of size a
+    repairs to 2 triangles of total area a²/2; a simple square stays 1
+    part of area a²."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField as SF_, StructType as ST_,
+    )
+
+    _ship_package(spark)
+
+    @F.pandas_udf(ST_([SF_("n_parts", IntegerType()), SF_("area", DoubleType())]))
+    def _repair(a, bow):
+        from quackosm_spark.geometry.repair import make_valid_ring, ring_area
+
+        parts_out, area_out = [], []
+        for av, is_bow in zip(a, bow):
+            s = float(av)
+            if bool(is_bow):
+                ring = [[0.0, 0.0], [s, s], [s, 0.0], [0.0, s], [0.0, 0.0]]
+            else:
+                ring = [[0.0, 0.0], [s, 0.0], [s, s], [0.0, s], [0.0, 0.0]]
+            polys = make_valid_ring(ring)
+            area = sum(ring_area(p[0]) for p in polys) - sum(
+                ring_area(h) for p in polys for h in p[1:]
+            )
+            parts_out.append(len(polys))
+            area_out.append(round(area, 6))
+        return pd.DataFrame({"n_parts": parts_out, "area": area_out})
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 5 == 0)
+    rings = ev.select(
+        "event_id",
+        ((F.col("event_id") % 7) + 1).cast("double").alias("a"),
+        (F.col("event_id") % 2 == 0).alias("is_bowtie"),
+    )
+    rep = _repair(F.col("a"), F.col("is_bowtie"))
+    return rings.select(
+        "event_id",
+        F.col("is_bowtie").alias("bowtie"),
+        rep["n_parts"].alias("n_parts"),
+        rep["area"].alias("area"),
+    )
+
+
+def q84_relation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-union semantics parity (reference ST_Union_Agg of outer
+    parts + outer ST_Difference inners, pbf_file_reader.py:3332-3397): per
+    row, two overlapping rectangles are combined with
+    geometry.repair.ring_union / ring_difference; the oracle is the exact
+    inclusion–exclusion arithmetic (union = 2wh − wh/4, difference =
+    wh − wh/4, overlap = (w/2)(h/2))."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField as SF_, StructType as ST_,
+    )
+
+    _ship_package(spark)
+
+    @F.pandas_udf(ST_([
+        SF_("union_rings", IntegerType()),
+        SF_("union_area", DoubleType()),
+        SF_("diff_area", DoubleType()),
+    ]))
+    def _combine(w, h):
+        from quackosm_spark.geometry.repair import (
+            ring_area, ring_difference, ring_union,
+        )
+
+        nr, ua, da = [], [], []
+        for wv, hv in zip(w, h):
+            wf, hf = float(wv), float(hv)
+            a = [[0.0, 0.0], [wf, 0.0], [wf, hf], [0.0, hf], [0.0, 0.0]]
+            b = [
+                [wf / 2, hf / 2], [wf * 1.5, hf / 2],
+                [wf * 1.5, hf * 1.5], [wf / 2, hf * 1.5], [wf / 2, hf / 2],
+            ]
+            u = ring_union(a, b)
+            d = ring_difference(a, b)
+            nr.append(len(u))
+            ua.append(round(sum(ring_area(r) for r in u), 6))
+            da.append(round(sum(ring_area(r) for r in d), 6))
+        return pd.DataFrame(
+            {"union_rings": nr, "union_area": ua, "diff_area": da}
+        )
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 5 == 0)
+    rects = ev.select(
+        "event_id",
+        ((F.col("event_id") % 5) + 1).cast("double").alias("w"),
+        ((F.col("event_id") % 3) + 1).cast("double").alias("h"),
+    )
+    c = _combine(F.col("w"), F.col("h"))
+    return rects.select(
+        "event_id", "w", "h",
+        c["union_rings"].alias("union_rings"),
+        c["union_area"].alias("union_area"),
+        c["diff_area"].alias("diff_area"),
+    )
+
+
+_Q85_ZOOM = 8
+
+
+def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM slippy-map XYZ tile assignment + Bing quadkey (geometry/tiles.py)
+    as scan-stage Column arithmetic — the geo-index family member whose
+    Mercator math an ANSI-SQL oracle can replicate exactly (H3/S2 stay
+    lib-gated). Synthetic lat/lon derive arithmetically from events like
+    q79."""
+    from quackosm_spark.geometry import tiles
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 17 == 0)
+    pts = ev.select(
+        "event_id",
+        ((F.col("value") % 180.0) - 90.0).alias("lat"),
+        (((F.col("event_id") / 17) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    return pts.select(
+        "event_id",
+        tiles.tile_x(F.col("lon"), _Q85_ZOOM).alias("xtile"),
+        tiles.tile_y(F.col("lat"), _Q85_ZOOM).alias("ytile"),
+        tiles.quadkey(F.col("lon"), F.col("lat"), _Q85_ZOOM).alias("quadkey"),
+    )
+
+
 # The driver hash-checks only the FIRST 50 entries of queries() (r01 evidence:
 # CORRECTNESS_r01.json stops at q50 in dict order).  Rotate coverage: queries
 # with no driver row yet, plus queries whose oracle changed this round, go
@@ -1257,7 +1388,7 @@ def q82_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # r02 new / changed oracles
     "q25_sessionize", "q29_langid_quality_join", "q47_budget_mixture",
-    "q83_makevalid", "q84_relation_union", "q85_h3_cells",
+    "q83_makevalid", "q84_relation_union", "q85_slippy_tiles",
     # no driver row in r01 (driver file stopped at q50)
     "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
     "q54_event_deltas", "q55_revenue_by_nation", "q56_edit_distance_pairs",
@@ -1368,6 +1499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_incremental_dedup": q80_incremental_dedup,
         "q81_novelty_score": q81_novelty_score,
         "q82_winsorize": q82_winsorize,
+        "q83_makevalid": q83_makevalid,
+        "q84_relation_union": q84_relation_union,
+        "q85_slippy_tiles": q85_slippy_tiles,
     })
 
 
@@ -2449,6 +2583,61 @@ def oracle_sql() -> dict[str, str]:
     # q76 routes q42's decontamination through the bloom prefilter — the
     # bloom must be invisible, so it shares q42's oracle verbatim.
     out["q76_bloom_decontamination"] = out["q42_decontamination"]
+    out["q83_makevalid"] = """
+        SELECT event_id,
+               (event_id % 2 = 0) AS bowtie,
+               CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS n_parts,
+               round(CASE WHEN event_id % 2 = 0
+                          THEN ((event_id % 7) + 1) * ((event_id % 7) + 1) / 2.0
+                          ELSE ((event_id % 7) + 1) * ((event_id % 7) + 1) * 1.0
+                     END, 6) AS area
+        FROM events WHERE event_id % 5 = 0
+    """
+    out["q84_relation_union"] = """
+        WITH t AS (
+            SELECT event_id,
+                   ((event_id % 5) + 1)::DOUBLE AS w,
+                   ((event_id % 3) + 1)::DOUBLE AS h
+            FROM events WHERE event_id % 5 = 0
+        )
+        SELECT event_id, w, h,
+               1 AS union_rings,
+               round(2 * w * h - (w / 2) * (h / 2), 6) AS union_area,
+               round(w * h - (w / 2) * (h / 2), 6) AS diff_area
+        FROM t
+    """
+    out["q85_slippy_tiles"] = f"""
+        WITH pts AS (
+            SELECT event_id,
+                   (value % 180.0) - 90.0 AS lat,
+                   ((event_id / 17) % 3600) / 10.0 - 180.0 AS lon
+            FROM events WHERE event_id % 17 = 0
+        ),
+        c AS (
+            SELECT event_id,
+                   least(85.05112878, greatest(-85.05112878, lat)) AS clat,
+                   lon
+            FROM pts
+        ),
+        t AS (
+            SELECT event_id,
+                   least({(1 << _Q85_ZOOM) - 1}, greatest(0,
+                       floor((lon + 180.0) / 360.0 * {1 << _Q85_ZOOM})::BIGINT
+                   )) AS xtile,
+                   least({(1 << _Q85_ZOOM) - 1}, greatest(0,
+                       floor((1.0 - ln(tan(radians(clat)) + 1.0 / cos(radians(clat)))
+                              / pi()) / 2.0 * {1 << _Q85_ZOOM})::BIGINT
+                   )) AS ytile
+            FROM c
+        )
+        SELECT event_id, xtile, ytile,
+               array_to_string(
+                   list_transform(range(1, {_Q85_ZOOM} + 1),
+                       i -> ((ytile >> ({_Q85_ZOOM} - i)) & 1) * 2
+                            + ((xtile >> ({_Q85_ZOOM} - i)) & 1)),
+                   '') AS quadkey
+        FROM t
+    """
     return _driver_order(out)
 
 

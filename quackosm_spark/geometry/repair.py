@@ -82,6 +82,65 @@ def _seg_intersection(
 # ST_MakeValid for a single ring (bowtie / self-touching repair)
 # --------------------------------------------------------------------------
 
+def has_self_intersection(ring: Ring) -> bool:
+    """True iff the closed ring has a transversal self-intersection —
+    the cheap guard that keeps valid geometry on the exact-parity fast
+    path (no re-orientation, no vertex reordering). Vectorized numpy
+    all-pairs segment test, O(K²) in memory but K is a single feature's
+    vertex count."""
+    pts = _open(remove_repeated_points(ring))
+    n = len(pts)
+    if n < 4:
+        return False
+    arr = np.asarray(pts + [pts[0]], dtype=np.float64)
+    p = arr[:-1]
+    r = arr[1:] - arr[:-1]
+    # pairwise cross products: t and u parameters for all edge pairs
+    px, py = p[:, 0], p[:, 1]
+    rx, ry = r[:, 0], r[:, 1]
+    denom = rx[:, None] * ry[None, :] - ry[:, None] * rx[None, :]
+    qpx = px[None, :] - px[:, None]
+    qpy = py[None, :] - py[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qpx * ry[None, :] - qpy * rx[None, :]) / denom
+        u = (qpx * ry[:, None] - qpy * rx[:, None]) / denom
+    i_idx, j_idx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    nonadjacent = (
+        (j_idx > i_idx + 1) & ~((i_idx == 0) & (j_idx == n - 1))
+    )
+    crossing = (
+        nonadjacent
+        & (np.abs(denom) > _EPS)
+        & (t > _EPS) & (t < 1 - _EPS)
+        & (u > _EPS) & (u < 1 - _EPS)
+    )
+    return bool(np.any(crossing))
+
+
+def rings_cross(a: Ring, b: Ring) -> bool:
+    """True iff two rings have a transversal edge crossing (the trigger
+    for boolean-op assembly instead of plain nesting)."""
+    pa = _open(remove_repeated_points(a))
+    pb = _open(remove_repeated_points(b))
+    arr_a = np.asarray(pa + [pa[0]], dtype=np.float64)
+    arr_b = np.asarray(pb + [pb[0]], dtype=np.float64)
+    p = arr_a[:-1]
+    r = arr_a[1:] - arr_a[:-1]
+    q = arr_b[:-1]
+    s = arr_b[1:] - arr_b[:-1]
+    denom = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+    qpx = q[None, :, 0] - p[:, None, 0]
+    qpy = q[None, :, 1] - p[:, None, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qpx * s[None, :, 1] - qpy * s[None, :, 0]) / denom
+        u = (qpx * r[:, None, 1] - qpy * r[:, None, 0]) / denom
+    crossing = (
+        (np.abs(denom) > _EPS)
+        & (t > _EPS) & (t < 1 - _EPS)
+        & (u > _EPS) & (u < 1 - _EPS)
+    )
+    return bool(np.any(crossing))
+
 def _planarize_ring(ring: Ring) -> Ring:
     """Insert every self-intersection point into the ring walk."""
     pts = _open(remove_repeated_points(ring))
@@ -110,28 +169,60 @@ def _planarize_ring(ring: Ring) -> Ring:
     return remove_repeated_points(out)
 
 
-def _decompose_loops(walk: Ring) -> list[Ring]:
-    """Split a closed walk with repeated vertices into simple loops
-    (stack method: on a repeat, pop the enclosed loop)."""
-    loops: list[Ring] = []
-    stack: list[list[float]] = []
-    seen: dict[tuple[float, float], int] = {}
-    for pt in walk:
-        k = _key(pt)
-        if k in seen:
-            idx = seen[k]
-            loop = stack[idx:]
-            if len(loop) >= 3:
-                loops.append(loop)
-            for q in stack[idx + 1:]:
-                seen.pop(_key(q), None)
-            del stack[idx + 1:]
-        else:
-            seen[k] = len(stack)
-            stack.append(pt)
-    if len(stack) >= 3:
-        loops.append(stack)
-    return loops
+def _faces_from_walk(walk: Ring) -> list[Ring]:
+    """Extract the bounded faces of the planar graph induced by a closed
+    walk (nodes = distinct points, edges = consecutive pairs).
+
+    Standard rotation-system face traversal: outgoing edges at every node
+    are angle-sorted; the successor of directed edge (a→b) is (b→c) with c
+    the clockwise-next neighbor of b after a. Interleaved crossings (a
+    pentagram's walk) decompose correctly — a repeat-vertex stack method
+    does not. Retraced segments (the same undirected edge walked twice)
+    are outside the contract, like GEOS's linework noding they would need
+    dissolving first."""
+    pts: dict[tuple[float, float], list[float]] = {}
+    edges: set[tuple[tuple[float, float], tuple[float, float]]] = set()
+    keys = [_key(p) for p in walk]
+    n = len(walk)
+    for i in range(n):
+        a, b = keys[i], keys[(i + 1) % n]
+        if a == b:
+            continue
+        pts[a] = walk[i]
+        pts[b] = walk[(i + 1) % n]
+        edges.add((a, b))
+        edges.add((b, a))
+    adj: dict[tuple[float, float], list[tuple[float, float]]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    for a, nbrs in adj.items():
+        seen: set[tuple[float, float]] = set()
+        uniq = [b for b in nbrs if not (b in seen or seen.add(b))]
+        uniq.sort(
+            key=lambda b: math.atan2(
+                pts[b][1] - pts[a][1], pts[b][0] - pts[a][0]
+            )
+        )
+        adj[a] = uniq
+    visited: set = set()
+    faces: list[Ring] = []
+    for e in sorted(edges):
+        if e in visited:
+            continue
+        face: Ring = []
+        cur = e
+        while cur not in visited:
+            visited.add(cur)
+            a, b = cur
+            face.append(pts[a])
+            nbrs = adj[b]
+            i = nbrs.index(a)
+            cur = (b, nbrs[(i - 1) % len(nbrs)])
+        if len(face) >= 3:
+            faces.append(face)
+    # bounded faces come out CCW under clockwise-next traversal; the
+    # unbounded face (one per connected component) comes out CW
+    return [f for f in faces if signed_area(_close(f)) > _EPS]
 
 
 def _interior_probe(loop: Ring, others: list[Ring]) -> Optional[list[float]]:
@@ -161,51 +252,41 @@ def _interior_probe(loop: Ring, others: list[Ring]) -> Optional[list[float]]:
 
 def make_valid_ring(ring: Ring) -> list[list[Ring]]:
     """Repair one (possibly self-intersecting) closed ring into a list of
-    valid polygons ``[[shell, hole...], ...]`` — even-odd semantics, shells
-    CCW / holes CW, zero-area slivers dropped. A ring that is already
-    simple comes back unchanged (as a single shell)."""
+    valid polygons ``[[shell, hole...], ...]`` — GEOS-linework even-odd
+    semantics, shells CCW / holes CW, zero-area slivers dropped. A ring
+    that is already simple comes back unchanged (as a single shell).
+
+    Planarize → extract bounded faces → keep faces whose interior has ODD
+    crossing parity against the original walk (``points_in_ring`` ray-
+    casts even-odd on any closed walk, simple or not) → attach even faces
+    nested inside a kept face as holes (disconnected-component case)."""
     walk = _planarize_ring(ring)
-    loops = [lp for lp in _decompose_loops(walk) if abs(signed_area(_close(lp))) > _EPS]
-    if not loops:
+    faces = _faces_from_walk(walk)
+    if not faces:
         return []
-    if len(loops) == 1:
-        return [[_close(ensure_orientation(_open(loops[0]), ccw=True))]]
-    # even-odd nesting: depth = number of other loops containing the probe
-    arrs = [np.asarray(_close(lp), dtype=np.float64) for lp in loops]
-    depths = []
-    for i, lp in enumerate(loops):
-        probe = _interior_probe(lp, loops)
-        d = 0
-        if probe is not None:
-            for j, arr in enumerate(arrs):
-                if j == i:
-                    continue
-                if points_in_ring(
-                    np.asarray([probe[0]]), np.asarray([probe[1]]), arr
-                )[0]:
-                    d += 1
-        depths.append(d)
-    shells = [i for i, d in enumerate(depths) if d % 2 == 0]
-    holes = [i for i, d in enumerate(depths) if d % 2 == 1]
-    polys: list[list[Ring]] = []
-    shell_of: dict[int, int] = {}
-    for i in shells:
-        shell_of[i] = len(polys)
-        polys.append([_close(ensure_orientation(_open(loops[i]), ccw=True))])
-    for h in holes:
-        probe = _interior_probe(loops[h], loops)
-        owner = None
-        for i in shells:
-            if probe is not None and points_in_ring(
-                np.asarray([probe[0]]), np.asarray([probe[1]]), arrs[i]
-            )[0]:
-                # the DEEPEST containing shell owns the hole
-                if owner is None or depths[i] > depths[owner]:
-                    owner = i
-        if owner is not None:
-            polys[shell_of[owner]].append(
-                _close(ensure_orientation(_open(loops[h]), ccw=False))
-            )
+    if len(faces) == 1:
+        return [[_close(ensure_orientation(_open(faces[0]), ccw=True))]]
+    orig = np.asarray(_close(remove_repeated_points(ring)), dtype=np.float64)
+    kept: list[Ring] = []
+    dropped: list[Ring] = []
+    for f in faces:
+        probe = _interior_probe(f, [])
+        if probe is not None and _point_in_ring(probe, orig):
+            kept.append(f)
+        else:
+            dropped.append(f)
+    polys: list[list[Ring]] = [
+        [_close(ensure_orientation(_open(f), ccw=True))] for f in kept
+    ]
+    kept_arrs = [np.asarray(_close(f), dtype=np.float64) for f in kept]
+    for f in dropped:
+        probe = _interior_probe(f, [])
+        if probe is None:
+            continue
+        for i, arr in enumerate(kept_arrs):
+            if _point_in_ring(probe, arr):
+                polys[i].append(_close(ensure_orientation(_open(f), ccw=False)))
+                break
     return polys
 
 
@@ -321,9 +402,13 @@ def _clip(subject: Ring, clip: Ring, op: str) -> list[Ring]:
             _insert_between(cv, c_end, icv)
 
     if not found:
-        # disjoint or nested — resolve by containment
-        s_in_c = _point_in_ring(s_first.pt, clip_arr)
-        c_in_s = _point_in_ring(c_first.pt, subj_arr)
+        # disjoint or nested — resolve by containment of a strictly
+        # INTERIOR probe (a first-vertex test misclassifies rings that
+        # merely touch at a shared vertex/edge: boundary counts as inside)
+        s_probe = _interior_probe(_open(subject), [])
+        c_probe = _interior_probe(_open(clip), [])
+        s_in_c = s_probe is not None and _point_in_ring(s_probe, clip_arr)
+        c_in_s = c_probe is not None and _point_in_ring(c_probe, subj_arr)
         s_ring = _close(ensure_orientation(_open(subject), ccw=True))
         c_ring = _close(ensure_orientation(_open(clip), ccw=True))
         if op == "union":
@@ -357,8 +442,11 @@ def _clip(subject: Ring, clip: Ring, op: str) -> list[Ring]:
                 v.entry = entry
                 entry = not entry
 
-    invert_subject = op == "union"
-    invert_clip = op in ("union", "difference")
+    # empirically pinned against closed-form fixtures: intersection = no
+    # inversion, union = invert both, difference(subject−clip) = invert
+    # the SUBJECT flags only
+    invert_subject = op in ("union", "difference")
+    invert_clip = op == "union"
     _mark(s_first, clip_arr, invert_subject)
     _mark(c_first, subj_arr, invert_clip)
 

@@ -431,17 +431,33 @@ def _way_geometry_udf(linestring: pd.Series, want_polygon: pd.Series) -> pd.Seri
     """Emit Polygon WKB when the polygon decision holds geometrically
     (closed ∧ ≥4 distinct points — reference pbf_file_reader.py:3240-3256),
     else LineString WKB."""
+    from quackosm_spark.geometry.repair import has_self_intersection, make_valid_ring
+
     out = []
     for coords, wants in zip(linestring, want_polygon):
         pts = [[float(p["x"]), float(p["y"])] for p in coords]
-        # no ring re-orientation: the reference writes ST_MakeValid(geometry),
-        # which is the identity on these by-construction-valid polygons and
-        # preserves the OSM way's vertex order — exact output parity requires
-        # the same (verified against reference docstring WKT). Callers who
-        # want OGC right-hand-rule winding can post-process with
-        # geometry.ops.orient_polygon_rings.
+        # valid rings take the exact-parity fast path: no re-orientation,
+        # no vertex reordering — the reference's ST_MakeValid is the
+        # identity on them and preserves the OSM way's vertex order
+        # (verified against reference docstring WKT). Only a ring with a
+        # detected transversal self-intersection (bowtie closed way) pays
+        # the repair, matching reference pbf_file_reader.py:3592-3644
+        # which MakeValids every geometry on write.
         if bool(wants) and is_closed(pts) and len(remove_repeated_points(pts)) >= 4:
-            out.append(wkb.dumps({"type": "Polygon", "coordinates": [pts]}))
+            if has_self_intersection(pts):
+                try:
+                    polys = make_valid_ring(pts)
+                except Exception:
+                    polys = []
+                if len(polys) == 1:
+                    geom = {"type": "Polygon", "coordinates": polys[0]}
+                elif polys:
+                    geom = {"type": "MultiPolygon", "coordinates": polys}
+                else:
+                    geom = {"type": "Polygon", "coordinates": [pts]}
+                out.append(wkb.dumps(geom))
+            else:
+                out.append(wkb.dumps({"type": "Polygon", "coordinates": [pts]}))
         else:
             out.append(wkb.dumps({"type": "LineString", "coordinates": pts}))
     return pd.Series(out)
@@ -502,18 +518,67 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"id": pd.Series([], dtype="int64"),
                              "geometry": pd.Series([], dtype=object)})
 
+    from quackosm_spark.geometry.repair import (
+        ring_difference,
+        rings_cross,
+        union_all,
+    )
+
     outers = [remove_repeated_points(r) for role, r in parts if role == "outer"]
     inners = [remove_repeated_points(r) for role, r in parts if role == "inner"]
+
+    # ST_Union_Agg parity for messy relations (reference
+    # pbf_file_reader.py:3377-3397): outer parts that CROSS each other
+    # merge into one shell. Disjoint/nested outers keep their original
+    # vertex order (exact-parity fast path — union would re-orient).
+    if len(outers) > 1 and any(
+        rings_cross(outers[i], outers[j])
+        for i in range(len(outers))
+        for j in range(i + 1, len(outers))
+    ):
+        try:
+            outers = [list(r) for r in union_all(outers)]
+        except Exception:
+            pass
+
     # reclose after dedup (remove_repeated_points keeps first==last intact)
     polygons: list[list[list[list[float]]]] = []
     used_inner = [False] * len(inners)
     for outer in outers:
         holes = []
+        straddlers = []
         for i, inner in enumerate(inners):
-            if not used_inner[i] and ring_within_ring(inner, outer):
+            if used_inner[i]:
+                continue
+            if ring_within_ring(inner, outer):
+                # fully-contained inner nests as an interior ring —
+                # identical to the reference's outer ST_Difference
+                # union(inners within) for disjoint inners
                 holes.append(inner)
                 used_inner[i] = True
-        polygons.append([outer, *holes])
+            elif rings_cross(inner, outer):
+                # inner straddling the outer boundary: only the covered
+                # part may be removed — ST_Difference parity (reference
+                # pbf_file_reader.py:3332-3343)
+                straddlers.append(inner)
+                used_inner[i] = True
+        shells = [outer]
+        for inner in straddlers:
+            try:
+                next_shells: list[list[list[float]]] = []
+                for sh in shells:
+                    next_shells.extend(ring_difference(sh, inner))
+                shells = [list(r) for r in next_shells] or shells
+            except Exception:
+                pass
+        if len(shells) == 1:
+            polygons.append([shells[0], *holes])
+        else:
+            # the difference split the outer: holes re-nest into the
+            # piece that contains them
+            for sh in shells:
+                own = [h for h in holes if ring_within_ring(h, sh)]
+                polygons.append([sh, *own])
     if not polygons:
         return pd.DataFrame({"id": pd.Series([], dtype="int64"),
                              "geometry": pd.Series([], dtype=object)})

@@ -1,0 +1,197 @@
+"""Geometry repair (ST_MakeValid parity) and polygon boolean ops
+(ST_Difference / ST_Union_Agg parity) — closed-form fixtures.
+
+DuckDB-spatial is not installable in this offline container (INSTALL
+spatial needs the network), so the oracles are closed-form: every fixture
+has a hand-derivable exact area/part count, and the star case is pinned to
+a Monte-Carlo even-odd estimate."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from quackosm_spark.geometry import repair as R
+from quackosm_spark.geometry.ops import points_in_ring
+
+BOWTIE = [[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]]
+SQUARE = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+RECT_A = [[0, 0], [4, 0], [4, 3], [0, 3], [0, 0]]
+RECT_B = [[2, 1], [6, 1], [6, 5], [2, 5], [2, 1]]
+
+
+def _star(n=5, step=2):
+    pts = []
+    for k in range(n):
+        ang = math.pi / 2 + 2 * math.pi * step * k / n
+        pts.append([math.cos(ang), math.sin(ang)])
+    pts.append(pts[0])
+    return pts
+
+
+class TestMakeValid:
+    def test_simple_ring_unchanged(self):
+        polys = R.make_valid_ring(SQUARE)
+        assert polys == [[SQUARE]]
+        assert not R.has_self_intersection(SQUARE)
+
+    def test_bowtie_splits_into_two_triangles(self):
+        assert R.has_self_intersection(BOWTIE)
+        polys = R.make_valid_ring(BOWTIE)
+        assert len(polys) == 2
+        areas = sorted(R.ring_area(p[0]) for p in polys)
+        assert areas == pytest.approx([1.0, 1.0])
+        assert R.make_valid_area(BOWTIE) == pytest.approx(2.0)
+
+    def test_pentagram_keeps_five_tips(self):
+        star = _star()
+        polys = R.make_valid_ring(star)
+        assert len(polys) == 5
+        # pin to an independent Monte-Carlo even-odd estimate
+        rng = np.random.default_rng(0)
+        xs = rng.uniform(-1, 1, 200000)
+        ys = rng.uniform(-1, 1, 200000)
+        mc = points_in_ring(xs, ys, np.asarray(star)).mean() * 4
+        assert R.make_valid_area(star) == pytest.approx(mc, rel=0.02)
+
+    def test_figure_eight_shared_vertex(self):
+        fig8 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0],
+                [-1, 0], [-1, -1], [0, -1], [0, 0]]
+        polys = R.make_valid_ring(fig8)
+        assert len(polys) == 2
+        assert R.make_valid_area(fig8) == pytest.approx(2.0)
+
+    def test_degenerate_ring_empty(self):
+        assert R.make_valid_ring([[0, 0], [1, 1], [0, 0]]) == []
+
+
+class TestBooleanOps:
+    def test_union_overlapping(self):
+        shells = R.ring_union(RECT_A, RECT_B)
+        assert len(shells) == 1
+        assert R.ring_area(shells[0]) == pytest.approx(12 + 16 - 4)
+
+    def test_union_disjoint(self):
+        c = [[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]]
+        assert len(R.ring_union(RECT_A, c)) == 2
+
+    def test_union_nested(self):
+        inner = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+        shells = R.ring_union(RECT_A, inner)
+        assert len(shells) == 1
+        assert R.ring_area(shells[0]) == pytest.approx(12.0)
+
+    def test_union_touching_edge(self):
+        t1 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+        t2 = [[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]]
+        shells = R.ring_union(t1, t2)
+        assert sum(R.ring_area(r) for r in shells) == pytest.approx(2.0)
+
+    def test_difference_straddling(self):
+        shells = R.ring_difference(RECT_A, RECT_B)
+        assert len(shells) == 1
+        assert R.ring_area(shells[0]) == pytest.approx(12 - 4)
+
+    def test_difference_splits_subject(self):
+        bar = [[-1, 1], [5, 1], [5, 2], [-1, 2], [-1, 1]]
+        shells = R.ring_difference(RECT_A, bar)
+        assert sorted(R.ring_area(r) for r in shells) == pytest.approx([4.0, 4.0])
+
+    def test_difference_disjoint_and_swallowed(self):
+        c = [[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]]
+        assert R.ring_difference(RECT_A, c) == [
+            R._close(R.ensure_orientation(RECT_A[:-1], ccw=True))
+        ]
+        big = [[-1, -1], [7, -1], [7, 7], [-1, 7], [-1, -1]]
+        assert R.ring_difference(RECT_A, big) == []
+
+    def test_intersection(self):
+        shells = R.ring_intersection(RECT_A, RECT_B)
+        assert len(shells) == 1
+        assert R.ring_area(shells[0]) == pytest.approx(4.0)
+
+    def test_union_all_chain(self):
+        # three rectangles chained by transversal overlap collapse into one
+        # shell: 6 + 6 + 6 − 1.5 − 1.5 (collinear shared edges are outside
+        # the transversal contract — OSM rings cross, they don't retrace)
+        r1 = [[0, 0], [3, 0], [3, 2], [0, 2], [0, 0]]
+        r2 = [[2, 0.5], [5, 0.5], [5, 2.5], [2, 2.5], [2, 0.5]]
+        r3 = [[4, 1], [7, 1], [7, 3], [4, 3], [4, 1]]
+        shells = R.union_all([r1, r2, r3])
+        assert len(shells) == 1
+        assert R.ring_area(shells[0]) == pytest.approx(15.0)
+
+    def test_rings_cross_detector(self):
+        assert R.rings_cross(RECT_A, RECT_B)
+        inner = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+        assert not R.rings_cross(RECT_A, inner)
+
+
+class TestRelationAssemblySemantics:
+    """The new messy-relation paths through _assemble_relation, driven as
+    plain pandas (the applyInPandas kernel is a pure function)."""
+
+    @staticmethod
+    def _run(members):
+        import pandas as pd
+
+        from quackosm_spark.plans.pipeline import _assemble_relation
+        from quackosm_spark.geometry import wkb
+
+        rows = [
+            {
+                "id": 1,
+                "ref_role": role,
+                "ref_idx": i,
+                "linestring": [{"x": float(x), "y": float(y)} for x, y in ring],
+            }
+            for i, (role, ring) in enumerate(members)
+        ]
+        out = _assemble_relation(pd.DataFrame(rows))
+        if not len(out):
+            return None
+        return wkb.loads(out["geometry"].iloc[0])
+
+    def test_overlapping_outers_union(self):
+        geom = self._run([("outer", RECT_A), ("outer", RECT_B)])
+        assert geom["type"] == "Polygon"
+        from quackosm_spark.geometry.ops import signed_area
+
+        assert abs(signed_area(geom["coordinates"][0])) == pytest.approx(24.0)
+
+    def test_disjoint_outers_keep_vertex_order(self):
+        c = [[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]]
+        geom = self._run([("outer", RECT_A), ("outer", c)])
+        assert geom["type"] == "MultiPolygon"
+        # exact-parity fast path: original vertex order untouched
+        assert geom["coordinates"][0][0] == RECT_A
+        assert geom["coordinates"][1][0] == c
+
+    def test_contained_inner_stays_interior_ring(self):
+        inner = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+        geom = self._run([("outer", RECT_A), ("inner", inner)])
+        assert geom["type"] == "Polygon"
+        assert geom["coordinates"][0] == RECT_A
+        assert geom["coordinates"][1] == inner
+
+    def test_straddling_inner_differences_outer(self):
+        geom = self._run([("outer", RECT_A), ("inner", RECT_B)])
+        assert geom["type"] == "Polygon"
+        from quackosm_spark.geometry.ops import signed_area
+
+        # outer 12 minus the covered overlap 4
+        assert abs(signed_area(geom["coordinates"][0])) == pytest.approx(8.0)
+        assert len(geom["coordinates"]) == 1  # no interior ring left
+
+    def test_straddling_bar_splits_outer(self):
+        bar = [[-1, 1], [5, 1], [5, 2], [-1, 2], [-1, 1]]
+        geom = self._run([("outer", RECT_A), ("inner", bar)])
+        assert geom["type"] == "MultiPolygon"
+        from quackosm_spark.geometry.ops import signed_area
+
+        areas = sorted(
+            abs(signed_area(poly[0])) for poly in geom["coordinates"]
+        )
+        assert areas == pytest.approx([4.0, 4.0])
