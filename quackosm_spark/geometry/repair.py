@@ -88,11 +88,20 @@ def has_self_intersection(ring: Ring) -> bool:
     path (no re-orientation, no vertex reordering). Vectorized numpy
     all-pairs segment test, O(K²) in memory but K is a single feature's
     vertex count."""
-    pts = _open(remove_repeated_points(ring))
-    n = len(pts)
+    a = np.asarray(ring, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] < 4:
+        return False
+    # numpy-native consecutive dedupe + unclose (accepts lists OR arrays —
+    # the way-geometry UDF feeds raw Arrow float arrays straight in)
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+    a = a[keep]
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        a = a[:-1]
+    n = a.shape[0]
     if n < 4:
         return False
-    arr = np.asarray(pts + [pts[0]], dtype=np.float64)
+    arr = np.concatenate([a, a[:1]], axis=0)
     p = arr[:-1]
     r = arr[1:] - arr[:-1]
     # pairwise cross products: t and u parameters for all edge pairs

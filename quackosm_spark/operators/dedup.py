@@ -205,12 +205,26 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact jaccard over char shingles for pairs sharing ≥1 shingle.
 
     inverted index (shingle → docs) self-join → |∩| per pair via groupBy →
     jaccard with |A∪B| = |A|+|B|−|∩|. Never materializes non-overlapping
     pairs. Returns (doc_a, doc_b, jaccard).
+
+    ``max_df`` guards against hot shingles going quadratic in the inverted
+    index (the 100 TB scale-killer, VERDICT r01): shingles with document
+    frequency > max_df are dropped from the CANDIDATE index, and the
+    surviving candidate pairs are re-scored EXACTLY via array_intersect on
+    the full shingle arrays. Completeness is preserved by a per-doc
+    fallback: a doc whose hot-shingle count h satisfies h ≥ t·n (it could
+    owe its entire overlap to hot shingles) keeps ALL its shingles
+    indexed. Proof sketch: a qualifying pair has |∩| ≥ t·max(n_a, n_b);
+    if either doc is non-dominated (h < t·n), some common shingle is
+    non-hot and thus indexed for BOTH docs; if both are dominated, both
+    are fully indexed. Either way the pair surfaces, and the verify step
+    computes the same jaccard the unguarded path would.
     """
     # hashed-bigint join keys (cheaper shuffle + probe than 5-char strings);
     # shingle arrays are already distinct, so no post-explode dedup shuffle.
@@ -224,12 +238,71 @@ def ngram_jaccard_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sh = sh_arr.select("doc_id", F.explode("hs").alias("sh"))
     sizes = sh_arr.select("doc_id", F.size("hs").alias("n_sh"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+
+    if max_df is not None:
+        # hot shingles are by definition few distinct values → broadcast
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("sh")
+        )
+        flagged = sh.join(
+            F.broadcast(hot.withColumn("__hot", F.lit(True))), "sh", "left"
+        ).withColumn("__hot", F.coalesce(F.col("__hot"), F.lit(False)))
+        doc_stats = flagged.groupBy("doc_id").agg(
+            F.count("*").alias("__n"),
+            F.count_if(F.col("__hot")).alias("__h"),
+        )
+        indexed = (
+            flagged.join(doc_stats, "doc_id")
+            .where(
+                ~F.col("__hot")
+                | (F.col("__h") >= F.lit(threshold) * F.col("__n"))
+            )
+            .select("doc_id", "sh")
+        )
+        cand = (
+            indexed.alias("a")
+            .join(
+                indexed.alias("b"),
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # exact verify on the full arrays — the df cap is invisible in the
+        # emitted (doc_a, doc_b, jaccard) rows
+        pairs = (
+            cand.join(
+                sh_arr.select(
+                    F.col("doc_id").alias("doc_a"), F.col("hs").alias("__hs_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sh_arr.select(
+                    F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hs_b")
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "n_common",
+                F.size(F.array_intersect("__hs_a", "__hs_b")).cast("long"),
+            )
+            .select("doc_a", "doc_b", "n_common")
+        )
+    else:
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     return (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")

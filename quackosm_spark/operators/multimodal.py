@@ -62,16 +62,36 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
-def _decode_stub(payload: bytes, strict: bool) -> np.ndarray:
-    """Deterministic fake decode: payload bytes → pseudo-pixel array.
+def _pil_decode(payload: bytes) -> "np.ndarray | None":
+    """Real image decode via PIL when the library is importable (it is not
+    baked into this container — the import is the gate, not a flag).
+    Returns a float32 pixel array, or None when PIL is absent."""
+    try:
+        import io
 
-    STUB — replace with a real codec (PIL / libav) in production. The fake is
-    a stable function of the bytes so tests can assert end-to-end values.
+        from PIL import Image
+    except ImportError:
+        return None
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.float32).ravel()
+
+
+def _decode_stub(payload: bytes, strict: bool) -> np.ndarray:
+    """payload bytes → pixel array.
+
+    ``strict=True`` is the REAL-decode path: PIL if importable, else
+    ``NotImplementedError`` (explicit production wiring, never a silent
+    fake). ``strict=False`` is the deterministic fake keyed on the payload
+    bytes so Spark-side plumbing tests can assert end-to-end values
+    without any codec present.
     """
     if strict:
+        pixels = _pil_decode(payload)
+        if pixels is not None:
+            return pixels
         raise NotImplementedError(
             "Media codecs are not available in this environment; "
-            "wire a real decoder here (PIL/pyav) or run with strict=False."
+            "install PIL (pillow) or run with strict=False."
         )
     arr = np.frombuffer(payload[:256], dtype=np.uint8).astype(np.float32)
     if arr.size == 0:

@@ -263,12 +263,18 @@ def spatial_sort(
     if algorithm != "hilbert":
         raise ValueError(f"Unknown sort algorithm: {algorithm!r} (str|hilbert)")
     if extent is None:
-        row = features.select(
-            F.min(_geom_minx("geometry")).alias("minx"),
-            F.min(_geom_miny("geometry")).alias("miny"),
-            F.max(_geom_maxx("geometry")).alias("maxx"),
-            F.max(_geom_maxy("geometry")).alias("maxy"),
-        ).collect()[0]
+        # ONE WKB decode per row (geometry_bbox_udf), not 4 per-coordinate
+        # UDFs each re-decoding every blob — VERDICT r01 hot-path fix
+        row = (
+            features.select(geometry_bbox_udf("geometry").alias("__bb"))
+            .agg(
+                F.min("__bb.xmin").alias("minx"),
+                F.min("__bb.ymin").alias("miny"),
+                F.max("__bb.xmax").alias("maxx"),
+                F.max("__bb.ymax").alias("maxy"),
+            )
+            .collect()[0]
+        )
         extent = (row["minx"], row["miny"], row["maxx"], row["maxy"])
     keyed = features.withColumn(
         "__hilbert",
@@ -286,27 +292,6 @@ def spatial_sort(
         else keyed.repartitionByRange("__hilbert")
     )
     return ranged.sortWithinPartitions("__hilbert").drop("__hilbert")
-
-
-def _geom_bounds_udf_factory(idx: int):
-    from pyspark.sql.types import DoubleType
-
-    @F.pandas_udf(DoubleType())
-    def _bound(geometry: pd.Series) -> pd.Series:
-        from quackosm_spark.geometry import model
-
-        return pd.Series(
-            [model.bounds(wkb_codec.loads(bytes(b)))[idx] if b is not None else None
-             for b in geometry]
-        )
-
-    return _bound
-
-
-_geom_minx = _geom_bounds_udf_factory(0)
-_geom_miny = _geom_bounds_udf_factory(1)
-_geom_maxx = _geom_bounds_udf_factory(2)
-_geom_maxy = _geom_bounds_udf_factory(3)
 
 
 from pyspark.sql.types import DoubleType, StructField, StructType

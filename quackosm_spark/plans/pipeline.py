@@ -426,27 +426,60 @@ _LINESTRING_SCHEMA = ArrayType(
 )
 
 
+_LS_HEADER = b"\x01\x02\x00\x00\x00"  # little-endian LineString
+_PG_HEADER = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"  # Polygon, 1 ring
+
+
 @F.pandas_udf(BinaryType())
-def _way_geometry_udf(linestring: pd.Series, want_polygon: pd.Series) -> pd.Series:
+def _way_geometry_udf(
+    xs: pd.Series, ys: pd.Series, want_polygon: pd.Series
+) -> pd.Series:
     """Emit Polygon WKB when the polygon decision holds geometrically
     (closed ∧ ≥4 distinct points — reference pbf_file_reader.py:3240-3256),
-    else LineString WKB."""
+    else LineString WKB.
+
+    Batch-packed: the x/y arrays arrive as raw Arrow float64 numpy arrays
+    (no per-vertex Python), every batch's coordinates are interleaved into
+    ONE contiguous buffer with a single vectorized write, and each row's
+    WKB is header + a buffer slice (the `_point_wkb_udf` technique,
+    VERDICT r01 hot-path fix — the old body built a Python list per
+    vertex and dumped rings through the generic codec).
+    """
+    import struct as _struct
+
     from quackosm_spark.geometry.repair import has_self_intersection, make_valid_ring
 
-    out = []
-    for coords, wants in zip(linestring, want_polygon):
-        pts = [[float(p["x"]), float(p["y"])] for p in coords]
-        # valid rings take the exact-parity fast path: no re-orientation,
-        # no vertex reordering — the reference's ST_MakeValid is the
-        # identity on them and preserves the OSM way's vertex order
-        # (verified against reference docstring WKT). Only a ring with a
-        # detected transversal self-intersection (bowtie closed way) pays
-        # the repair, matching reference pbf_file_reader.py:3592-3644
-        # which MakeValids every geometry on write.
-        if bool(wants) and is_closed(pts) and len(remove_repeated_points(pts)) >= 4:
-            if has_self_intersection(pts):
+    n_rows = len(xs)
+    lens = np.fromiter((len(v) for v in xs), dtype=np.int64, count=n_rows)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    flat = np.empty((total, 2), dtype="<f8")
+    for i in range(n_rows):
+        flat[offsets[i]:offsets[i + 1], 0] = xs.iloc[i]
+        flat[offsets[i]:offsets[i + 1], 1] = ys.iloc[i]
+    raw = flat.tobytes()
+    wants_np = want_polygon.to_numpy(dtype=bool, na_value=False)
+
+    out: list[bytes] = []
+    for i in range(n_rows):
+        s, e = int(offsets[i]) * 16, int(offsets[i + 1]) * 16
+        k = int(lens[i])
+        coords = flat[offsets[i]:offsets[i + 1]]
+        closed = k >= 2 and coords[0, 0] == coords[-1, 0] and coords[0, 1] == coords[-1, 1]
+        # consecutive-deduped length incl. the closing vertex — identical
+        # to len(remove_repeated_points(pts)) in the old per-row body
+        distinct = 1 + int((coords[1:] != coords[:-1]).any(axis=1).sum()) if k else 0
+        if wants_np[i] and closed and distinct >= 4:
+            # valid rings take the exact-parity fast path: no
+            # re-orientation, no vertex reordering — ST_MakeValid is the
+            # identity on them and the reference preserves the OSM way's
+            # vertex order. Only a detected transversal self-intersection
+            # (bowtie closed way) pays the repair, matching reference
+            # pbf_file_reader.py:3592-3644 (MakeValid on every write).
+            if has_self_intersection(coords):
                 try:
-                    polys = make_valid_ring(pts)
+                    polys = make_valid_ring(coords.tolist())
                 except Exception:
                     polys = []
                 if len(polys) == 1:
@@ -454,12 +487,14 @@ def _way_geometry_udf(linestring: pd.Series, want_polygon: pd.Series) -> pd.Seri
                 elif polys:
                     geom = {"type": "MultiPolygon", "coordinates": polys}
                 else:
-                    geom = {"type": "Polygon", "coordinates": [pts]}
+                    geom = {"type": "Polygon", "coordinates": [coords.tolist()]}
                 out.append(wkb.dumps(geom))
             else:
-                out.append(wkb.dumps({"type": "Polygon", "coordinates": [pts]}))
+                out.append(
+                    _PG_HEADER + _struct.pack("<I", k) + raw[s:e]
+                )
         else:
-            out.append(wkb.dumps({"type": "LineString", "coordinates": pts}))
+            out.append(_LS_HEADER + _struct.pack("<I", k) + raw[s:e])
     return pd.Series(out)
 
 
@@ -476,7 +511,9 @@ def _ways_to_features(
         .select(
             F.concat(F.lit("way/"), F.col("id")).alias(FEATURES_INDEX),
             "tags",
-            _way_geometry_udf(F.col("linestring"), tag_ok).alias("geometry"),
+            _way_geometry_udf(
+                F.col("linestring.x"), F.col("linestring.y"), tag_ok
+            ).alias("geometry"),
         )
     )
 

@@ -103,12 +103,7 @@ def build_geo_metadata(
 def collect_geo_stats(features: DataFrame) -> tuple[list[str], tuple[float, float, float, float]]:
     """A7 extent agg + A8 distinct geometry types, one job each on the
     geometry column (WKB headers only for the type sniff)."""
-    from quackosm_spark.plans.output import (
-        _geom_maxx,
-        _geom_maxy,
-        _geom_minx,
-        _geom_miny,
-    )
+    from quackosm_spark.plans.output import geometry_bbox_udf
 
     if features.isEmpty():
         return [], (0.0, 0.0, 0.0, 0.0)
@@ -123,13 +118,22 @@ def collect_geo_stats(features: DataFrame) -> tuple[list[str], tuple[float, floa
             [geometry_type(bytes(b)) if b is not None else None for b in geometry]
         )
 
-    stats = features.select(
-        F.collect_set(_geom_type(GEOMETRY_COLUMN)).alias("types"),
-        F.min(_geom_minx(GEOMETRY_COLUMN)).alias("minx"),
-        F.min(_geom_miny(GEOMETRY_COLUMN)).alias("miny"),
-        F.max(_geom_maxx(GEOMETRY_COLUMN)).alias("maxx"),
-        F.max(_geom_maxy(GEOMETRY_COLUMN)).alias("maxy"),
-    ).collect()[0]
+    # one WKB decode per row: bbox struct + type sniff in a single pass
+    # (was 4 per-coordinate UDFs, each decoding every blob)
+    stats = (
+        features.select(
+            _geom_type(GEOMETRY_COLUMN).alias("__t"),
+            geometry_bbox_udf(GEOMETRY_COLUMN).alias("__bb"),
+        )
+        .agg(
+            F.collect_set("__t").alias("types"),
+            F.min("__bb.xmin").alias("minx"),
+            F.min("__bb.ymin").alias("miny"),
+            F.max("__bb.xmax").alias("maxx"),
+            F.max("__bb.ymax").alias("maxy"),
+        )
+        .collect()[0]
+    )
     types = sorted(_WKB_TYPE_NAMES.get(t, t) for t in stats["types"])
     return types, (stats["minx"], stats["miny"], stats["maxx"], stats["maxy"])
 

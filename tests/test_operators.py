@@ -61,6 +61,31 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (1, 5) not in pairs           # unrelated below threshold
 
 
+def test_ngram_jaccard_max_df_guard_is_invisible(docs, spark):
+    """The hot-shingle df cap changes the candidate index only — emitted
+    (doc_a, doc_b, jaccard) rows are identical to the unguarded path, even
+    with a shingle present in every doc and a dominated doc made entirely
+    of hot shingles."""
+    base = [r.asDict() for r in docs.collect()]
+    # a shingle-sized token shared by EVERY doc (hot: df = all docs), plus
+    # one doc consisting of nothing but that token (dominated fallback)
+    hot = " zzzzz"
+    rows = [(d["doc_id"], d["text"] + hot) for d in base]
+    rows.append((97, "zzzzz"))
+    rows.append((98, "zzzzz"))
+    aug = spark.createDataFrame(rows, "doc_id: long, text: string")
+    unguarded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(aug, threshold=0.3).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(aug, threshold=0.3, max_df=3).collect()
+    }
+    assert guarded == unguarded
+    assert (97, 98) in guarded  # dominated docs still pair up
+
+
 def test_minhash_lsh_candidates(docs):
     cands = {
         (r["doc_a"], r["doc_b"])
@@ -241,6 +266,44 @@ def test_strict_mode_raises(spark):
         M.extract_image_features(
             media.where(F.col("kind") == "image"), strict=True
         ).collect()
+
+
+def _tiny_png() -> bytes:
+    """Hand-assembled 2×2 RGB PNG (stdlib zlib only — no codec needed to
+    BUILD the fixture, PIL is needed to DECODE it)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 2x2, 8-bit RGB
+    # two scanlines, filter byte 0 + 2 RGB pixels each
+    raw = (
+        b"\x00" + bytes([255, 0, 0, 0, 255, 0])
+        + b"\x00" + bytes([0, 0, 255, 255, 255, 255])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_strict_decode_with_pil(spark):
+    """Real decode path: runs when PIL is importable, cleanly skips here
+    (the container has no pillow — the import IS the gate)."""
+    pil = pytest.importorskip("PIL.Image")
+    del pil
+    from quackosm_spark.operators.multimodal import _decode_stub
+
+    pixels = _decode_stub(_tiny_png(), strict=True)
+    assert pixels.shape == (2 * 2 * 3,)
+    assert pixels[0] == 255.0 and pixels[1] == 0.0  # red top-left
 
 
 def test_sample_frames_plumbing(spark):
