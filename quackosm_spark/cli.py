@@ -2,8 +2,9 @@
 command (reference quackosm/cli.py:325-1090).
 
 Geometry filter accepted in any one of: bbox / WKT / GeoJSON / GeoJSON file /
-geohash (reference parses 8 forms at cli.py:66-260; H3/S2 cell forms need the
-`h3`/`s2sphere` libraries, which this build gates behind ImportError).
+geohash / geocode / S2 / H3 (reference parses 8 forms at cli.py:66-260). S2
+tokens resolve through the pure-Python ``geometry/s2.py`` (no s2sphere
+needed); H3 cells still gate on the optional `h3` library.
 
 Built on argparse (typer/click are not available in this environment); flag
 names mirror the reference's CLI surface.
@@ -77,6 +78,8 @@ def parse_geometry_args(args: argparse.Namespace) -> Optional[Geometry]:
             ("--geom-filter-file", args.geom_filter_file),
             ("--geom-filter-geohash", args.geom_filter_geohash),
             ("--geom-filter-geocode", args.geom_filter_geocode),
+            ("--geom-filter-s2", args.geom_filter_s2),
+            ("--geom-filter-h3", args.geom_filter_h3),
         )
         if value
     ]
@@ -118,6 +121,48 @@ def parse_geometry_args(args: argparse.Namespace) -> Optional[Geometry]:
             raise SystemExit(
                 f"Cannot geocode {args.geom_filter_geocode!r}: {e}"
             ) from None
+    if args.geom_filter_s2:
+        # pure-Python S2 (geometry/s2.py) — no s2sphere needed; reference
+        # cli.py S2GeometryParser semantics: comma-separated tokens,
+        # union of cell polygons
+        from quackosm_spark.geometry.s2 import cell_token_to_polygon
+
+        rings = []
+        for token in args.geom_filter_s2.split(","):
+            try:
+                rings.append(cell_token_to_polygon(token.strip())["coordinates"])
+            except ValueError:
+                raise SystemExit(
+                    f"Cannot parse provided S2 value: {token.strip()}"
+                ) from None
+        if len(rings) == 1:
+            return {"type": "Polygon", "coordinates": rings[0]}
+        return {"type": "MultiPolygon", "coordinates": rings}
+    if args.geom_filter_h3:
+        # gated on the optional h3 library (reference uses the DuckDB h3
+        # community extension — neither is installable offline)
+        try:
+            import h3
+        except ImportError:
+            raise SystemExit(
+                "H3 geometry filters need the 'h3' package (not installed)."
+                " Use --geom-filter-s2 / --geom-filter-geohash instead."
+            ) from None
+        rings = []
+        for cell in args.geom_filter_h3.split(","):
+            cell = cell.strip()
+            try:
+                boundary = h3.cell_to_boundary(cell)
+            except Exception:
+                raise SystemExit(
+                    f"Cannot parse provided H3 value: {cell}"
+                ) from None
+            ring = [[lng, lat] for lat, lng in boundary]
+            ring.append(ring[0])
+            rings.append([ring])
+        if len(rings) == 1:
+            return {"type": "Polygon", "coordinates": rings[0]}
+        return {"type": "MultiPolygon", "coordinates": rings}
     bbox = decode_geohash_bbox(args.geom_filter_geohash)
     return _bbox_polygon(*bbox)
 
@@ -171,6 +216,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--geom-filter-file", help="GeoJSON file path")
     p.add_argument("--geom-filter-geohash", help="Geohash cell")
     p.add_argument("--geom-filter-geocode", help="Free-text place query (Nominatim)")
+    p.add_argument("--geom-filter-s2", help="S2 cell token(s), comma-separated")
+    p.add_argument("--geom-filter-h3", help="H3 cell(s), comma-separated (needs h3 lib)")
     p.add_argument("--filter-osm-ids", help="Comma-separated 'node/1,way/2,relation/3'")
     p.add_argument("--custom-sql-filter", help="SQL predicate over the tags map")
     p.add_argument("--ignore-cache", action="store_true")
