@@ -22,6 +22,26 @@ from pyspark.sql import functions as F
 DEFAULT_SHINGLE = 5  # character shingle width
 
 
+def _pin_partitions(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on join key(s) with an EXPLICIT partition count.
+
+    Self-joins on an inverted index explode in their OUTPUT; AQE sizes
+    shuffle reads from INPUT bytes, so it happily coalesces a ~50 MB
+    shingle shuffle to one partition and the subsequent key-equality join
+    fan-out (tens of millions of rows) grinds single-threaded — observed
+    at 10× bench scale when cached-table stats flipped the plan to
+    SMJ + AQEShuffleRead(1 partition). A user repartition with a numeric
+    count is exempt from AQE coalescing (REPARTITION_BY_NUM), which pins
+    the explosion's parallelism while keeping both sides co-partitioned.
+    """
+    spark = df.sparkSession
+    n = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
+    )
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition narrow inputs so per-row hashing parallelizes.
 
@@ -254,13 +274,14 @@ def ngram_jaccard_pairs(
             F.count("*").alias("__n"),
             F.count_if(F.col("__hot")).alias("__h"),
         )
-        indexed = (
+        indexed = _pin_partitions(
             flagged.join(doc_stats, "doc_id")
             .where(
                 ~F.col("__hot")
                 | (F.col("__h") >= F.lit(threshold) * F.col("__n"))
             )
-            .select("doc_id", "sh")
+            .select("doc_id", "sh"),
+            "sh",
         )
         cand = (
             indexed.alias("a")
@@ -297,9 +318,24 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", "n_common")
         )
     else:
+        # Unguarded = the broadcastable-index regime: exact all-pairs
+        # jaccard without a df cap is only tractable when the inverted
+        # index is modest, so BROADCAST it — the stream side then never
+        # shuffles and the pair fan-out parallelizes over the scan
+        # partitions. (Without the hint, a cached-stats replan was
+        # observed to flip to SMJ whose 46 MB input AQE coalesced to ONE
+        # partition — the whole 5·10⁷-pair explosion went single-threaded.
+        # Partitioning by shingle instead concentrates hot-key fan-out:
+        # measured 43 s → 227 s at 10× bench scale.) Corpora whose index
+        # outgrows a broadcast must use max_df= or prefix_jaccard_pairs —
+        # exact unguarded pairs are quadratic there regardless of plan.
         pairs = (
             sh.alias("a")
-            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .join(
+                F.broadcast(sh.alias("b")),
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("n_common"))
         )
