@@ -78,6 +78,7 @@ def convert_pbf_to_dataframe(
     filter_osm_ids: Sequence[str] = (),
     ignore_metadata_tags: bool = True,
     osm_way_polygon_features_config: Optional[dict[str, Any]] = None,
+    download_directory: Union[str, Path] = "files",
 ) -> DataFrame:
     """PBF file(s) → features DataFrame (feature_id, tags…, geometry WKB).
 
@@ -88,7 +89,7 @@ def convert_pbf_to_dataframe(
     file instead of being dropped as invalid) at the same cost, since
     Spark parallelizes across files' blobs anyway; feature-level dedup
     still applies for overlapping extracts."""
-    paths = _resolve_pbf_paths(pbf_path)
+    paths = _resolve_pbf_paths(pbf_path, download_directory)
     # dispatch by extension: .osm files go through the XML source (same
     # element schema); mixed inputs union into one pipeline run
     xml_paths = [
