@@ -92,18 +92,44 @@ class OpenStreetMapExtract:
     parent: str
     url: str
     geometry: Geometry
-    area: float = field(default=0.0)
+    # None = not yet computed; resolved lazily through extract_area() so a
+    # 30k-extract multi-provider index loads in seconds instead of paying
+    # a raster pass per country polygon up front
+    area: Optional[float] = field(default=None)
+    bounds: Optional[tuple[float, float, float, float]] = field(default=None)
 
 
-def build_index(records: Iterable[dict[str, Any]]) -> list[OpenStreetMapExtract]:
-    """Records (dicts with geometry as GeoJSON dict or WKT string) → index."""
+_AREA_CACHE: dict[str, float] = {}
+
+
+def extract_area(e: OpenStreetMapExtract) -> float:
+    """The degree²-raster area the IoU search needs — lazy + cached (keyed
+    by extract id: unique within an index, and the selection algorithms
+    only ever compare extracts from one index)."""
+    if e.area is not None:
+        return e.area
+    val = _AREA_CACHE.get(e.id)
+    if val is None:
+        val = raster_area(e.geometry)
+        _AREA_CACHE[e.id] = val
+    return val
+
+
+def build_index(
+    records: Iterable[dict[str, Any]], lazy_area: bool = False
+) -> list[OpenStreetMapExtract]:
+    """Records (dicts with geometry as GeoJSON dict or WKT string) → index.
+
+    ``lazy_area=True`` defers the raster-area computation to first use
+    (via ``extract_area``) — the right mode for whole-provider indexes
+    where a query only ever touches a handful of extracts."""
     out = []
     for r in records:
         geom = r["geometry"]
         if isinstance(geom, str):
             geom = model.from_wkt(geom)
         area = r.get("area")
-        if area is None:
+        if area is None and not lazy_area:
             area = raster_area(geom)
         out.append(
             OpenStreetMapExtract(
@@ -113,7 +139,8 @@ def build_index(records: Iterable[dict[str, Any]]) -> list[OpenStreetMapExtract]
                 parent=str(r.get("parent", "")),
                 url=str(r.get("url", "")),
                 geometry=geom,
-                area=float(area),
+                area=None if area is None else float(area),
+                bounds=model.bounds(geom),
             )
         )
     return out
@@ -295,7 +322,7 @@ def get_extract_by_query(
                 f"Matching extracts full names: {names_str}.",
                 matching_full_names=full_names,
             )
-        best = sorted(by_name, key=lambda e: (e.area, e.id))[0]
+        best = sorted(by_name, key=lambda e: (extract_area(e), e.id))[0]
         warnings.warn(
             f'Multiple extracts matched by query "{query.strip()}"'
             f' (matching full names: {names_str}). Selected "{best.file_name}".',
@@ -339,6 +366,31 @@ def _working_grid(
     return _Grid(_geom_bounds(geometry), resolution)
 
 
+def _lazy_rasters(grid: _Grid, geometry: Geometry):
+    """Per-extract raster getter: an extract whose precomputed bbox is
+    disjoint from the query bbox gets an empty mask with NO ray-casting —
+    a 30k-extract index then rasterizes only the handful of candidates
+    that can actually touch the query."""
+    gminx, gminy, gmaxx, gmaxy = model.bounds(geometry)
+    cache: dict[str, _Raster] = {}
+    empty = _Raster(np.zeros(len(grid.px), dtype=bool), grid.cell_area)
+
+    def get(e: OpenStreetMapExtract) -> _Raster:
+        r = cache.get(e.id)
+        if r is None:
+            b = e.bounds
+            if b is not None and (
+                b[0] > gmaxx or b[2] < gminx or b[1] > gmaxy or b[3] < gminy
+            ):
+                r = empty
+            else:
+                r = grid.rasterize(e.geometry)
+            cache[e.id] = r
+        return r
+
+    return get
+
+
 def _cover_geometry_with_extracts(
     geometry: Geometry,
     index: Sequence[OpenStreetMapExtract],
@@ -357,7 +409,7 @@ def _cover_geometry_with_extracts(
 
     grid = _working_grid(geometry, index, resolution)
     remaining = grid.rasterize(geometry)
-    rasters = {e.id: grid.rasterize(e.geometry) for e in index}
+    rasters = _lazy_rasters(grid, geometry)
 
     checked_ids: list[str] = []
     ious: list[float] = []
@@ -366,12 +418,12 @@ def _cover_geometry_with_extracts(
         for e in index:
             if e.id in checked_ids:
                 continue
-            r = rasters[e.id]
+            r = rasters(e)
             inter = r.intersection_area(remaining)
             if inter <= 0:
                 continue
-            iou = inter / (e.area + remaining.area - inter)
-            key = (-iou, e.area, e.id)
+            iou = inter / (extract_area(e) + remaining.area - inter)
+            key = (-iou, extract_area(e), e.id)
             if best is None or key < best:
                 best = key
         if best is None:
@@ -388,7 +440,9 @@ def _cover_geometry_with_extracts(
             )
             break
         neg_iou, _area, best_id = best
-        remaining = remaining.difference(rasters[best_id])
+        remaining = remaining.difference(
+            rasters(next(e for e in index if e.id == best_id))
+        )
         checked_ids.append(best_id)
         ious.append(-neg_iou)
     return checked_ids, ious
@@ -444,7 +498,7 @@ def filter_extracts(
     (`_simplify_selected_extracts`)."""
     ids = set(extracts_ids)
     candidates = sorted(
-        (e for e in index if e.id in ids), key=lambda e: (e.area, e.id), reverse=True
+        (e for e in index if e.id in ids), key=lambda e: (extract_area(e), e.id), reverse=True
     )
     grid = _working_grid(geometry, candidates, resolution)
     remaining = grid.rasterize(geometry)
@@ -482,7 +536,7 @@ def filter_extracts(
                 break
 
     return sorted(
-        (e for e in candidates if e.id in simplified), key=lambda e: (-e.area, e.id)
+        (e for e in candidates if e.id in simplified), key=lambda e: (-extract_area(e), e.id)
     )
 
 

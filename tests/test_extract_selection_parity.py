@@ -1,0 +1,116 @@
+"""Coverage-search parity against the reference's own selection cases
+(reference tests/base/test_osm_extracts.py::test_single_smallest_extract /
+test_multiple_smallest_extracts), run on the SAME precalculated provider
+indexes the reference ships. Slow-ish (real country polygons) but bounded:
+areas are lazy and rasterization is bbox-pruned."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from quackosm_spark import extracts
+from quackosm_spark.extracts import providers as P
+
+IDX_DIR = "/root/reference/precalculated_indexes"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(IDX_DIR), reason="reference precalculated indexes absent"
+)
+
+_INDEX_CACHE: dict[str, list] = {}
+
+
+def _index(*providers: str) -> list:
+    key = ",".join(providers)
+    if key not in _INDEX_CACHE:
+        records = []
+        for prov in providers:
+            records.extend(
+                P.load_precalculated_index(f"{IDX_DIR}/{prov}_index.parquet")
+            )
+        _INDEX_CACHE[key] = extracts.build_index(records, lazy_area=True)
+    return _INDEX_CACHE[key]
+
+
+ALL = ("bbbike", "geo2day", "geofabrik", "movisda-grid", "osmfr")
+
+
+def _bbox(minx, miny, maxx, maxy):
+    return {
+        "type": "Polygon",
+        "coordinates": [[
+            [minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny],
+        ]],
+    }
+
+
+VATICAN = _bbox(12.450637854252449, 41.901790362263796,
+                12.455878610023916, 41.904910802544634)
+LONDON = _bbox(-0.1514787822171684, 51.48926140694954,
+               -0.1293785532031677, 51.49843445562462)
+VANCOUVER = _bbox(-123.15817514738828, 49.23700029433431,
+                  -123.07449492760279, 49.29493379142323)
+
+
+@pytest.mark.parametrize(
+    "providers,geometry,expected_id",
+    [
+        pytest.param(("geofabrik",), VATICAN, "Geofabrik_centro", id="vatican-geofabrik"),
+        pytest.param(ALL, VATICAN, "GEO2Day_europe_vatican_city", id="vatican-any"),
+        pytest.param(ALL, LONDON, "Geofabrik_greater-london", id="london-any"),
+        pytest.param(("bbbike",), LONDON, "BBBike_London", id="london-bbbike"),
+        pytest.param(ALL, VANCOUVER, "BBBike_Vancouver", id="vancouver-any"),
+        pytest.param(
+            ("osmfr",), VANCOUVER,
+            "osmfr_north-america_canada_british_columbia", id="vancouver-osmfr",
+        ),
+    ],
+)
+def test_single_smallest_extract(providers, geometry, expected_id):
+    index = _index(*providers)
+    selected = extracts.find_smallest_containing_extracts(geometry, index)
+    assert len(selected) == 1
+    assert selected == {expected_id}
+
+
+def test_andorra_bbox_osmfr_multiple():
+    """Reference 'Andorra bbox, osmfr, iou default': 4 extracts cover the
+    bbox straddling Andorra/France/Spain. Compared as a set — the
+    reference asserts greedy-discovery ORDER, which a raster IoU
+    reproduces only up to grid resolution; membership is the selection
+    contract."""
+    index = _index("osmfr")
+    geometry = _bbox(1.382599544073372, 42.40065303248514,
+                     1.8092269635579328, 42.67676873293743)
+    selected = extracts.find_smallest_containing_extracts(geometry, index)
+    by_id = {e.id: e for e in index}
+    names = {by_id[i].file_name for i in selected}
+    assert names == {
+        "osmfr_europe_spain_catalunya_lleida",
+        "osmfr_europe_france_midi_pyrenees_ariege",
+        "osmfr_europe_france_languedoc_roussillon_pyrenees_orientales",
+        "osmfr_europe_andorra",
+    }
+
+
+def test_uncovered_mid_atlantic_raises_or_warns():
+    index = _index("geofabrik")
+    sea = _bbox(-43.064, 29.644, -43.017, 29.673)
+    with pytest.raises(extracts.GeometryNotCoveredError):
+        extracts.find_smallest_containing_extracts(sea, index)
+    with pytest.warns(extracts.GeometryNotCoveredWarning):
+        got = extracts.find_smallest_containing_extracts(
+            sea, index, allow_uncovered_geometry=True
+        )
+    assert got == set()
+
+
+@pytest.mark.parametrize("threshold", [-0.1, 1.2])
+def test_invalid_threshold_raises(threshold):
+    with pytest.raises(ValueError):
+        extracts.find_smallest_containing_extracts(
+            _bbox(0, 0, 1, 1), _index("geofabrik"),
+            geometry_coverage_iou_threshold=threshold,
+        )
