@@ -140,3 +140,47 @@ def test_zorder_write_shrinks_per_file_value_ranges(spark, tmp_path):
         assert z_frac < plain_frac * 0.75
     # data intact
     assert spark.read.parquet(z_dir).count() == ev.count()
+
+
+def test_slippy_tiles_stay_in_codegen(events):
+    """q85's tile/quadkey assignment must be a scan-stage projection: no
+    UDFs (BatchEvalPython/ArrowEvalPython), no Exchange, one codegen span."""
+    from quackosm_spark.geometry import tiles
+
+    pts = events.select(
+        "event_id",
+        ((F.col("value") % 180.0) - 90.0).alias("lat"),
+        (((F.col("event_id") / 17) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    df = pts.select(
+        tiles.tile_x(F.col("lon"), 8).alias("x"),
+        tiles.tile_y(F.col("lat"), 8).alias("y"),
+        tiles.quadkey(F.col("lon"), F.col("lat"), 8).alias("qk"),
+    )
+    plan = _plan(df)
+    assert "EvalPython" not in plan          # no Python UDF boundary
+    assert "Exchange" not in plan            # map-only
+    # `*(1) Project` = inside WholeStageCodegen span 1
+    assert plan.lstrip().startswith("*(1)")
+
+
+def test_makevalid_repair_is_map_only(events):
+    """q83's repair kernel is an Arrow-batched projection: exactly one
+    Python boundary, no shuffle introduced by the geometry work."""
+    import __spark_entry__ as E
+
+    df = E.q83_makevalid(events.sparkSession, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_ngram_jaccard_guarded_pins_candidate_parallelism(docs):
+    """The max_df guarded path must show (a) the hot-shingle broadcast and
+    (b) a user-pinned round-robin/hash repartition on the candidate index
+    (the AQE fan-out lesson, SCALE.md §7b)."""
+    from quackosm_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = _plan(ngram_jaccard_pairs(docs, threshold=0.3, max_df=50))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan
