@@ -1355,6 +1355,17 @@ def q84_relation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-level exact-substring dedup summary (Lee et al. 2022 via
+    corpus-wide positional n-gram index, operators/text.repeated_spans):
+    per doc, the fraction of 5-token positions whose n-gram repeats
+    anywhere in the corpus. Oracle replays the same positional grams with
+    string keys — the engine's xxhash64 keys must be collision-free for
+    the counts to agree, which at this cardinality they are."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return T.duplicated_token_fraction(docs, n=5)
+
+
 _Q85_ZOOM = 8
 
 
@@ -1389,6 +1400,7 @@ _DRIVER_PRIORITY = [
     # r02 new / changed oracles
     "q25_sessionize", "q29_langid_quality_join", "q47_budget_mixture",
     "q83_makevalid", "q84_relation_union", "q85_slippy_tiles",
+    "q86_repeated_spans",
     # no driver row in r01 (driver file stopped at q50)
     "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
     "q54_event_deltas", "q55_revenue_by_nation", "q56_edit_distance_pairs",
@@ -1405,7 +1417,9 @@ _DRIVER_PRIORITY = [
     "q01_pricing_summary", "q05_ordered_collect", "q14_way_assembly",
     "q17_ngram_jaccard", "q18_minhash_lsh", "q20_ann_topk",
     "q31_media_stats", "q33_drop_exact_duplicates", "q37_neardup_clusters",
-    "q42_decontamination", "q44_asof_previous_event", "q50_bm25_search",
+    "q42_decontamination", "q44_asof_previous_event",
+    # (q50_bm25_search rotated out to slot 51 — r01-green, stays in the
+    # local harness — so q86 fits inside the driver's 50-entry window)
 ]
 
 
@@ -1502,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_makevalid": q83_makevalid,
         "q84_relation_union": q84_relation_union,
         "q85_slippy_tiles": q85_slippy_tiles,
+        "q86_repeated_spans": q86_repeated_spans,
     })
 
 
@@ -2605,6 +2620,39 @@ def oracle_sql() -> dict[str, str]:
                round(2 * w * h - (w / 2) * (h / 2), 6) AS union_area,
                round(w * h - (w / 2) * (h / 2), 6) AS diff_area
         FROM t
+    """
+    out["q86_repeated_spans"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 4 = 0
+        ),
+        pos AS (
+            SELECT doc_id,
+                   unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i,
+                   toks
+            FROM w WHERE len(toks) >= 5
+        ),
+        grams AS (
+            SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
+            FROM pos
+        ),
+        cnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+        dup AS (
+            SELECT g.doc_id, count(*) AS n_dup
+            FROM grams g JOIN cnt ON g.gram = cnt.gram
+            WHERE cnt.c >= 2
+            GROUP BY g.doc_id
+        )
+        SELECT w.doc_id,
+               greatest(len(toks) - 4, 0)::INT AS n_positions,
+               coalesce(dup.n_dup, 0)::BIGINT AS n_dup_positions,
+               CASE WHEN greatest(len(toks) - 4, 0) = 0 THEN 0.0
+                    ELSE round(coalesce(dup.n_dup, 0)
+                               / greatest(len(toks) - 4, 0), 6)
+               END AS dup_fraction
+        FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id
     """
     out["q85_slippy_tiles"] = f"""
         WITH pts AS (

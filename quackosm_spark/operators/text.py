@@ -350,3 +350,100 @@ def novelty_score(
             ).alias("novelty"),
         )
     )
+
+
+def positional_ngrams(
+    text: Column | str = "text", n: int = 10
+) -> Column:
+    """Array of structs (pos, gram) — the word n-gram STARTING at every
+    token position. The position-aware sibling of ``sliding_word_ngrams``,
+    for exact-substring dedup where *where* a repeat occurs matters."""
+    text = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(words, i + 1, n), " ").alias("gram"),
+            ),
+        )
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Position-level exact-substring repeat detection — the corpus-wide
+    duplicated-span method of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022), re-expressed for Spark: instead of a
+    suffix array, every token position's n-gram is hashed into a
+    corpus-wide inverted index; positions whose n-gram occurs
+    ``min_occurrences``+ times anywhere (including intra-document) are the
+    duplicated-span starts. Returns one row per duplicated position
+    (doc_id, pos, n_occurrences) — consumers cut or down-weight the spans.
+
+    Scale shape: ONE shuffle on the 64-bit gram hash (count), then a
+    broadcast-free shuffle-join back to positions on the same key — both
+    keyed identically, so AQE plans a single co-partitioned exchange pair.
+    A hot gram (boilerplate) concentrates COUNTS, not pairs: unlike the
+    pair-join dedups, output is linear in corpus positions, so there is no
+    quadratic blowup to guard against.
+    """
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(positional_ngrams(F.col(text_col), n)).alias("pg"),
+    ).select(
+        "doc_id",
+        F.col("pg.pos").alias("pos"),
+        F.xxhash64(F.col("pg.gram")).alias("gh"),
+    )
+    counts = pos.groupBy("gh").agg(F.count("*").alias("n_occurrences"))
+    return (
+        pos.join(counts, "gh")
+        .where(F.col("n_occurrences") >= min_occurrences)
+        .select("doc_id", "pos", "n_occurrences")
+    )
+
+
+def duplicated_token_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document summary of ``repeated_spans``: the fraction of n-gram
+    start positions that are corpus-wide repeats (0.0 for docs shorter
+    than n tokens). The drop/keep signal of the exact-substring dedup
+    recipe."""
+    spans = (
+        repeated_spans(docs, id_col, text_col, n, min_occurrences)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_positions"))
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.lit(0), F.size(positional_ngrams(F.col(text_col), n))
+        ).alias("n_positions"),
+    )
+    return totals.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "n_positions",
+        F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+        F.when(F.col("n_positions") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("n_dup_positions", F.lit(0))
+                / F.col("n_positions"),
+                6,
+            )
+        )
+        .alias("dup_fraction"),
+    )

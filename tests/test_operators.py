@@ -709,3 +709,53 @@ def test_winsorize_clips_to_group_quantiles(spark):
     assert got[5] == 5.0                     # interior untouched
     # group h clips independently of g
     assert got[100] < 1000.0 and got[101] > -5.0
+
+
+# ------------------------------------------------------- repeated spans
+
+def test_repeated_spans_detects_cross_doc_substring(spark):
+    """A 5-token substring shared by two docs marks exactly the positions
+    where it starts in each; unique text marks nothing."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unique one two three"),
+        (2, "prefix words here alpha beta gamma delta epsilon tail"),
+        (3, "completely different content with no overlap at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    spans = {
+        (r["doc_id"], r["pos"])
+        for r in T.repeated_spans(docs, n=5).collect()
+    }
+    # doc1: "alpha beta gamma delta epsilon" starts at pos 0
+    # doc2: same gram starts at pos 3
+    assert (1, 0) in spans and (2, 3) in spans
+    assert all(d != 3 for d, _ in spans)
+
+    frac = {r["doc_id"]: r for r in
+            T.duplicated_token_fraction(docs, n=5).collect()}
+    assert frac[1]["n_dup_positions"] == 1 and frac[1]["n_positions"] == 6
+    assert frac[1]["dup_fraction"] == pytest.approx(round(1 / 6, 6))
+    assert frac[3]["dup_fraction"] == 0.0
+
+
+def test_repeated_spans_intra_document(spark):
+    """A phrase repeated INSIDE one document also counts (the Lee et al.
+    method dedups self-repeats too)."""
+    docs = spark.createDataFrame(
+        [(7, "one two three four five filler one two three four five")],
+        "doc_id: long, text: string",
+    )
+    spans = sorted(
+        r["pos"] for r in T.repeated_spans(docs, n=5).collect()
+    )
+    assert spans == [0, 6]
+
+
+def test_duplicated_fraction_short_doc_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "")], "doc_id: long, text: string"
+    )
+    rows = {r["doc_id"]: r for r in
+            T.duplicated_token_fraction(docs, n=5).collect()}
+    assert rows[1]["n_positions"] == 0 and rows[1]["dup_fraction"] == 0.0
+    assert rows[2]["n_positions"] == 0
