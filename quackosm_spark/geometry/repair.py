@@ -503,8 +503,30 @@ def ring_union(a: Ring, b: Ring) -> list[Ring]:
 
 
 def ring_difference(a: Ring, b: Ring) -> list[Ring]:
-    """a − b → list of closed CCW shells."""
+    """a − b → list of closed CCW shells ONLY. When ``b`` nests strictly
+    inside ``a`` (no crossings) the result is ``[a]`` and the hole is the
+    CALLER's to attach (the relation-assembly path handles nested inners
+    as interior rings before ever calling this); use
+    ``polygon_difference`` for the hole-aware general form."""
     return _clip(a, b, "difference")
+
+
+def polygon_difference(a: Ring, b: Ring) -> list[list[Ring]]:
+    """a − b as full polygons ``[[shell, hole...], ...]`` — the hole-aware
+    general form: a clip nested strictly inside the subject becomes an
+    interior ring instead of silently vanishing."""
+    shells = _clip(a, b, "difference")
+    if len(shells) == 1 and ring_area(shells[0]) == ring_area(a):
+        # no crossings changed the subject: nested clip → attach as hole
+        probe = _interior_probe(_open(remove_repeated_points(b)), [])
+        if probe is not None and _point_in_ring(
+            probe, np.asarray(_close(remove_repeated_points(a)), dtype=np.float64)
+        ):
+            hole = _close(
+                ensure_orientation(_open(remove_repeated_points(b)), ccw=False)
+            )
+            return [[shells[0], hole]]
+    return [[s] for s in shells]
 
 
 def ring_intersection(a: Ring, b: Ring) -> list[Ring]:

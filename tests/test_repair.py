@@ -195,3 +195,48 @@ class TestRelationAssemblySemantics:
             abs(signed_area(poly[0])) for poly in geom["coordinates"]
         )
         assert areas == pytest.approx([4.0, 4.0])
+
+
+class TestBooleanInvariants:
+    """Inclusion–exclusion identities over random convex polygon pairs:
+    |A∪B| + |A∩B| = |A| + |B| and |A−B| = |A| − |A∩B|. Convexity keeps
+    crossings transversal almost surely (random floats never produce the
+    collinear-overlap degeneracy outside the contract)."""
+
+    @staticmethod
+    def _convex(rng, cx, cy, r):
+        import numpy as np
+
+        n = int(rng.integers(4, 9))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+        radii = rng.uniform(0.5 * r, r, n)
+        ring = [
+            [cx + rad * np.cos(a), cy + rad * np.sin(a)]
+            for a, rad in zip(angles, radii)
+        ]
+        ring.append(ring[0])
+        return ring
+
+    def test_inclusion_exclusion_over_seeds(self):
+        import numpy as np
+
+        checked = 0
+        for seed in range(40):
+            rng = np.random.default_rng(seed)
+            a = self._convex(rng, 0.0, 0.0, 2.0)
+            # second polygon offset so the pair mixes overlap/disjoint/nested
+            b = self._convex(rng, float(rng.uniform(-1.5, 1.5)),
+                             float(rng.uniform(-1.5, 1.5)),
+                             float(rng.uniform(0.5, 2.5)))
+            area_a = R.ring_area(a)
+            area_b = R.ring_area(b)
+            union = sum(R.ring_area(r) for r in R.ring_union(a, b))
+            inter = sum(R.ring_area(r) for r in R.ring_intersection(a, b))
+            diff = sum(
+                R.ring_area(p[0]) - sum(R.ring_area(h) for h in p[1:])
+                for p in R.polygon_difference(a, b)
+            )
+            assert union + inter == pytest.approx(area_a + area_b, rel=1e-9), seed
+            assert diff == pytest.approx(area_a - inter, rel=1e-9, abs=1e-12), seed
+            checked += 1
+        assert checked == 40
