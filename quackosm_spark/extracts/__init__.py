@@ -146,14 +146,77 @@ def build_index(
     return out
 
 
-def load_index(path: str | Path) -> list[OpenStreetMapExtract]:
-    """Load a cached provider index parquet (columns id, name, file_name,
-    parent, url, geometry as WKT, optional area) — the offline analogue of
-    the reference's precalculated index download (extract.py:26-28)."""
+def load_index(path: str | Path, lazy_area: bool = False) -> list[OpenStreetMapExtract]:
+    """Load a provider index parquet in EITHER format: geometry as WKT
+    strings (this repo's cache format) or WKB binary (the reference's
+    precalculated/geoparquet format, extract.py:26-28) — sniffed from the
+    column type."""
     import pyarrow.parquet as pq
 
     table = pq.read_table(path)
-    return build_index(table.to_pylist())
+    geom_type = table.schema.field("geometry").type
+    if geom_type in ("binary", "large_binary") or "binary" in str(geom_type):
+        from quackosm_spark.extracts.providers import load_precalculated_index
+
+        return build_index(load_precalculated_index(path), lazy_area=lazy_area)
+    return build_index(table.to_pylist(), lazy_area=lazy_area)
+
+
+ALL_SOURCES = (
+    "Geofabrik", "osmfr", "BBBike", "GEO2Day", "Movisda-admin", "Movisda-grid",
+)
+
+
+def get_source_index(
+    source: str = "any",
+    cache_dir: str | Path | None = None,
+    precalculated_dir: str | Path | None = None,
+    fetcher: Any = None,
+    lazy_area: bool = True,
+) -> list[OpenStreetMapExtract]:
+    """Resolve a provider index by source name — the reference's
+    ``load_index_decorator`` resolution order, offline-friendly: cached
+    parquet (``{source}_index.parquet`` in ``cache_dir``) → precalculated
+    parquet in ``precalculated_dir`` → live provider fetch
+    (``providers.load_provider_index``; needs network or an injected
+    fetcher). ``source="any"`` concatenates every resolvable provider
+    (skipping unavailable ones, raising only if ALL fail — reference
+    ``get_index_for_sources`` semantics)."""
+    from quackosm_spark.extracts import providers as P
+
+    wanted = list(ALL_SOURCES) if source.lower() == "any" else [source]
+    out: list[OpenStreetMapExtract] = []
+    errors: list[str] = []
+    for s in wanted:
+        canonical = next(
+            (c for c in ALL_SOURCES if c.lower() == s.lower()), s
+        )
+        fname = f"{canonical.lower()}_index.parquet"
+        records = None
+        for d in (cache_dir, precalculated_dir):
+            if d is not None and (Path(d) / fname).exists():
+                out.extend(load_index(Path(d) / fname, lazy_area=lazy_area))
+                records = ()
+                break
+        if records is not None:
+            continue
+        try:
+            out.extend(
+                build_index(
+                    P.load_provider_index(canonical, fetcher=fetcher),
+                    lazy_area=lazy_area,
+                )
+            )
+        except Exception as e:  # noqa: BLE001 — offline/HTTP failures
+            errors.append(f"{canonical}: {e}")
+            if source.lower() != "any":
+                raise
+    if not out:
+        raise RuntimeError(
+            "No extract source could be resolved"
+            + (f" ({'; '.join(errors[:3])})" if errors else "")
+        )
+    return out
 
 
 # --------------------------------------------------------------------------

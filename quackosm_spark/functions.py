@@ -287,8 +287,10 @@ def convert_pbf_to_parquet(
 def convert_geometry_to_parquet(
     spark: SparkSession,
     geometry_filter: Geometry,
-    extracts_index: Sequence[Any],
+    extracts_index: Optional[Sequence[Any]] = None,
     *,
+    osm_extract_source: str = "any",
+    pbf_fetcher: Any = None,
     download_directory: Union[str, Path] = "files",
     geometry_coverage_iou_threshold: float = 0.01,
     allow_uncovered_geometry: bool = False,
@@ -296,19 +298,23 @@ def convert_geometry_to_parquet(
 ) -> Path:
     """Geometry-driven conversion (reference §3.2 lifecycle,
     pbf_file_reader.py:635-745): find the smallest extract set covering the
-    geometry (C13), resolve their local PBF files, convert with the geometry
-    filter applied.
+    geometry (C13), resolve their local PBF files (with the 404-retry
+    exclusion loop), convert with the geometry filter applied.
 
     ``extracts_index`` is a list of ``OpenStreetMapExtract`` (see
-    ``quackosm_spark.extracts.build_index`` / ``load_index``); resolution of
-    extract → local file goes through ``extracts.download_extract`` (a local-
-    file lookup in this offline build)."""
+    ``quackosm_spark.extracts.build_index`` / ``load_index``); when omitted
+    the index resolves from ``osm_extract_source`` through
+    ``extracts.get_source_index`` (cache → precalculated parquet → live
+    provider fetch). ``pbf_fetcher`` injects the PBF transport (None = the
+    default urllib fetch; pre-placed local files short-circuit it)."""
     pbf_paths = _resolve_geometry_extracts(
         geometry_filter,
         extracts_index,
         download_directory=download_directory,
         geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
         allow_uncovered_geometry=allow_uncovered_geometry,
+        osm_extract_source=osm_extract_source,
+        pbf_fetcher=pbf_fetcher,
     )
     if pbf_paths is None:
         empty = _empty_features(spark)
@@ -322,23 +328,35 @@ def convert_geometry_to_parquet(
 
 def _resolve_geometry_extracts(
     geometry_filter: Geometry,
-    extracts_index: Sequence[Any],
+    extracts_index: Optional[Sequence[Any]],
     *,
     download_directory: Union[str, Path],
     geometry_coverage_iou_threshold: float,
     allow_uncovered_geometry: bool,
+    osm_extract_source: str = "any",
+    pbf_fetcher: Any = None,
 ) -> Optional[list[Path]]:
-    """C13 coverage search + extract resolution; ``None`` ⇒ nothing covers
-    the geometry (caller emits the reference's empty-result warning path)."""
-    from quackosm_spark.extracts import download_extract, find_extracts_for_geometry
+    """C13 coverage search + extract resolution with the 404-retry loop
+    (unavailable extracts excluded, coverage recalculated); ``None`` ⇒
+    nothing covers the geometry (caller emits the reference's empty-result
+    warning path). ``extracts_index=None`` resolves the index from
+    ``osm_extract_source`` via ``extracts.get_source_index``."""
+    from quackosm_spark.extracts import (
+        find_and_download_extracts_pbf_files,
+        get_source_index,
+    )
 
-    selected = find_extracts_for_geometry(
+    if extracts_index is None:
+        extracts_index = get_source_index(osm_extract_source)
+    pairs = find_and_download_extracts_pbf_files(
         geometry_filter,
         extracts_index,
+        download_directory,
         geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
         allow_uncovered_geometry=allow_uncovered_geometry,
+        fetcher=pbf_fetcher,
     )
-    if not selected:
+    if not pairs:
         import warnings
 
         warnings.warn(
@@ -347,14 +365,16 @@ def _resolve_geometry_extracts(
             stacklevel=0,
         )
         return None
-    return [download_extract(e, download_directory) for e in selected]
+    return [path for _extract, path in pairs]
 
 
 def convert_geometry_to_geodataframe(
     spark: SparkSession,
     geometry_filter: Geometry,
-    extracts_index: Sequence[Any],
+    extracts_index: Optional[Sequence[Any]] = None,
     *,
+    osm_extract_source: str = "any",
+    pbf_fetcher: Any = None,
     download_directory: Union[str, Path] = "files",
     geometry_coverage_iou_threshold: float = 0.01,
     allow_uncovered_geometry: bool = False,
@@ -368,6 +388,8 @@ def convert_geometry_to_geodataframe(
         download_directory=download_directory,
         geometry_coverage_iou_threshold=geometry_coverage_iou_threshold,
         allow_uncovered_geometry=allow_uncovered_geometry,
+        osm_extract_source=osm_extract_source,
+        pbf_fetcher=pbf_fetcher,
     )
     if pbf_paths is None:
         import pandas as _pd
