@@ -184,7 +184,16 @@ def get_source_index(
     ``get_index_for_sources`` semantics)."""
     from quackosm_spark.extracts import providers as P
 
-    wanted = list(ALL_SOURCES) if source.lower() == "any" else [source]
+    # reference `resolve_extract_sources` accepts 'any', one name, or a
+    # comma-separated list ('bbbike,osmfr')
+    parts = [p.strip() for p in source.split(",") if p.strip()]
+    if any(p.lower() == "any" for p in parts) or not parts:
+        wanted = list(ALL_SOURCES)
+    else:
+        wanted = parts
+        for p in parts:
+            if not any(c.lower() == p.lower() for c in ALL_SOURCES):
+                raise ValueError(f"Unknown extract source: {p!r}")
     out: list[OpenStreetMapExtract] = []
     errors: list[str] = []
     for s in wanted:

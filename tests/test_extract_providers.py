@@ -453,3 +453,13 @@ def test_download_extract_reuses_existing_file(tmp_path):
         index[0], tmp_path, fetcher=lambda url: calls.append(url) or b"new"
     )
     assert path == target and not calls
+
+
+def test_get_source_index_multi_source_and_validation():
+    ref = "/root/reference/precalculated_indexes"
+    if not os.path.isdir(ref):
+        pytest.skip("reference precalculated indexes absent")
+    idx = extracts.get_source_index("bbbike,geofabrik", precalculated_dir=ref)
+    assert {e.id.split("_")[0] for e in idx} == {"BBBike", "Geofabrik"}
+    with pytest.raises(ValueError):
+        extracts.get_source_index("nonexistent-provider")
