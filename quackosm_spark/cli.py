@@ -254,7 +254,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--extracts-index",
         help="Extracts index parquet path (id, name, file_name, parent, url,"
-        " geometry WKT) for --osm-extract-query / geometry-driven mode",
+        " geometry as WKT strings or WKB binary) for --osm-extract-query /"
+        " geometry-driven mode; omit to resolve via --osm-extract-source",
+    )
+    p.add_argument(
+        "--osm-extract-source",
+        default="any",
+        help="Extract source(s) when --extracts-index is omitted: 'any',"
+        " one provider name, or a comma-separated list"
+        " (Geofabrik,osmfr,BBBike,GEO2Day,Movisda-admin,Movisda-grid)",
+    )
+    p.add_argument(
+        "--extracts-index-dir",
+        help="Directory holding per-source '<source>_index.parquet' files"
+        " (a cache or the reference's precalculated_indexes) used by"
+        " --osm-extract-source before any live fetch",
     )
     p.add_argument("--download-directory", default="files")
     return p
@@ -298,12 +312,18 @@ def main(argv: Optional[list[str]] = None) -> Path:
         convert_kwargs.pop("result_file_path")
         duckdb_kwargs["result_file_path"] = args.output
 
-    if args.osm_extract_query:
-        if not args.extracts_index:
-            build_parser().error("--osm-extract-query requires --extracts-index")
-        from quackosm_spark.extracts import load_index
+    def _cli_index():
+        from quackosm_spark.extracts import get_source_index, load_index
 
-        index = load_index(args.extracts_index)
+        if args.extracts_index:
+            return load_index(args.extracts_index, lazy_area=True)
+        return get_source_index(
+            args.osm_extract_source,
+            cache_dir=args.extracts_index_dir,
+        )
+
+    if args.osm_extract_query:
+        index = _cli_index()
         convert = (
             fn.convert_osm_extract_to_duckdb
             if args.duckdb
@@ -327,10 +347,8 @@ def main(argv: Optional[list[str]] = None) -> Path:
             **duckdb_kwargs,
             **convert_kwargs,
         )
-    elif geometry_filter is not None and args.extracts_index:
-        from quackosm_spark.extracts import load_index
-
-        index = load_index(args.extracts_index)
+    elif geometry_filter is not None:
+        index = _cli_index()
         convert = (
             fn.convert_geometry_to_duckdb
             if args.duckdb
@@ -346,8 +364,9 @@ def main(argv: Optional[list[str]] = None) -> Path:
         )
     else:
         build_parser().error(
-            "Provide PBF file paths, --osm-extract-query with --extracts-index,"
-            " or a geometry filter with --extracts-index."
+            "Provide PBF file paths, --osm-extract-query, or a geometry"
+            " filter (extract indexes resolve from --extracts-index or"
+            " --osm-extract-source)."
         )
     print(result)
     return result

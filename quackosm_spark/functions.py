@@ -451,13 +451,16 @@ def convert_osm_extract_to_parquet(
 ) -> Path:
     """Named-extract conversion (reference functions.py
     `convert_osm_extract_to_parquet`): fuzzy-match the extract by name (C14),
-    resolve its PBF, convert."""
-    from quackosm_spark.extracts import download_extract, get_extract_by_query
+    resolve its PBF through the 404-retry loop (an unavailable match is
+    excluded and the next matching extract tried), convert."""
+    from quackosm_spark.extracts import download_extract_by_query
 
-    extract = get_extract_by_query(
-        query, extracts_index, select_first_match=select_first_match
+    pbf = download_extract_by_query(
+        query,
+        extracts_index,
+        download_directory,
+        select_first_match=select_first_match,
     )
-    pbf = download_extract(extract, download_directory)
     return convert_pbf_to_parquet(spark, pbf, **convert_kwargs)
 
 
@@ -472,12 +475,14 @@ def convert_osm_extract_to_geodataframe(
 ):
     """Named-extract conversion to a (Geo)DataFrame (reference functions.py
     `convert_osm_extract_to_geodataframe`)."""
-    from quackosm_spark.extracts import download_extract, get_extract_by_query
+    from quackosm_spark.extracts import download_extract_by_query
 
-    extract = get_extract_by_query(
-        query, extracts_index, select_first_match=select_first_match
+    pbf = download_extract_by_query(
+        query,
+        extracts_index,
+        download_directory,
+        select_first_match=select_first_match,
     )
-    pbf = download_extract(extract, download_directory)
     return convert_pbf_to_geodataframe(spark, pbf, **convert_kwargs)
 
 

@@ -194,3 +194,32 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     curated = spark.read.parquet(out)
     assert 0 < curated.count() <= 500
     assert "text" in curated.columns
+
+
+def test_cli_extract_query_with_source_registry(tmp_path):
+    """`--osm-extract-query monaco --osm-extract-source Geofabrik
+    --extracts-index-dir <precalculated>` — the reference's everyday
+    `quackosm <query>` usage, index resolved by source name, PBF
+    pre-placed under its canonical file_name (as a completed download
+    would leave it)."""
+    import os
+    import shutil
+
+    idx_dir = "/root/reference/precalculated_indexes"
+    monaco_src = "/root/reference/tests/test_files/monaco.osm.pbf"
+    if not (os.path.isdir(idx_dir) and os.path.exists(monaco_src)):
+        pytest.skip("reference fixtures absent")
+
+    shutil.copy(monaco_src, tmp_path / "geofabrik_europe_monaco.osm.pbf")
+    out = cli.main([
+        "--osm-extract-query", "monaco",
+        "--osm-extract-source", "Geofabrik",
+        "--extracts-index-dir", idx_dir,
+        "--download-directory", str(tmp_path),
+        "--working-directory", str(tmp_path / "wd"),
+        "--osm-tags-filter", '{"amenity": true}',
+    ])
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n > 500  # all monaco amenities

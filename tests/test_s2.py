@@ -98,7 +98,7 @@ def test_cli_s2_filter_parses():
     from quackosm_spark.cli import build_parser, parse_geometry_args
 
     tok = s2.cell_id_to_token(s2.lat_lng_to_cell_id(43.73, 7.42, 12))
-    args = build_parser().parse_args(["convert", "x.pbf", "--geom-filter-s2", tok])
+    args = build_parser().parse_args(["x.pbf", "--geom-filter-s2", tok])
     geom = parse_geometry_args(args)
     assert geom["type"] == "Polygon"
     ring = np.asarray(geom["coordinates"][0])
@@ -107,13 +107,13 @@ def test_cli_s2_filter_parses():
     # two tokens → MultiPolygon
     tok2 = s2.cell_id_to_token(s2.lat_lng_to_cell_id(40.7, -74.0, 12))
     args = build_parser().parse_args(
-        ["convert", "x.pbf", "--geom-filter-s2", f"{tok},{tok2}"]
+        ["x.pbf", "--geom-filter-s2", f"{tok},{tok2}"]
     )
     geom = parse_geometry_args(args)
     assert geom["type"] == "MultiPolygon"
     assert len(geom["coordinates"]) == 2
 
     # invalid token → clean CLI error
-    args = build_parser().parse_args(["convert", "x.pbf", "--geom-filter-s2", "zzz"])
+    args = build_parser().parse_args(["x.pbf", "--geom-filter-s2", "zzz"])
     with pytest.raises(SystemExit):
         parse_geometry_args(args)
