@@ -13,10 +13,13 @@ the pipeline uses (`quackosm_spark.geometry.ops.points_in_polygon`). At the
 default 512×512 resolution the IoU error is far below the 0.01 threshold the
 selection algorithm cares about; results are reproducible run-to-run.
 
-Network access (index scraping from Geofabrik/BBBike/OSM-fr + PBF download
-via HTTP) is represented by `download_extract`, which is a clearly marked
-stub in this offline build — indexes load from local parquet/records instead
-(`load_index` / `build_index`).
+Network access: `download_extract` is a real download implementation with
+the reference's 404-retry/exclusion loop (`_download_extracts` below) —
+the HTTP transport is an injectable ``fetcher`` callable defaulting to
+``urllib``, so offline tests inject recorded payloads while a connected
+environment downloads live. Provider indexes resolve the same way
+(`get_source_index`: cached parquet → precalculated parquet → live
+provider fetch via `providers.load_provider_index`).
 """
 
 from __future__ import annotations
@@ -99,19 +102,19 @@ class OpenStreetMapExtract:
     bounds: Optional[tuple[float, float, float, float]] = field(default=None)
 
 
-_AREA_CACHE: dict[str, float] = {}
-
-
 def extract_area(e: OpenStreetMapExtract) -> float:
-    """The degree²-raster area the IoU search needs — lazy + cached (keyed
-    by extract id: unique within an index, and the selection algorithms
-    only ever compare extracts from one index)."""
+    """The degree²-raster area the IoU search needs — lazy + memoized ON
+    THE INSTANCE (``object.__setattr__`` into the frozen dataclass), not
+    in a module-global id-keyed dict: two indexes loaded in one process
+    can legitimately carry the same extract id with different geometry
+    (stale cached parquet vs refreshed live index), and an id-keyed cache
+    would silently reuse the stale area (ADVICE r02)."""
     if e.area is not None:
         return e.area
-    val = _AREA_CACHE.get(e.id)
+    val = getattr(e, "_raster_area", None)
     if val is None:
         val = raster_area(e.geometry)
-        _AREA_CACHE[e.id] = val
+        object.__setattr__(e, "_raster_area", val)
     return val
 
 
@@ -218,8 +221,18 @@ def get_source_index(
             )
         except Exception as e:  # noqa: BLE001 — offline/HTTP failures
             errors.append(f"{canonical}: {e}")
-            if source.lower() != "any":
+            # reference `_get_index_for_sources` semantics: a single-source
+            # request fails fast; EVERY multi-source request (explicit
+            # comma list included, not just 'any') skips unavailable
+            # sources with a warning and raises only if none resolve
+            # (ADVICE r02)
+            if len(wanted) == 1:
                 raise
+            warnings.warn(
+                f"Extract source {canonical} unavailable, skipping: {e}",
+                OsmExtractUnavailableWarning,
+                stacklevel=2,
+            )
     if not out:
         raise RuntimeError(
             "No extract source could be resolved"

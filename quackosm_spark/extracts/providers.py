@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import re
 import unicodedata
+import warnings
 from html.parser import HTMLParser
 from pathlib import Path
 from typing import Any, Callable, Iterable, Optional
@@ -278,7 +279,19 @@ def parse_bbbike_index(
         if poly_text is not None:
             geometry: Geometry = parse_poly(poly_text.splitlines())
         else:
-            row = next(r for r in csv_rows if r.startswith(name + ":"))
+            row = next(
+                (r for r in csv_rows if r.startswith(name + ":")), None
+            )
+            if row is None:
+                # a listed directory with neither a .poly nor a
+                # cities.csv row cannot yield a geometry — skip it
+                # instead of crashing the whole index build (ADVICE r02)
+                warnings.warn(
+                    f"BBBike extract {name!r} has no .poly and no "
+                    "cities.csv row; skipping",
+                    stacklevel=2,
+                )
+                continue
             minx, miny, maxx, maxy = (float(v) for v in row.split(":")[6].split())
             geometry = {
                 "type": "Polygon",

@@ -555,26 +555,81 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"id": pd.Series([], dtype="int64"),
                              "geometry": pd.Series([], dtype=object)})
 
+    from quackosm_spark.geometry.ops import signed_area
     from quackosm_spark.geometry.repair import (
+        has_self_intersection,
+        make_valid_ring,
         ring_difference,
         rings_cross,
-        union_all,
+        union_all_polygons,
     )
 
     outers = [remove_repeated_points(r) for role, r in parts if role == "outer"]
     inners = [remove_repeated_points(r) for role, r in parts if role == "inner"]
 
+    # ST_MakeValid parity on RELATION rings (reference wraps every
+    # geometry write, pbf_file_reader.py:3592-3644; VERDICT r02 #1): a
+    # self-intersecting merged ring is repaired even-odd before assembly.
+    # A repaired outer's shells join the outer set and its enclosed even-
+    # parity faces become holes; a repaired inner's shells each subtract.
+    # Valid rings skip repair entirely (exact-parity fast path).
+    def _repair_rings(rings: list) -> tuple[list, list]:
+        fixed: list = []
+        extra_holes: list = []
+        for r in rings:
+            if has_self_intersection(r):
+                try:
+                    polys = make_valid_ring(r)
+                except Exception:
+                    polys = []
+                if polys:
+                    for p in polys:
+                        fixed.append([list(pt) for pt in p[0]])
+                        extra_holes.extend(
+                            [list(pt) for pt in h] for h in p[1:]
+                        )
+                    continue
+            fixed.append(r)
+        return fixed, extra_holes
+
+    outers, outer_repair_holes = _repair_rings(outers)
+    inners, _ = _repair_rings(inners)  # an inner's even-parity faces
+    # would be holes-of-holes (islands) — beyond multipolygon semantics,
+    # dropped like the reference's difference with an invalid inner
+    inners = inners + outer_repair_holes
+
+    # degenerate (zero-area / collinear) closed parts cannot polygonize:
+    # GEOS's union collapses them to linework, so when they mix with real
+    # polygon parts the reference's ST_Union_Agg yields a
+    # GeometryCollection (SURVEY §1.3 "relations after union"). Split
+    # them out; degenerate inners subtract nothing and are dropped.
+    degenerate_lines = [r for r in outers if abs(signed_area(r)) <= 1e-14]
+    outers = [r for r in outers if abs(signed_area(r)) > 1e-14]
+    inners = [r for r in inners if abs(signed_area(r)) > 1e-14]
+    if not outers and degenerate_lines:
+        # ONLY degenerate parts: GEOS unions a lone zero-area polygon to
+        # itself, so keep the historical zero-area Polygon output rather
+        # than inventing a collection the reference would not emit
+        outers, degenerate_lines = degenerate_lines, []
+
     # ST_Union_Agg parity for messy relations (reference
     # pbf_file_reader.py:3377-3397): outer parts that CROSS each other
-    # merge into one shell. Disjoint/nested outers keep their original
-    # vertex order (exact-parity fast path — union would re-orient).
+    # merge into one shell; a union-enclosed bounded complement region
+    # (two crossing C-shapes) becomes a HOLE of the merged shell, not a
+    # phantom extra shell (ADVICE r02). Disjoint/nested outers keep their
+    # original vertex order (exact-parity fast path — union would
+    # re-orient).
     if len(outers) > 1 and any(
         rings_cross(outers[i], outers[j])
         for i in range(len(outers))
         for j in range(i + 1, len(outers))
     ):
         try:
-            outers = [list(r) for r in union_all(outers)]
+            merged_polys = union_all_polygons(outers)
+            outers = [[list(pt) for pt in p[0]] for p in merged_polys]
+            inners = inners + [
+                [list(pt) for pt in h] for p in merged_polys for h in p[1:]
+            ]
         except Exception:
             pass
 
@@ -623,6 +678,17 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
         geom = {"type": "Polygon", "coordinates": polygons[0]}
     else:
         geom = {"type": "MultiPolygon", "coordinates": polygons}
+    if degenerate_lines:
+        # mixed polygonal + collapsed-to-linework parts: the reference's
+        # ST_Union_Agg returns a GeometryCollection here (SURVEY §1.3)
+        geom = {
+            "type": "GeometryCollection",
+            "geometries": [geom]
+            + [
+                {"type": "LineString", "coordinates": r}
+                for r in degenerate_lines
+            ],
+        }
     return pd.DataFrame({"id": [rel_id], "geometry": [wkb.dumps(geom)]})
 
 

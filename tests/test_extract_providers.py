@@ -463,3 +463,78 @@ def test_get_source_index_multi_source_and_validation():
     assert {e.id.split("_")[0] for e in idx} == {"BBBike", "Geofabrik"}
     with pytest.raises(ValueError):
         extracts.get_source_index("nonexistent-provider")
+
+
+def test_get_source_index_multi_source_skips_unavailable():
+    """r03 (ADVICE r02): an explicit comma-separated list skips an
+    unavailable provider with a warning — reference _get_index_for_sources
+    semantics — and raises only when NO source resolves."""
+    ref = "/root/reference/precalculated_indexes"
+    if not os.path.isdir(ref):
+        pytest.skip("reference precalculated indexes absent")
+
+    # geofabrik resolves from precalculated parquet; bbbike has no parquet
+    # and the live fetch fails offline → warn + skip, result is geofabrik
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        shutil.copy(
+            os.path.join(ref, "geofabrik_index.parquet"),
+            os.path.join(d, "geofabrik_index.parquet"),
+        )
+
+        def dead_fetcher(url):
+            raise OSError("offline")
+
+        with pytest.warns(extracts.OsmExtractUnavailableWarning):
+            idx = extracts.get_source_index(
+                "bbbike,geofabrik", precalculated_dir=d, fetcher=dead_fetcher
+            )
+        assert idx and all(e.id.startswith("Geofabrik") for e in idx)
+
+        # single-source request still fails fast (no warning-swallow)
+        with pytest.raises(Exception):
+            extracts.get_source_index(
+                "bbbike", precalculated_dir=d, fetcher=dead_fetcher
+            )
+
+        # nothing resolvable → RuntimeError
+        with pytest.raises(RuntimeError):
+            extracts.get_source_index(
+                "bbbike,osmfr", precalculated_dir=d, fetcher=dead_fetcher
+            )
+
+
+def test_bbbike_city_without_poly_or_csv_row_is_skipped():
+    """r03 (ADVICE r02): a listed city directory with no .poly and no
+    cities.csv row is skipped with a warning, not a StopIteration crash."""
+    listing = (
+        '<table><tr class="d"><td><a href="Aachen/">Aachen</a></td></tr>'
+        '<tr class="d"><td><a href="Ghost/">Ghost</a></td></tr></table>'
+    )
+    csv_text = "Aachen:x:x:x:x:x:5.9 50.6 6.2 50.9\n"
+    with pytest.warns(UserWarning, match="Ghost"):
+        records = P.parse_bbbike_index(
+            listing, csv_text, poly_fetcher=lambda url: None
+        )
+    assert [r["name"] for r in records] == ["Aachen"]
+
+
+def test_extract_area_memoized_per_instance_not_per_id():
+    """r03 (ADVICE r02): two extracts sharing an id but with different
+    geometry (stale cache vs refreshed index) get independent areas."""
+    a = extracts.build_index(
+        [{"id": "X", "name": "x", "file_name": "x",
+          "geometry": _box(0, 0, 2, 2)}], lazy_area=True
+    )[0]
+    b = extracts.build_index(
+        [{"id": "X", "name": "x", "file_name": "x",
+          "geometry": _box(0, 0, 4, 4)}], lazy_area=True
+    )[0]
+    area_a = extracts.extract_area(a)
+    area_b = extracts.extract_area(b)
+    assert area_a == pytest.approx(4.0, rel=0.05)
+    assert area_b == pytest.approx(16.0, rel=0.05)
+    # memoized: second call returns the identical cached value
+    assert extracts.extract_area(a) == area_a
