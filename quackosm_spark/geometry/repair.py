@@ -144,27 +144,47 @@ def has_self_intersection(ring: Ring) -> bool:
 
 def rings_cross(a: Ring, b: Ring) -> bool:
     """True iff two rings have a transversal edge crossing (the trigger
-    for boolean-op assembly instead of plain nesting)."""
+    for boolean-op assembly instead of plain nesting). Same fixed-row-
+    block scheme as ``has_self_intersection`` — peak memory O(block·K),
+    early exit on the first crossing block — two 2000-vertex relation
+    rings must not allocate K×K matrices either."""
     pa = _open(remove_repeated_points(a))
     pb = _open(remove_repeated_points(b))
     arr_a = np.asarray(pa + [pa[0]], dtype=np.float64)
     arr_b = np.asarray(pb + [pb[0]], dtype=np.float64)
+    # cheap bbox reject before any pairwise work
+    if (
+        arr_a[:, 0].min() > arr_b[:, 0].max()
+        or arr_b[:, 0].min() > arr_a[:, 0].max()
+        or arr_a[:, 1].min() > arr_b[:, 1].max()
+        or arr_b[:, 1].min() > arr_a[:, 1].max()
+    ):
+        return False
     p = arr_a[:-1]
     r = arr_a[1:] - arr_a[:-1]
     q = arr_b[:-1]
     s = arr_b[1:] - arr_b[:-1]
-    denom = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
-    qpx = q[None, :, 0] - p[:, None, 0]
-    qpy = q[None, :, 1] - p[:, None, 1]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (qpx * s[None, :, 1] - qpy * s[None, :, 0]) / denom
-        u = (qpx * r[:, None, 1] - qpy * r[:, None, 0]) / denom
-    crossing = (
-        (np.abs(denom) > _EPS)
-        & (t > _EPS) & (t < 1 - _EPS)
-        & (u > _EPS) & (u < 1 - _EPS)
-    )
-    return bool(np.any(crossing))
+    n = p.shape[0]
+    for blo in range(0, n, _SELF_INTERSECT_BLOCK):
+        bhi = min(blo + _SELF_INTERSECT_BLOCK, n)
+        pb_ = p[blo:bhi]
+        rb_ = r[blo:bhi]
+        denom = (
+            rb_[:, None, 0] * s[None, :, 1] - rb_[:, None, 1] * s[None, :, 0]
+        )
+        qpx = q[None, :, 0] - pb_[:, None, 0]
+        qpy = q[None, :, 1] - pb_[:, None, 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qpx * s[None, :, 1] - qpy * s[None, :, 0]) / denom
+            u = (qpx * rb_[:, None, 1] - qpy * rb_[:, None, 0]) / denom
+        crossing = (
+            (np.abs(denom) > _EPS)
+            & (t > _EPS) & (t < 1 - _EPS)
+            & (u > _EPS) & (u < 1 - _EPS)
+        )
+        if bool(np.any(crossing)):
+            return True
+    return False
 
 def _collinear_overlap_params(
     p1: list[float], p2: list[float], q1: list[float], q2: list[float]
