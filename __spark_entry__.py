@@ -1511,6 +1511,56 @@ def q88_relation_union_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE merge table for q89 — trained ONCE with operators.text.train_bpe_merges
+# semantics (24 merges, first 400 docs of the sf0.001 corpus by doc_id) and
+# pinned as a constant: the merge table is a model ARTIFACT — the data-path
+# operator under test is the broadcast-applied merge chain, and a pinned
+# table keeps the query/oracle pair equivalent at every scale factor.
+_Q89_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "r"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("a", "n"), ("c", "an"), ("s", "can"),
+    ("or", "t"), ("s", "ort"), ("d", "er"), ("or", "der"),
+]
+
+
+def q89_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization at scale (operators/text.py bpe_token_count):
+    a sample-trained merge table (the 100 TB pattern: train driver-side on
+    a deterministic sample, broadcast the table, apply distributed) runs
+    as a chain of literal substring replaces over bracket-marked chars —
+    pure JVM Column ops, zero Python in the hot path. Oracle: the
+    generated DuckDB replace-chain (both engines' replace is left-to-right
+    non-overlapping, so the chains are bit-identical)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count(F.col("text"), _Q89_MERGES).alias("n_bpe"),
+        T.token_count("text").cast("bigint").alias("n_ws"),
+        F.element_at(T.bpe_tokens(F.col("text"), _Q89_MERGES), 1).alias(
+            "first_token"
+        ),
+    )
+
+
+_Q90_TARGET_TOKENS = 20_000
+
+
+def q90_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (operators/mix.assign_token_shards):
+    global exclusive-cumsum sharding WITHOUT a global ORDER BY window —
+    arithmetic range buckets, a tiny per-bucket totals collect, broadcast
+    offsets, bucket-partitioned cumsum (two-pass parallel prefix sum).
+    Oracle: the single global window DuckDB can afford at this scale."""
+    from quackosm_spark.operators.mix import assign_token_shards
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    return assign_token_shards(
+        docs, target_tokens=_Q90_TARGET_TOKENS
+    ).select("doc_id", "n_tokens", "shard_id")
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -1576,13 +1626,13 @@ _DRIVER_PRIORITY = [
     "q49_ivf_fullprobe", "q50_bm25_search",
     # new this round
     "q87_relation_makevalid", "q88_relation_union_holes",
+    "q89_bpe_tokens", "q90_token_shards",
     # kernels changed this round (repair wrapper rework) — re-verify
     "q83_makevalid", "q84_relation_union",
     # flagships filling the window
     "q01_pricing_summary", "q14_way_assembly", "q17_ngram_jaccard",
-    "q18_minhash_lsh", "q20_ann_topk", "q25_sessionize",
+    "q18_minhash_lsh", "q20_ann_topk",
     "q33_drop_exact_duplicates", "q44_asof_previous_event",
-    "q77_session_window",
 ]
 
 
@@ -1682,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_repeated_spans": q86_repeated_spans,
         "q87_relation_makevalid": q87_relation_makevalid,
         "q88_relation_union_holes": q88_relation_union_holes,
+        "q89_bpe_tokens": q89_bpe_tokens,
+        "q90_token_shards": q90_token_shards,
     })
 
 
@@ -2808,6 +2860,34 @@ def oracle_sql() -> dict[str, str]:
                2 AS n_rings,
                round(68 * s * s, 6) AS shell_area,
                round(52 * s * s, 6) AS net_area
+        FROM t
+    """
+    from quackosm_spark.operators.text import bpe_apply_sql, bpe_token_count_sql
+
+    _q89_marked = bpe_apply_sql("text", _Q89_MERGES)
+    out["q89_bpe_tokens"] = f"""
+        SELECT doc_id,
+               {bpe_token_count_sql('text', _Q89_MERGES)} AS n_bpe,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> ''))::BIGINT AS n_ws,
+               list_filter(
+                   string_split_regex(
+                       replace(replace({_q89_marked}, '<', ' '), '>', ' '),
+                       '\\s+'),
+                   t -> t <> '')[1] AS first_token
+        FROM documents WHERE doc_id % 3 = 0
+    """
+    out["q90_token_shards"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> ''))::BIGINT AS n_tokens
+            FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT doc_id, n_tokens,
+               ((sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // {_Q90_TARGET_TOKENS})::BIGINT AS shard_id
         FROM t
     """
     out["q86_repeated_spans"] = """

@@ -230,3 +230,70 @@ def interleave_sources(
             F.lit(1),
         ).otherwise(F.lit(0))
     return d.withColumn("global_pos", pos.cast("long"))
+
+
+def assign_token_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    target_tokens: int = 1_000_000,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Token-budget shard assignment for training-data writers: documents
+    in global ``id_col`` order are laid end-to-end and ``shard_id =
+    floor(exclusive_cumsum / target_tokens)`` — every shard holds a
+    contiguous ~``target_tokens`` run (the manifest a dataloader needs for
+    size-balanced shard files).
+
+    Scale shape — the global running sum WITHOUT a global ORDER BY window
+    (which would serialize 100 TB through one partition): ids are range-
+    bucketed arithmetically (order-preserving ``floor(id / span)`` with
+    ``span`` from a one-row max-id aggregate), per-bucket token sums are
+    collected as a tiny table (``num_buckets`` rows), their exclusive
+    cumulative sums broadcast back as a mapping Column, and the cumsum
+    inside each bucket is a PARTITIONED window. Two cheap aggregates +
+    one bucket-parallel window ≡ the classic two-pass parallel prefix
+    sum. APPENDS (n_tokens, shard_id); payload columns pass through.
+    """
+    from quackosm_spark.operators.text import token_count
+
+    tokens = (
+        token_count("text") if tokens_col is None else F.col(tokens_col)
+    ).cast("bigint")
+    d = docs.withColumn("n_tokens", tokens)
+
+    max_id = d.agg(F.max(id_col)).collect()[0][0]
+    if max_id is None:
+        return d.withColumn("shard_id", F.lit(None).cast("bigint"))
+    span = max(1, (int(max_id) + num_buckets) // num_buckets)
+    d = d.withColumn("_bucket", F.floor(F.col(id_col) / F.lit(span)))
+
+    # pass 1: tiny per-bucket totals → exclusive prefix on the driver
+    totals = {
+        r["b"]: r["s"]
+        for r in d.groupBy(F.col("_bucket").alias("b"))
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    offset = 0
+    offsets: dict[int, int] = {}
+    for b in sorted(totals):
+        offsets[b] = offset
+        offset += int(totals[b])
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_bucket"),
+    ).cast("bigint")
+
+    # pass 2: bucket-partitioned cumulative window (parallel across buckets)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = offset_col + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.withColumn(
+        "shard_id", F.floor(cum_before / F.lit(int(target_tokens))).cast("bigint")
+    ).drop("_bucket")

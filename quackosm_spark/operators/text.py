@@ -447,3 +447,145 @@ def duplicated_token_fraction(
         )
         .alias("dup_fraction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Real BPE tokenization: sample-trained merges, broadcast-applied at scale
+# --------------------------------------------------------------------------
+#
+# The classic large-corpus pattern: TRAIN the merge table driver-side on a
+# small deterministic sample (BPE training is inherently sequential), then
+# APPLY it distributed as a chain of literal substring replacements — pure
+# Column ops, JVM-side codegen, zero Python in the hot path, and exactly
+# replicable in ANSI SQL for the oracle.
+#
+# Apply semantics (documented contract): normalize to [a-z0-9 ]; each word
+# becomes a sequence of single-char tokens rendered as "<c><c>..."; each
+# merge (a, b), in training order, is ONE left-to-right non-overlapping
+# pass replacing "<a><b>" with "<ab>". The bracket markers bound BOTH ends
+# of every token, so a merge can never match a token-substring ("<a><b>"
+# does not match inside "<xa><b>" or "<a><bc>") and consecutive repeats
+# merge exactly like BPE's left-to-right scan ("<a><a><a><a>" -> two
+# "<aa>"). This is the greedy ordered single-pass variant of BPE apply
+# (canonical BPE re-scans earlier rules after later merges; the single-
+# pass variant is deterministic, order-stable, and SQL-expressible).
+
+_BPE_NORMALIZE_RE = r"[^a-z0-9 ]+"
+_BPE_MARK_RE = r"([a-z0-9])"
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    sample_rows: int = 500,
+    order_col: str | None = None,
+) -> list[tuple[str, str]]:
+    """Driver-side classic BPE training (Sennrich et al. 2016) on a
+    deterministic sample: the ``sample_rows`` first rows by ``order_col``
+    (falls back to the first column). Sampling is the scale story — merge
+    tables converge on a tiny fraction of a 100 TB corpus, and the result
+    broadcasts to ``bpe_*`` appliers as a plain list."""
+    oc = order_col or docs.columns[0]
+    rows = (
+        docs.select(F.col(text_col).alias("t"))
+        .orderBy(oc)
+        .limit(int(sample_rows))
+        .collect()
+    )
+    import re as _re
+    from collections import Counter
+
+    word_freq: Counter = Counter()
+    for r in rows:
+        norm = _re.sub(_BPE_NORMALIZE_RE, " ", (r["t"] or "").lower())
+        for w in norm.split():
+            word_freq[tuple(w)] += 1
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_freq: Counter = Counter()
+        for word, freq in word_freq.items():
+            for i in range(len(word) - 1):
+                pair_freq[(word[i], word[i + 1])] += freq
+        if not pair_freq:
+            break
+        # deterministic tie-break: highest count, then lexicographic
+        (a, b), cnt = min(
+            pair_freq.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        merged: Counter = Counter()
+        ab = a + b
+        for word, freq in word_freq.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            merged[tuple(out)] += freq
+        word_freq = merged
+    return merges
+
+
+def _bpe_marked(text: Column | str, merges: list[tuple[str, str]]) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    s = F.regexp_replace(
+        F.regexp_replace(F.lower(col), _BPE_NORMALIZE_RE, " "),
+        _BPE_MARK_RE,
+        r"<$1>",
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    return s
+
+
+def bpe_token_count(
+    text: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """Number of BPE tokens after applying ``merges`` — one '<' marker per
+    token, counted as a length difference (no split/array allocation)."""
+    s = _bpe_marked(text, merges)
+    return (
+        F.length(s) - F.length(F.replace(s, F.lit("<"), F.lit("")))
+    ).cast("bigint")
+
+
+def bpe_tokens(
+    text: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """The BPE token array itself (for vocab stats / length histograms):
+    strip the outer markers, split on '><' and the inter-word ' ' runs."""
+    s = _bpe_marked(text, merges)
+    cleaned = F.regexp_replace(s, r"[<>]", " ")
+    trimmed = F.trim(cleaned)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
+
+
+def bpe_apply_sql(
+    text_expr: str, merges: list[tuple[str, str]]
+) -> str:
+    """DuckDB replica of ``_bpe_marked`` (same normalize → mark → ordered
+    single-pass replaces; both engines' ``replace`` is left-to-right
+    non-overlapping, so the chains are bit-identical)."""
+    s = (
+        f"regexp_replace(regexp_replace(lower({text_expr}),"
+        f" '{_BPE_NORMALIZE_RE}', ' ', 'g'), '{_BPE_MARK_RE}', '<\\1>', 'g')"
+    )
+    for a, b in merges:
+        s = f"replace({s}, '<{a}><{b}>', '<{a}{b}>')"
+    return s
+
+
+def bpe_token_count_sql(
+    text_expr: str, merges: list[tuple[str, str]]
+) -> str:
+    s = bpe_apply_sql(text_expr, merges)
+    return f"(length({s}) - length(replace({s}, '<', '')))::BIGINT"

@@ -4,6 +4,7 @@ analysis, multimodal plumbing."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from quackosm_spark.operators import dedup as D
@@ -759,3 +760,136 @@ def test_duplicated_fraction_short_doc_zero(spark):
             T.duplicated_token_fraction(docs, n=5).collect()}
     assert rows[1]["n_positions"] == 0 and rows[1]["dup_fraction"] == 0.0
     assert rows[2]["n_positions"] == 0
+
+
+# --------------------------------------------------------------------------
+# r03: real BPE tokenization (train on sample, broadcast merges, apply as
+# Column replace chain) + token-budget shard assignment
+# --------------------------------------------------------------------------
+
+def _py_bpe_apply(text, merges):
+    """Independent python reference of the documented apply contract."""
+    import re
+
+    from quackosm_spark.operators.text import _BPE_NORMALIZE_RE
+
+    norm = re.sub(_BPE_NORMALIZE_RE, " ", (text or "").lower())
+    out_words = []
+    for w in norm.split():
+        toks = list(w)
+        for a, b in merges:
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            toks = merged
+        out_words.append(toks)
+    return out_words
+
+
+def test_bpe_train_learns_frequent_pairs(spark):
+    from quackosm_spark.operators.text import train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, "the theme thesis then the") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(docs, n_merges=4, order_col="doc_id")
+    # 'th'/'he' tie at the top (lexicographic tie-break picks 'h e'
+    # first); within two merges the dominant word 'the' must be a single
+    # token
+    from quackosm_spark.operators.text import bpe_tokens
+
+    toks = (
+        spark.createDataFrame([(0, "the")], "doc_id long, text string")
+        .select(bpe_tokens(F.col("text"), merges).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert toks == ["the"]
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    from quackosm_spark.operators.text import bpe_token_count, bpe_tokens
+
+    merges = [("t", "h"), ("th", "e"), ("l", "l"), ("a", "n"), ("an", "d")]
+    texts = [
+        "TheThistle and hello llama llll",
+        "AND THE the then",
+        "",
+        "a",
+        "x!y?z  mixed-CASE punctuation,,,",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            bpe_token_count(F.col("text"), merges).alias("n"),
+            bpe_tokens(F.col("text"), merges).alias("toks"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expected_words = _py_bpe_apply(t, merges)
+        expected_toks = [tok for w in expected_words for tok in w]
+        assert rows[i]["n"] == len(expected_toks), t
+        assert rows[i]["toks"] == expected_toks, t
+
+
+def test_bpe_consecutive_repeats_merge_left_to_right(spark):
+    from quackosm_spark.operators.text import bpe_tokens
+
+    docs = spark.createDataFrame([(0, "aaaa aaa")], "doc_id long, text string")
+    toks = docs.select(
+        bpe_tokens(F.col("text"), [("a", "a")]).alias("t")
+    ).collect()[0]["t"]
+    assert toks == ["aa", "aa", "aa", "a"]
+
+
+def test_assign_token_shards_matches_global_window(spark):
+    from quackosm_spark.operators.mix import assign_token_shards
+
+    rng_texts = [
+        (i, "tok " * ((i * 37) % 90 + 1)) for i in range(0, 400, 3)
+    ]
+    docs = spark.createDataFrame(rng_texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in assign_token_shards(
+            docs, target_tokens=500, num_buckets=7
+        ).collect()
+    }
+    # independent oracle: the single global window
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from quackosm_spark.operators.text import token_count
+
+    expect = {
+        r["doc_id"]: (r["n"], r["shard"])
+        for r in docs.withColumn("n", token_count("text").cast("bigint"))
+        .withColumn(
+            "shard",
+            F.floor((F.sum("n").over(w) - F.col("n")) / F.lit(500)).cast(
+                "bigint"
+            ),
+        )
+        .collect()
+    }
+    assert got == expect
+    # shards are contiguous in id order and sized ~target
+    shards = sorted({v[1] for v in got.values()})
+    assert shards == list(range(len(shards)))
+
+
+def test_assign_token_shards_empty_input(spark):
+    from quackosm_spark.operators.mix import assign_token_shards
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert assign_token_shards(docs, target_tokens=100).count() == 0
