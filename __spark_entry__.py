@@ -1561,6 +1561,44 @@ def q90_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "shard_id")
 
 
+def q91_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators/text.
+    source_overlap_matrix): distinct (source, digest) → digest-co-keyed
+    self-join (fan-out bounded by the source count) → pair aggregate with
+    Jaccard. The synthetic corpus has no natural cross-source dupes, so
+    the query derives one deterministically: every doc_id % 5 == 0 doc is
+    re-attributed to the NEXT source id — the known overlap the oracle
+    replicates."""
+    docs = _t(spark, sf_dir, "documents")
+    shifted = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "source",
+        F.concat(
+            F.lit("src"),
+            ((F.substring("source", 4, 10).cast("int") + 1) % 20).cast(
+                "string"
+            ),
+        ),
+    )
+    corpus = docs.unionByName(shifted)
+    return T.source_overlap_matrix(corpus)
+
+
+def q92_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit (operators/text.oov_rate): top-500 corpus
+    vocabulary (count DESC, token ASC tie-break) broadcast against every
+    document's token stream; per-doc OOV fraction."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    return T.oov_rate(docs, vocab_size=500)
+
+
+def q93_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram LM quality signal (operators/text.
+    bigram_logprob, add-1 smoothing): scan-stage bigram construction,
+    two count shuffles, co-keyed score join — avg ln P(w|prev) per doc."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    return T.bigram_logprob(docs, k=1.0)
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -1626,13 +1664,13 @@ _DRIVER_PRIORITY = [
     "q49_ivf_fullprobe", "q50_bm25_search",
     # new this round
     "q87_relation_makevalid", "q88_relation_union_holes",
-    "q89_bpe_tokens", "q90_token_shards",
+    "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
+    "q92_oov_rate", "q93_bigram_logprob",
     # kernels changed this round (repair wrapper rework) — re-verify
     "q83_makevalid", "q84_relation_union",
     # flagships filling the window
     "q01_pricing_summary", "q14_way_assembly", "q17_ngram_jaccard",
-    "q18_minhash_lsh", "q20_ann_topk",
-    "q33_drop_exact_duplicates", "q44_asof_previous_event",
+    "q18_minhash_lsh",
 ]
 
 
@@ -1734,6 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_relation_union_holes": q88_relation_union_holes,
         "q89_bpe_tokens": q89_bpe_tokens,
         "q90_token_shards": q90_token_shards,
+        "q91_source_overlap": q91_source_overlap,
+        "q92_oov_rate": q92_oov_rate,
+        "q93_bigram_logprob": q93_bigram_logprob,
     })
 
 
@@ -2889,6 +2930,88 @@ def oracle_sql() -> dict[str, str]:
                                      ROWS UNBOUNDED PRECEDING) - n_tokens)
                 // {_Q90_TARGET_TOKENS})::BIGINT AS shard_id
         FROM t
+    """
+    out["q91_source_overlap"] = """
+        WITH corpus AS (
+            SELECT source, text FROM documents
+            UNION ALL
+            SELECT 'src' || ((substr(source, 4)::INT + 1) % 20) AS source,
+                   text
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        d AS (
+            SELECT DISTINCT source AS src,
+                   sha256(lower(trim(text))) AS digest
+            FROM corpus
+        ),
+        sizes AS (SELECT src, count(*) AS n FROM d GROUP BY src),
+        shared AS (
+            SELECT a.src AS source_a, b.src AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM d a JOIN d b ON a.digest = b.digest AND a.src < b.src
+            GROUP BY a.src, b.src
+        )
+        SELECT s.source_a, s.source_b, s.n_shared,
+               sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+               round(s.n_shared / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+        FROM shared s
+        JOIN sizes sa ON s.source_a = sa.src
+        JOIN sizes sb ON s.source_b = sb.src
+    """
+    out["q92_oov_rate"] = """
+        WITH words AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS w
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        vocab AS (
+            SELECT w FROM words GROUP BY w
+            ORDER BY count(*) DESC, w ASC LIMIT 500
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+               round(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6) AS oov_frac
+        FROM words LEFT JOIN vocab ON words.w = vocab.w
+        GROUP BY doc_id
+    """
+    out["q93_bigram_logprob"] = """
+        WITH t AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x <> '') AS toks
+            FROM documents WHERE doc_id % 4 = 1
+        ),
+        d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        bg AS (
+            SELECT doc_id,
+                   toks[i] AS a, toks[i + 1] AS b
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks))) AS i
+                  FROM d)
+        ),
+        pair_counts AS (
+            SELECT a, b, count(*)::DOUBLE AS c_ab FROM bg GROUP BY a, b
+        ),
+        prefix_counts AS (
+            SELECT a, count(*)::DOUBLE AS c_a FROM bg GROUP BY a
+        ),
+        v AS (
+            SELECT count(DISTINCT w)::DOUBLE AS vs
+            FROM (SELECT unnest(toks) AS w FROM t)
+        )
+        SELECT bg.doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               round(avg(ln((pc.c_ab + 1.0) / (fc.c_a + v.vs))), 4)
+                   AS avg_logprob
+        FROM bg
+        JOIN pair_counts pc ON bg.a = pc.a AND bg.b = pc.b
+        JOIN prefix_counts fc ON bg.a = fc.a
+        CROSS JOIN v
+        GROUP BY bg.doc_id
     """
     out["q86_repeated_spans"] = """
         WITH w AS (

@@ -589,3 +589,183 @@ def bpe_token_count_sql(
 ) -> str:
     s = bpe_apply_sql(text_expr, merges)
     return f"(length({s}) - length(replace({s}, '<', '')))::BIGINT"
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained BIGRAM LM score with add-k smoothing — the CCNet-
+    style perplexity signal one order up from ``unigram_logprob``:
+    avg ln P(w_i | w_{i-1}) per document, P = (C(a,b)+k) / (C(a·)+k·V)
+    with V the corpus unigram vocabulary size and C(a·) the count of ``a``
+    as a bigram PREFIX. Returns (doc_id, n_bigrams, avg_logprob); docs
+    with fewer than 2 tokens emit no row.
+
+    Scale shape: tokenization + bigram construction are scan-stage Column
+    ops (``slice``+``arrays_zip`` — no Python); C(a,b) and C(a·) are two
+    count shuffles over the bigram stream; the score join is co-keyed on
+    the bigram, so nothing funnels through the driver except the two
+    scalar totals (V). Bigram tables of natural corpora are sublinear in
+    corpus size; at web scale the same plan works with the broadcast hint
+    dropped (plain shuffle join).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("a"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("b"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+
+    pair_counts = bigrams.groupBy("a", "b").agg(
+        F.count("*").cast("double").alias("c_ab")
+    )
+    prefix_counts = bigrams.groupBy("a").agg(
+        F.count("*").cast("double").alias("c_a")
+    )
+    vocab_size = float(
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("w")
+        )
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+        or 0
+    )
+    return (
+        bigrams.join(pair_counts, ["a", "b"])
+        .join(F.broadcast(prefix_counts), "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c_ab") + F.lit(k))
+                        / (F.col("c_a") + F.lit(k) * F.lit(vocab_size))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination audit: for every unordered source pair,
+    how many DISTINCT normalized-content digests appear in both, plus the
+    Jaccard overlap of the two digest sets. The corpus-mixing sanity check
+    run before weighting sources (a shared crawl snapshot shows up as a
+    high-Jaccard pair). Returns (source_a, source_b, n_shared, n_a, n_b,
+    jaccard) with source_a < source_b.
+
+    Scale shape: one distinct over (source, digest), a self-join CO-KEYED
+    on digest (per-digest fan-out bounded by the number of sources, which
+    is tiny), and a pair-count aggregate. No driver-side data, no
+    all-pairs document join.
+    """
+    digests = docs.select(
+        F.col(source_col).alias("src"),
+        F.sha2(F.lower(F.trim(F.col(text_col))), 256).alias("digest"),
+    ).distinct()
+    sizes = digests.groupBy("src").agg(F.count("*").alias("n"))
+    a = digests.alias("a")
+    b = digests.alias("b")
+    shared = (
+        a.join(b, "digest")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("src", "source_a")
+                        .withColumnRenamed("n", "n_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("src", "source_b")
+                        .withColumnRenamed("n", "n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus's own top-K vocabulary —
+    the tokenizer-coverage signal: build the top-``vocab_size`` tokens by
+    corpus frequency (deterministic tie-break: count DESC, token ASC),
+    then score each document's fraction of tokens outside it. Returns
+    (doc_id, n_tokens, n_oov, oov_frac); empty docs emit no row.
+
+    Scale shape: vocabulary = one count shuffle + a driver-free top-K
+    (orderBy+limit on the tiny aggregated table); scoring = explode +
+    broadcast left-join + per-doc aggregate. The vocab table is K rows by
+    construction, so the broadcast never grows with the corpus.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(int(vocab_size))
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )

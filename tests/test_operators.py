@@ -893,3 +893,86 @@ def test_assign_token_shards_empty_input(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert assign_token_shards(docs, target_tokens=100).count() == 0
+
+
+# --------------------------------------------------------------------------
+# r03: corpus-audit operators — source overlap, OOV rate, bigram LM
+# --------------------------------------------------------------------------
+
+def test_source_overlap_matrix_counts_and_jaccard(spark):
+    from quackosm_spark.operators.text import source_overlap_matrix
+
+    rows = [
+        (0, "shared one", "A"), (1, "shared two", "A"), (2, "only a", "A"),
+        (3, "shared one", "B"), (4, "shared two", "B"), (5, "only b", "B"),
+        (6, "shared one", "C"),
+        # duplicate within a source must not inflate the distinct count
+        (7, "shared one", "A"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert got[("A", "B")]["n_shared"] == 2
+    assert got[("A", "B")]["n_a"] == 3 and got[("A", "B")]["n_b"] == 3
+    assert got[("A", "B")]["jaccard"] == pytest.approx(2 / 4)
+    assert got[("A", "C")]["n_shared"] == 1
+    assert got[("B", "C")]["n_shared"] == 1
+    assert len(got) == 3
+
+
+def test_oov_rate_against_topk_vocab(spark):
+    from quackosm_spark.operators.text import oov_rate
+
+    # corpus: 'hot' appears 5x, 'warm' 3x, everything else once
+    rows = [
+        (0, "hot hot warm rare1"),
+        (1, "hot warm rare2 rare3"),
+        (2, "hot hot warm"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in oov_rate(docs, vocab_size=2).collect()
+    }
+    # vocab = {hot, warm}; doc 0: 4 tokens 1 oov; doc 1: 4 tokens 2 oov
+    assert (got[0]["n_tokens"], got[0]["n_oov"]) == (4, 1)
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 2)
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 0)
+    assert got[1]["oov_frac"] == pytest.approx(0.5)
+
+
+def test_oov_rate_tie_break_deterministic(spark):
+    from quackosm_spark.operators.text import oov_rate
+
+    # all tokens tie at count 1 → vocab = lexicographically first K
+    docs = spark.createDataFrame(
+        [(0, "delta alpha charlie bravo")], "doc_id long, text string"
+    )
+    r = oov_rate(docs, vocab_size=2).collect()[0]
+    # vocab = {alpha, bravo}; charlie/delta are OOV
+    assert (r["n_tokens"], r["n_oov"]) == (4, 2)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from quackosm_spark.operators.text import bigram_logprob
+
+    # corpus: "a b a b" and "a b"; vocab V = 2
+    # bigrams: (a,b)x3, (b,a)x1 ; C(a.)=3, C(b.)=1
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(docs, k=1.0).collect()}
+    # V counts ALL tokens incl. the short doc's: {a, b, solo} → 3
+    v = 3.0
+    p_ab = (3 + 1) / (3 + v)
+    p_ba = (1 + 1) / (1 + v)
+    exp0 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    exp1 = round(math.log(p_ab), 4)
+    assert got[0]["n_bigrams"] == 3
+    assert got[0]["avg_logprob"] == pytest.approx(exp0)
+    assert got[1]["avg_logprob"] == pytest.approx(exp1)
+    assert 2 not in got  # <2 tokens emits no row
