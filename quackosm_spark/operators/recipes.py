@@ -8,7 +8,8 @@ shuffles and the mixture window — materialize):
     exact dedup (q16/q33) → near-dup removal (q18 candidates, exact-jaccard
     verified, → q37 clusters) → quality/PII/language filter (q21/q38/q39) →
     benchmark decontamination (q42) → token-budget mixture (q47) →
-    sequence packing (q40)
+    sequence packing (q40) → token-budget shard manifest (q90, optionally
+    counting tokens with a real BPE merge table, q89)
 
 Every stage is optional; ``curate_corpus`` returns the curated DataFrame
 plus a per-stage surviving-row report. With report=True each stage is
@@ -40,6 +41,8 @@ def curate_corpus(
     budgets: dict[str, int] | None = None,
     default_budget: int = 10_000,
     pack_capacity: int | None = None,
+    shard_target_tokens: int | None = None,
+    bpe_merges: list | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the curation chain; returns (curated_df, stage_report).
@@ -47,7 +50,11 @@ def curate_corpus(
     ``benchmark``: held-out eval docs whose word 5-grams must not leak into
     training (drops any doc sharing one). ``budgets``: per-source token caps
     (see mix.budget_sample). ``pack_capacity``: when set, append (stream,
-    bin) packing slots instead of dropping columns.
+    bin) packing slots instead of dropping columns. ``shard_target_tokens``:
+    when set, append the writer's shard manifest (contiguous ~N-token
+    shards in id order, mix.assign_token_shards); with ``bpe_merges`` the
+    token counts come from the real BPE chain (text.bpe_token_count)
+    instead of whitespace counting.
     """
     stages: dict[str, int] = {}
     _cached: list[DataFrame] = []
@@ -115,5 +122,20 @@ def curate_corpus(
     # 6. sequence packing
     if pack_capacity is not None:
         out = _note("packed", X.pack_sequences(out, capacity=pack_capacity))
+
+    # 7. token-budget shard manifest for the dataset writer
+    if shard_target_tokens is not None:
+        tokens_col = None
+        if bpe_merges is not None:
+            out = out.withColumn(
+                "n_tokens", T.bpe_token_count(F.col(text_col), bpe_merges)
+            )
+            tokens_col = "n_tokens"
+        out = _note(
+            "sharded",
+            X.assign_token_shards(
+                out, id_col, tokens_col, target_tokens=shard_target_tokens
+            ),
+        )
 
     return out, stages

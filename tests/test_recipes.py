@@ -77,3 +77,36 @@ def test_verified_near_dedup_keeps_dissimilar_collisions(spark):
     kept = {(r.doc_a, r.doc_b): r.jaccard
             for r in verify_candidate_pairs(docs, pairs, min_jaccard=0.8).collect()}
     assert kept == {(1, 2): 1.0}  # false collision filtered out
+
+
+def test_curate_corpus_shard_manifest_stage(spark):
+    """r03: stage 7 appends the writer's shard manifest; with a BPE merge
+    table the token counts come from the real merge chain."""
+    from quackosm_spark.operators.text import bpe_token_count
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = [("e", "r"), ("i", "n"), ("t", "h")]
+    out, report = curate_corpus(
+        docs,
+        near_dup=False,
+        shard_target_tokens=5_000,
+        bpe_merges=merges,
+    )
+    assert list(report) == ["input", "exact_dedup", "quality", "sharded"]
+    assert report["sharded"] == report["quality"]
+    rows = out.select("doc_id", "n_tokens", "shard_id").collect()
+    # shard ids contiguous from 0; docs contiguous in id order per shard
+    shard_ids = sorted({r["shard_id"] for r in rows})
+    assert shard_ids == list(range(len(shard_ids)))
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    assert [r["shard_id"] for r in by_id] == sorted(
+        r["shard_id"] for r in by_id
+    )
+    # n_tokens really is the BPE count
+    expect = {
+        r["doc_id"]: r["n"]
+        for r in out.select(
+            "doc_id", bpe_token_count(F.col("text"), merges).alias("n")
+        ).collect()
+    }
+    assert all(r["n_tokens"] == expect[r["doc_id"]] for r in rows)
