@@ -198,3 +198,97 @@ def test_prefix_jaccard_matches_bruteforce(spark, seed, threshold):
         for r in prefix_jaccard_pairs(df, threshold=threshold).collect()
     }
     assert got == pytest.approx(expected)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_bpe_tokens_match_python_reference_random(spark, seed):
+    """r03: the Column replace-chain BPE apply vs a per-word python BPE
+    on random corpora (merges trained on the same corpus)."""
+    import re
+
+    from quackosm_spark.operators.text import (
+        _BPE_NORMALIZE_RE,
+        bpe_tokens,
+        train_bpe_merges,
+    )
+
+    docs_rows = _random_docs(seed, n=40)
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    merges = train_bpe_merges(docs, n_merges=12, order_col="doc_id")
+
+    def py_apply(text):
+        norm = re.sub(_BPE_NORMALIZE_RE, " ", (text or "").lower())
+        toks_all = []
+        for w in norm.split():
+            toks = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            toks_all.extend(toks)
+        return toks_all
+
+    got = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", bpe_tokens(F.col("text"), merges).alias("t")
+        ).collect()
+    }
+    for doc_id, text in docs_rows:
+        assert got[doc_id] == py_apply(text), (doc_id, text)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_oov_and_bigram_match_bruteforce(spark, seed):
+    import collections
+
+    from quackosm_spark.operators.text import bigram_logprob, oov_rate
+
+    docs_rows = _random_docs(seed, n=50)
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+
+    toks = {i: t.split() for i, t in docs_rows}
+    counts = collections.Counter(w for ws in toks.values() for w in ws)
+    vocab = {
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"])
+        for r in oov_rate(docs, vocab_size=4).collect()
+    }
+    for i, ws in toks.items():
+        if not ws:
+            assert i not in got
+            continue
+        assert got[i] == (len(ws), sum(1 for w in ws if w not in vocab)), i
+
+    bigrams = collections.Counter()
+    prefixes = collections.Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+            prefixes[a] += 1
+    v = len(counts)
+    got_bg = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob(docs, k=1.0).collect()
+    }
+    for i, ws in toks.items():
+        if len(ws) < 2:
+            assert i not in got_bg
+            continue
+        logs = [
+            math.log((bigrams[(a, b)] + 1.0) / (prefixes[a] + v))
+            for a, b in zip(ws, ws[1:])
+        ]
+        assert got_bg[i][0] == len(logs)
+        assert got_bg[i][1] == pytest.approx(
+            round(sum(logs) / len(logs), 4), abs=1e-4
+        ), i
