@@ -1599,6 +1599,19 @@ def q93_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_logprob(docs, k=1.0)
 
 
+def q94_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding near-dup via block-pair GEMM (operators/dedup.
+    embedding_near_duplicates_blocked) — the scale route that retires the
+    q19 all-pairs theta-join baseline: O(n·B) replicated rows instead of
+    O(n²) pair rows, BLAS-scored blocks, sequential-fold re-score for
+    bit-parity. Same inputs and oracle as q19 — the outputs must be
+    identical."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return D.embedding_near_duplicates_blocked(
+        emb, threshold=0.3, num_blocks=8
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -1665,12 +1678,11 @@ _DRIVER_PRIORITY = [
     # new this round
     "q87_relation_makevalid", "q88_relation_union_holes",
     "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
-    "q92_oov_rate", "q93_bigram_logprob",
+    "q92_oov_rate", "q93_bigram_logprob", "q94_embedding_neardup_blocked",
     # kernels changed this round (repair wrapper rework) — re-verify
     "q83_makevalid", "q84_relation_union",
     # flagships filling the window
     "q01_pricing_summary", "q14_way_assembly", "q17_ngram_jaccard",
-    "q18_minhash_lsh",
 ]
 
 
@@ -1775,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_source_overlap": q91_source_overlap,
         "q92_oov_rate": q92_oov_rate,
         "q93_bigram_logprob": q93_bigram_logprob,
+        "q94_embedding_neardup_blocked": q94_embedding_neardup_blocked,
     })
 
 
@@ -2856,6 +2869,9 @@ def oracle_sql() -> dict[str, str]:
     # q76 routes q42's decontamination through the bloom prefilter — the
     # bloom must be invisible, so it shares q42's oracle verbatim.
     out["q76_bloom_decontamination"] = out["q42_decontamination"]
+    # q94 routes q19's all-pairs semantics through the block-pair GEMM —
+    # the blocking must be invisible, so it shares q19's oracle verbatim.
+    out["q94_embedding_neardup_blocked"] = out["q19_embedding_neardup"]
     out["q83_makevalid"] = """
         SELECT event_id,
                (event_id % 2 = 0) AS bowtie,

@@ -490,7 +490,9 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold. Brute-force pair join — the
-    correctness baseline; use similarity.lsh_buckets to pre-bucket at scale.
+    correctness baseline. Scale routes: ``embedding_near_duplicates_blocked``
+    (EXACT, block-pair GEMM, bit-identical output) or approximate
+    pre-bucketing (similarity.lsh_buckets / SemDeDup clustering).
     Returns (id_a, id_b, cosine)."""
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
@@ -932,4 +934,105 @@ def dedup_against_corpus(
         .withColumn("digest", digest)
         .join(existing_digests, "digest", "left_anti")
         .drop("digest")
+    )
+
+
+def embedding_near_duplicates_blocked(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_blocks: int = 16,
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs — the scale route for the
+    ``embedding_near_duplicates`` baseline with IDENTICAL output: vectors
+    are hashed into ``num_blocks`` groups, every unordered block pair
+    becomes ONE task (each row is replicated exactly ``num_blocks`` times
+    — O(n·B) rows moved instead of the O(n²) pair rows the theta-join
+    materializes), and each task scores its pair of blocks with a float64
+    GEMM. Candidates within a safety margin of the threshold are re-scored
+    with the same sequential left-fold ``cosine_similarity`` uses, so the
+    emitted 6-decimal cosines are bit-identical to the baseline's.
+
+    Work is still O(n²·dim) — exactness costs that — but it runs as
+    B·(B+1)/2 independent BLAS tasks with bounded memory instead of one
+    nested-loop join, and B tunes task granularity to the cluster.
+    Returns (id_a, id_b, cosine ≥ threshold).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+    thr = float(threshold)
+    margin = 1e-6
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = int(pdf["lo"].iloc[0])
+        hi = int(pdf["hi"].iloc[0])
+        a_rows = pdf[pdf["g"] == lo]
+        b_rows = pdf[pdf["g"] == hi] if hi != lo else a_rows
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ma = np.asarray(a_rows["v"].tolist(), dtype=np.float64)
+        mb = np.asarray(b_rows["v"].tolist(), dtype=np.float64)
+        ids_a = a_rows["vid"].to_numpy()
+        ids_b = b_rows["vid"].to_numpy()
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1))
+        sims = (ma @ mb.T) / np.outer(na, nb)
+        ii, jj = np.nonzero(sims >= thr - margin)
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(ii, jj):
+            va, vb = ids_a[i], ids_b[j]
+            if va == vb:
+                continue
+            # bit-parity re-score: sequential left folds exactly like the
+            # Column-side aggregate(zip_with(...)) baseline
+            xa, xb = ma[i], mb[j]
+            dot = 0.0
+            sa = 0.0
+            sb = 0.0
+            for k in range(xa.shape[0]):
+                dot = dot + float(xa[k]) * float(xb[k])
+                sa = sa + float(xa[k]) * float(xa[k])
+                sb = sb + float(xb[k]) * float(xb[k])
+            cos = round(dot / (math.sqrt(sa) * math.sqrt(sb)), 6)
+            if cos >= thr:
+                out_a.append(int(min(va, vb)))
+                out_b.append(int(max(va, vb)))
+                out_c.append(cos)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    b_lit = int(num_blocks)
+    d = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.col(id_col), F.lit(b_lit)).alias("g"),
+    )
+    tasks = (
+        d.withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(b_lit - 1))))
+        .withColumn("lo", F.least("g", "h"))
+        .withColumn("hi", F.greatest("g", "h"))
+        .where((F.col("g") == F.col("lo")) | (F.col("g") == F.col("hi")))
+        .drop("h")
+    )
+    return (
+        tasks.groupBy("lo", "hi")
+        .applyInPandas(_score, schema=out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )

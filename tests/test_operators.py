@@ -976,3 +976,25 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[0]["avg_logprob"] == pytest.approx(exp0)
     assert got[1]["avg_logprob"] == pytest.approx(exp1)
     assert 2 not in got  # <2 tokens emits no row
+
+
+def test_embedding_neardup_blocked_bit_matches_baseline(spark):
+    """r03: the block-pair GEMM exact route must emit EXACTLY the
+    baseline theta-join's pairs and 6-decimal cosines, at any block
+    count (incl. B=1 single task and B > n degenerate blocks)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where("vec_id < 120")
+    base = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in D.embedding_near_duplicates(emb, threshold=0.3).collect()
+    )
+    assert base
+    for b in (1, 7, 200):
+        blk = sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in D.embedding_near_duplicates_blocked(
+                emb, threshold=0.3, num_blocks=b
+            ).collect()
+        )
+        assert blk == base, f"num_blocks={b}"
