@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--budgets", help='Per-source token budgets as JSON, e.g. \'{"web": 1000000}\'')
     p.add_argument("--default-budget", type=int, default=10_000)
     p.add_argument("--pack-capacity", type=int, help="Sequence-packing token capacity")
+    p.add_argument("--shard-target-tokens", type=int,
+                   help="Append the writer's shard manifest: contiguous "
+                        "~N-token shards in id order (mix.assign_token_shards)")
+    p.add_argument("--bpe-merges", type=int, metavar="N",
+                   help="Count shard tokens with a real BPE merge table of "
+                        "N merges, trained on the corpus sample "
+                        "(text.train_bpe_merges) instead of whitespace")
     p.add_argument("--no-report", dest="report", action="store_false",
                    help="Skip per-stage counts (one less action per stage; use at scale)")
     return p
@@ -50,6 +57,14 @@ def main(argv: Optional[list[str]] = None) -> str:
     docs = spark.read.parquet(args.corpus)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
     budgets = json.loads(args.budgets) if args.budgets else None
+    merges = None
+    if args.bpe_merges:
+        from quackosm_spark.operators.text import train_bpe_merges
+
+        merges = train_bpe_merges(
+            docs, text_col=args.text_col, n_merges=args.bpe_merges,
+            order_col=args.id_col,
+        )
 
     curated, report = curate_corpus(
         docs,
@@ -64,6 +79,8 @@ def main(argv: Optional[list[str]] = None) -> str:
         budgets=budgets,
         default_budget=args.default_budget,
         pack_capacity=args.pack_capacity,
+        shard_target_tokens=args.shard_target_tokens,
+        bpe_merges=merges,
         report=args.report,
     )
     curated.write.mode("overwrite").option("compression", "zstd").parquet(args.output)

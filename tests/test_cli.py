@@ -196,6 +196,28 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert "text" in curated.columns
 
 
+def test_curate_cli_shard_manifest_with_bpe(spark, tmp_path, capsys):
+    from quackosm_spark.curate_cli import main as curate_main
+
+    out = str(tmp_path / "curated_sharded")
+    result = curate_main([
+        "/root/testdata/sf0.001/documents.parquet",
+        "-o", out,
+        "--no-near-dup",
+        "--min-tokens", "3",
+        "--shard-target-tokens", "5000",
+        "--bpe-merges", "8",
+    ])
+    assert result == out
+    assert "sharded:" in capsys.readouterr().out
+    curated = spark.read.parquet(out)
+    assert {"shard_id", "n_tokens"} <= set(curated.columns)
+    shard_ids = sorted(
+        r["shard_id"] for r in curated.select("shard_id").distinct().collect()
+    )
+    assert shard_ids == list(range(len(shard_ids)))
+
+
 def test_cli_extract_query_with_source_registry(tmp_path):
     """`--osm-extract-query monaco --osm-extract-source Geofabrik
     --extracts-index-dir <precalculated>` — the reference's everyday

@@ -399,3 +399,53 @@ class TestBooleanInvariants:
             assert diff == pytest.approx(area_a - inter, rel=1e-9, abs=1e-12), seed
             checked += 1
         assert checked == 40
+
+    def test_inclusion_exclusion_nonconvex_with_holes(self):
+        """r03: the identity must hold with HOLE-AWARE union area on
+        non-convex pairs where the union can enclose bounded complement
+        regions (random C-shapes × random convex blobs)."""
+        import numpy as np
+
+        def _poly_area(polys):
+            return sum(
+                R.ring_area(p[0]) - sum(R.ring_area(h) for h in p[1:])
+                for p in polys
+            )
+
+        def _cshape(rng):
+            # axis-aligned C: outer rect minus a bite from one side, as an
+            # explicit 8-vertex ring (jittered so crossings stay transversal)
+            x0, y0 = rng.uniform(-2, -1), rng.uniform(-2, -1)
+            w, h = rng.uniform(2.5, 4.0), rng.uniform(2.5, 4.0)
+            bx0 = x0 + rng.uniform(0.6, 0.9)
+            by0 = y0 + rng.uniform(0.6, 0.9)
+            by1 = y0 + h - rng.uniform(0.6, 0.9)
+            ring = [
+                [x0, y0], [x0 + w, y0], [x0 + w, by0], [bx0, by0],
+                [bx0, by1], [x0 + w, by1], [x0 + w, y0 + h], [x0, y0 + h],
+                [x0, y0],
+            ]
+            return ring
+
+        checked = 0
+        for seed in range(40):
+            rng = np.random.default_rng(1000 + seed)
+            a = _cshape(rng)
+            b = self._convex(
+                rng,
+                float(rng.uniform(-0.5, 1.5)),
+                float(rng.uniform(-0.5, 1.5)),
+                float(rng.uniform(0.8, 2.5)),
+            )
+            area_a = R.ring_area(a)
+            area_b = R.ring_area(b)
+            try:
+                union = _poly_area(R.polygon_union(a, b))
+                inter = sum(R.ring_area(r) for r in R.ring_intersection(a, b))
+            except Exception:
+                continue  # degenerate collinear pair outside the contract
+            assert union + inter == pytest.approx(
+                area_a + area_b, rel=1e-9
+            ), seed
+            checked += 1
+        assert checked >= 35
