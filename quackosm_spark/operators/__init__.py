@@ -5,12 +5,16 @@
                    segment-level, SemDeDup, edit-distance
 - ``similarity`` — brute-force / LSH-bucketed / IVF / GEMM-vectorized ANN
 - ``search``     — BM25 keyword scoring / top-k retrieval
-- ``text``       — language ID, quality scoring, token counting, fingerprinting,
-                   repetition ratio, PII detection/redaction, boilerplate n-grams
+- ``text``       — language ID, quality scoring, token counting (whitespace,
+                   BPE-ish estimate, and REAL sample-trained BPE), OOV rate,
+                   bigram LM logprob, cross-source overlap audit,
+                   fingerprinting, repetition ratio, PII detection/redaction,
+                   boilerplate n-grams
 - ``stats``      — corpus rollups (grouping sets), pivot cross-tabs, quality
                    deciles, HLL++ approximate distinct counts
 - ``mix``        — training-mix construction: sequence packing, deterministic /
-                   fixed-n sampling, token-budget mixtures
+                   fixed-n sampling, token-budget mixtures, token-budget
+                   shard manifests (two-pass parallel prefix sum)
 - ``temporal``   — as-of join, interval join, exact quantiles, lag/lead deltas,
                    latest-per-key, SCD-2 history, spike detection
 - ``skew``       — salted join / salted count-distinct

@@ -184,3 +184,16 @@ def test_ngram_jaccard_guarded_pins_candidate_parallelism(docs):
     plan = _plan(ngram_jaccard_pairs(docs, threshold=0.3, max_df=50))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan
+
+
+def test_assign_token_shards_no_global_sort(docs):
+    """r03: the shard manifest's running sum must be the two-pass parallel
+    prefix sum — one hash exchange on the range bucket and a PARTITIONED
+    window; a global (global=true) Sort would serialize the corpus."""
+    from quackosm_spark.operators.mix import assign_token_shards
+
+    plan = assign_token_shards(
+        docs, target_tokens=1000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "global=true" not in plan
+    assert "windowspecdefinition(_bucket" in plan
