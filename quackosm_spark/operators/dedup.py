@@ -999,7 +999,13 @@ def embedding_near_duplicates_blocked(
         out_a, out_b, out_c = [], [], []
         for i, j in zip(ii, jj):
             va, vb = ids_a[i], ids_b[j]
-            if va == vb:
+            # same-block tasks see each unordered pair twice ((i,j) and
+            # (j,i)) — keep one side here instead of paying a
+            # dropDuplicates shuffle over the whole output
+            if lo == hi:
+                if va >= vb:
+                    continue
+            elif va == vb:
                 continue
             # bit-parity re-score: sequential left folds exactly like the
             # Column-side aggregate(zip_with(...)) baseline
@@ -1031,8 +1037,7 @@ def embedding_near_duplicates_blocked(
         .where((F.col("g") == F.col("lo")) | (F.col("g") == F.col("hi")))
         .drop("h")
     )
-    return (
-        tasks.groupBy("lo", "hi")
-        .applyInPandas(_score, schema=out_schema)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # every unordered pair is produced by exactly ONE task (cross-block
+    # pairs live only in their (lo, hi) task; same-block pairs are halved
+    # in the kernel), so no dedup shuffle is needed on the output
+    return tasks.groupBy("lo", "hi").applyInPandas(_score, schema=out_schema)
