@@ -216,3 +216,52 @@ def test_explode_tags_default_rule():
     assert PbfPipelineOptions(
         tags_filter={"building": True}, explode_tags=True, keep_all_tags=True
     ).resolve_explode_tags()
+
+
+def test_relation_mixed_degenerate_geometrycollection(spark, tmp_path):
+    """r03 (SURVEY §1.3): a multipolygon relation mixing a real polygon
+    part with a collinear zero-area part emits GeometryCollection —
+    end-to-end through build_features AND the GeoParquet sink footer."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from quackosm_spark.sinks.geoparquet import write_geoparquet
+
+    def node(i, lat, lon):
+        return ("node", i, None, None, None, None, lat, lon)
+
+    def way(i, refs):
+        return ("way", i, None, refs, ["node"] * len(refs), None, None, None)
+
+    rows = [
+        node(1, 0.0, 0.0), node(2, 0.0, 1.0), node(3, 1.0, 1.0),
+        node(4, 1.0, 0.0),
+        node(5, 5.0, 5.0), node(6, 5.0, 6.0), node(7, 5.0, 7.0),
+        way(10, [1, 2, 3, 4, 1]),
+        way(11, [5, 6, 7, 5]),  # closed, 4 distinct, zero area (collinear)
+        ("relation", 100, {"type": "multipolygon", "landuse": "x"},
+         [10, 11], ["way", "way"], ["outer", "outer"], None, None),
+    ]
+    elements = spark.createDataFrame(rows, ELEMENTS_SCHEMA)
+    feats = _features(spark, elements, tags_filter={"landuse": True})
+    geom = _geom(feats["relation/100"])
+    assert geom["type"] == "GeometryCollection"
+    assert [g["type"] for g in geom["geometries"]] == ["Polygon", "LineString"]
+    # the polygonal member is the square, vertex order preserved
+    assert geom["geometries"][0]["coordinates"][0][0] == [0.0, 0.0]
+
+    out = tmp_path / "gc"
+    write_geoparquet(
+        build_features(
+            spark, elements, PbfPipelineOptions(tags_filter={"landuse": True})
+        ),
+        out,
+    )
+    part = glob.glob(f"{out}/*.parquet")[0]
+    meta = json.loads(pq.read_schema(part).metadata[b"geo"])
+    assert meta["columns"]["geometry"]["geometry_types"] == [
+        "GeometryCollection"
+    ]
+    assert spark.read.parquet(str(out)).count() == 1
