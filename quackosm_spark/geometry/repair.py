@@ -266,25 +266,33 @@ def _planarize_ring(ring: Ring) -> Ring:
 
 def _faces_from_walk(walk: Ring) -> list[Ring]:
     """Extract the bounded faces of the planar graph induced by a closed
-    walk (nodes = distinct points, edges = consecutive pairs).
+    walk (nodes = distinct points, edges = consecutive pairs). Retraced
+    segments (the same undirected edge walked twice) dissolve in the
+    undirected edge set."""
+    segs = []
+    n = len(walk)
+    for i in range(n):
+        segs.append((walk[i], walk[(i + 1) % n]))
+    return _faces_from_segments(segs)
+
+
+def _faces_from_segments(segs: list[tuple[list[float], list[float]]]) -> list[Ring]:
+    """Bounded faces of the planar graph induced by a NODED segment list
+    (segments may only meet at endpoints).
 
     Standard rotation-system face traversal: outgoing edges at every node
     are angle-sorted; the successor of directed edge (a→b) is (b→c) with c
     the clockwise-next neighbor of b after a. Interleaved crossings (a
     pentagram's walk) decompose correctly — a repeat-vertex stack method
-    does not. Retraced segments (the same undirected edge walked twice)
-    are outside the contract, like GEOS's linework noding they would need
-    dissolving first."""
+    does not. Duplicate undirected segments dissolve in the edge set."""
     pts: dict[tuple[float, float], list[float]] = {}
     edges: set[tuple[tuple[float, float], tuple[float, float]]] = set()
-    keys = [_key(p) for p in walk]
-    n = len(walk)
-    for i in range(n):
-        a, b = keys[i], keys[(i + 1) % n]
+    for p, q in segs:
+        a, b = _key(p), _key(q)
         if a == b:
             continue
-        pts[a] = walk[i]
-        pts[b] = walk[(i + 1) % n]
+        pts[a] = list(p)
+        pts[b] = list(q)
         edges.add((a, b))
         edges.add((b, a))
     adj: dict[tuple[float, float], list[tuple[float, float]]] = {}
@@ -343,6 +351,217 @@ def _interior_probe(loop: Ring, others: list[Ring]) -> Optional[list[float]]:
             if inside:
                 return [px, py]
     return None
+
+
+def _node_segments(
+    segs: list[tuple[list[float], list[float]]],
+) -> list[tuple[list[float], list[float]]]:
+    """Node a segment soup: split every segment at its transversal
+    crossings, T-junctions (another segment's endpoint in its interior),
+    and collinear-overlap points with every other segment — the GEOS
+    linework-noding step, so `_faces_from_segments`'s only-meet-at-
+    endpoints precondition holds."""
+    n = len(segs)
+    splits: dict[int, list[tuple[float, list[float]]]] = {}
+
+    def _add(idx: int, t: float, pt: list[float]) -> None:
+        if _EPS < t < 1 - _EPS:
+            splits.setdefault(idx, []).append((t, pt))
+
+    for i in range(n):
+        a1, a2 = segs[i]
+        for j in range(i + 1, n):
+            b1, b2 = segs[j]
+            co = _collinear_overlap_params(a1, a2, b1, b2)
+            if co is not None:
+                t1, t2 = co
+                _add(i, t1, list(b1))
+                _add(i, t2, list(b2))
+                ro = _collinear_overlap_params(b1, b2, a1, a2)
+                if ro is not None:
+                    u1, u2 = ro
+                    _add(j, u1, list(a1))
+                    _add(j, u2, list(a2))
+                continue
+            hit = _seg_intersection(a1, a2, b1, b2)
+            if hit is None:
+                continue
+            t, u, pt = hit
+            _add(i, t, pt)
+            _add(j, u, pt)
+    out: list[tuple[list[float], list[float]]] = []
+    for i, (p1, p2) in enumerate(segs):
+        chain = [p1]
+        for _t, pt in sorted(splits.get(i, []), key=lambda s: s[0]):
+            chain.append(pt)
+        chain.append(p2)
+        for k in range(len(chain) - 1):
+            if _key(chain[k]) != _key(chain[k + 1]):
+                out.append((chain[k], chain[k + 1]))
+    return out
+
+
+def overlay_union(a: Ring, b: Ring) -> list[list[Ring]]:
+    """Union of two simple rings via PLANAR OVERLAY — the robust fallback
+    for the degenerate configurations Greiner–Hormann's transversal
+    contract excludes: shared/collinear boundary runs, endpoint touches,
+    T-junctions. GEOS's union handles these by noding linework and
+    re-polygonizing; this does the same with the repo's own kernels:
+
+    node both rings' segments together → extract bounded faces of the
+    combined planar graph → keep faces whose interior is even-odd inside
+    A or inside B → dissolve edges shared by two kept faces → stitch the
+    remaining boundary into cycles → classify shells/holes by containment
+    depth. Returns ``[[shell, hole...], ...]`` (shells CCW, holes CW).
+    Raises ValueError when the boundary cannot be stitched into closed
+    cycles (a high-degree touch point) — callers fall back to unmerged
+    parts."""
+    from collections import Counter
+
+    from quackosm_spark.geometry.ops import linemerge
+
+    pa = _open(remove_repeated_points(a))
+    pb = _open(remove_repeated_points(b))
+    segs = [
+        (pa[i], pa[(i + 1) % len(pa)]) for i in range(len(pa))
+    ] + [
+        (pb[i], pb[(i + 1) % len(pb)]) for i in range(len(pb))
+    ]
+    noded = _node_segments(segs)
+    faces = _faces_from_segments(noded)
+    if not faces:
+        return []
+    arr_a = np.asarray(_close(pa), dtype=np.float64)
+    arr_b = np.asarray(_close(pb), dtype=np.float64)
+    kept: list[Ring] = []
+    for f in faces:
+        probe = _interior_probe(f, [])
+        if probe is None:
+            continue
+        if _point_in_ring(probe, arr_a) or _point_in_ring(probe, arr_b):
+            kept.append(f)
+    if not kept:
+        return []
+    # boundary = undirected noded edges used by exactly ONE kept face
+    usage: Counter = Counter()
+    for f in kept:
+        closed = _close(f)
+        for k in range(len(closed) - 1):
+            e = tuple(sorted((_key(closed[k]), _key(closed[k + 1]))))
+            usage[e] += 1
+    boundary_segs: list[Ring] = []
+    seen_pts: dict[tuple[float, float], list[float]] = {}
+    for f in kept:
+        closed = _close(f)
+        for k in range(len(closed) - 1):
+            seen_pts[_key(closed[k])] = list(closed[k])
+    for e, cnt in usage.items():
+        if cnt == 1:
+            boundary_segs.append([seen_pts[e[0]], seen_pts[e[1]]])
+    cycles = [c for c in linemerge(boundary_segs) if len(c) >= 3]
+    closed_cycles = []
+    for c in cycles:
+        if _key(c[0]) != _key(c[-1]):
+            raise ValueError("overlay boundary did not close")
+        closed_cycles.append(remove_repeated_points(c))
+    # classify by containment depth (same scheme as polygon_union)
+    arrs = [np.asarray(_close(c), dtype=np.float64) for c in closed_cycles]
+    probes = [_interior_probe(_open(c), []) for c in closed_cycles]
+    polys: list[list[Ring]] = []
+    shell_idx: list[int] = []
+    depth = []
+    for i, probe in enumerate(probes):
+        d = 0
+        if probe is not None:
+            d = sum(
+                1
+                for j, arr in enumerate(arrs)
+                if j != i and _point_in_ring(probe, arr)
+            )
+        depth.append(d)
+    for i, c in enumerate(closed_cycles):
+        if depth[i] % 2 == 0:
+            polys.append([_close(ensure_orientation(_open(c), ccw=True))])
+            shell_idx.append(i)
+    for i, c in enumerate(closed_cycles):
+        if depth[i] % 2 == 0:
+            continue
+        probe = probes[i]
+        if probe is None:
+            continue
+        if _point_in_ring(probe, arr_a) or _point_in_ring(probe, arr_b):
+            # covered region, not a hole: with DISCONNECTED noded graphs
+            # (nested rings) a contained component's cycle reads as
+            # depth-odd even though its interior belongs to the union
+            continue
+        containing = [
+            k
+            for k, si in enumerate(shell_idx)
+            if _point_in_ring(probe, arrs[si])
+        ]
+        if containing:
+            k = min(
+                containing, key=lambda k: ring_area(closed_cycles[shell_idx[k]])
+            )
+            polys[k].append(_close(ensure_orientation(_open(c), ccw=False)))
+    return polys
+
+
+def rings_share_boundary(a: Ring, b: Ring) -> bool:
+    """True iff the two rings have a collinear-overlapping edge pair (a
+    shared boundary run) — the degenerate adjacency Greiner–Hormann
+    cannot union; `overlay_union` can. Vectorized with the same fixed-
+    row-block scheme as ``rings_cross`` (bbox reject, O(block·K) peak
+    memory, early exit) — this runs on every outer-ring pair of every
+    multi-outer relation."""
+    pa = _open(remove_repeated_points(a))
+    pb = _open(remove_repeated_points(b))
+    arr_a = np.asarray(pa + [pa[0]], dtype=np.float64)
+    arr_b = np.asarray(pb + [pb[0]], dtype=np.float64)
+    if (
+        arr_a[:, 0].min() > arr_b[:, 0].max()
+        or arr_b[:, 0].min() > arr_a[:, 0].max()
+        or arr_a[:, 1].min() > arr_b[:, 1].max()
+        or arr_b[:, 1].min() > arr_a[:, 1].max()
+    ):
+        return False
+    p = arr_a[:-1]
+    r = arr_a[1:] - arr_a[:-1]
+    q1 = arr_b[:-1]
+    q2 = arr_b[1:]
+    n = p.shape[0]
+    rr_full = (r * r).sum(axis=1)
+    for blo in range(0, n, _SELF_INTERSECT_BLOCK):
+        bhi = min(blo + _SELF_INTERSECT_BLOCK, n)
+        pb_ = p[blo:bhi]
+        rb_ = r[blo:bhi]
+        rr = rr_full[blo:bhi][:, None]
+        d1x = q1[None, :, 0] - pb_[:, None, 0]
+        d1y = q1[None, :, 1] - pb_[:, None, 1]
+        d2x = q2[None, :, 0] - pb_[:, None, 0]
+        d2y = q2[None, :, 1] - pb_[:, None, 1]
+        c1 = rb_[:, None, 0] * d1y - rb_[:, None, 1] * d1x
+        c2 = rb_[:, None, 0] * d2y - rb_[:, None, 1] * d2x
+        scale = np.sqrt(rr) * (
+            np.abs(d1x) + np.abs(d1y) + np.abs(d2x) + np.abs(d2y)
+        ) + _EPS
+        collinear = (
+            (rr > _EPS)
+            & (np.abs(c1) <= 1e-9 * scale)
+            & (np.abs(c2) <= 1e-9 * scale)
+        )
+        if not collinear.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (d1x * rb_[:, None, 0] + d1y * rb_[:, None, 1]) / rr
+            t2 = (d2x * rb_[:, None, 0] + d2y * rb_[:, None, 1]) / rr
+        lo = np.minimum(t1, t2)
+        hi = np.maximum(t1, t2)
+        # require a genuine 1-D overlap, not a mere endpoint touch
+        overlap = np.minimum(hi, 1.0) - np.maximum(lo, 0.0) > 1e-9
+        if bool((collinear & overlap).any()):
+            return True
+    return False
 
 
 def make_valid_ring(ring: Ring) -> list[list[Ring]]:
@@ -728,6 +947,15 @@ def union_all_polygons(
                 if _shell_in_hole(b[0], a) or _shell_in_hole(a[0], b):
                     continue
                 merged = polygon_union(a[0], b[0])
+                if len(merged) != 1 and rings_share_boundary(a[0], b[0]):
+                    # shared-boundary adjacency: outside Greiner–Hormann's
+                    # transversal contract — the planar overlay merges it
+                    # (GEOS-union parity for relations whose outer ways
+                    # run along a common edge)
+                    try:
+                        merged = overlay_union(a[0], b[0])
+                    except Exception:
+                        merged = []
                 if len(merged) != 1:
                     continue
                 shell = merged[0][0]

@@ -561,6 +561,7 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
         make_valid_ring,
         ring_difference,
         rings_cross,
+        rings_share_boundary,
         union_all_polygons,
     )
 
@@ -621,6 +622,7 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
     # re-orient).
     if len(outers) > 1 and any(
         rings_cross(outers[i], outers[j])
+        or rings_share_boundary(outers[i], outers[j])
         for i in range(len(outers))
         for j in range(i + 1, len(outers))
     ):

@@ -449,3 +449,106 @@ class TestBooleanInvariants:
             ), seed
             checked += 1
         assert checked >= 35
+
+
+class TestOverlayUnion:
+    """r03: planar-overlay union — the robust fallback for the
+    shared/collinear-boundary configurations Greiner–Hormann's
+    transversal contract excludes (GEOS union parity for relations whose
+    outer ways run along a common edge)."""
+
+    def test_shared_full_edge_merges(self):
+        t1 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+        t2 = [[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]]
+        polys = R.overlay_union(t1, t2)
+        assert len(polys) == 1 and len(polys[0]) == 1
+        assert R.ring_area(polys[0][0]) == pytest.approx(2.0)
+
+    def test_shared_partial_edge_merges(self):
+        t1 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+        t3 = [[1, 0.25], [2, 0.25], [2, 0.75], [1, 0.75], [1, 0.25]]
+        polys = R.overlay_union(t1, t3)
+        assert len(polys) == 1
+        assert R.ring_area(polys[0][0]) == pytest.approx(1.5)
+
+    def test_corner_touch_stays_two_shells(self):
+        t4 = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+        t5 = [[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]]
+        polys = R.overlay_union(t4, t5)
+        assert len(polys) == 2
+
+    def test_nested_and_hole_cases_match_gh(self):
+        from quackosm_spark.geometry.ops import signed_area
+
+        def _net(polys):
+            return sum(
+                abs(signed_area(p[0]))
+                - sum(abs(signed_area(h)) for h in p[1:])
+                for p in polys
+            )
+
+        rect = [[0, 0], [4, 0], [4, 3], [0, 3], [0, 0]]
+        inner = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+        assert _net(R.overlay_union(rect, inner)) == pytest.approx(12.0)
+        bar = [[0, 0], [10, 0], [10, 2], [0, 2], [0, 0]]
+        nshape = [[1, 1], [3, 1], [3, 6], [7, 6], [7, 1], [9, 1],
+                  [9, 8], [1, 8], [1, 1]]
+        polys = R.overlay_union(bar, nshape)
+        assert len(polys) == 1 and len(polys[0]) == 2
+        assert _net(polys) == pytest.approx(52.0)
+
+    def test_differential_vs_greiner_hormann(self):
+        """On SIMPLE transversal pairs the overlay must agree with GH
+        exactly (same even-odd semantics, different machinery)."""
+        import numpy as np
+
+        from quackosm_spark.geometry.ops import signed_area
+
+        def _net(polys):
+            return sum(
+                abs(signed_area(p[0]))
+                - sum(abs(signed_area(h)) for h in p[1:])
+                for p in polys
+            )
+
+        checked = 0
+        for seed in range(40):
+            rng = np.random.default_rng(seed)
+            a = TestBooleanInvariants._convex(rng, 0.0, 0.0, 2.0)
+            b = TestBooleanInvariants._convex(
+                rng,
+                float(rng.uniform(-1.5, 1.5)),
+                float(rng.uniform(-1.5, 1.5)),
+                float(rng.uniform(0.5, 2.5)),
+            )
+            # the radial generator can emit self-crossing rings at
+            # near-equal angles — outside both kernels' input contract
+            if R.has_self_intersection(a) or R.has_self_intersection(b):
+                continue
+            gh = _net(R.polygon_union(a, b))
+            ov = _net(R.overlay_union(a, b))
+            assert ov == pytest.approx(gh, rel=1e-9), seed
+            checked += 1
+        assert checked >= 30
+
+    def test_union_all_merges_shared_edge_chain(self):
+        # three squares in a row sharing edges → one 3x1 rectangle
+        sqs = [
+            [[i, 0], [i + 1, 0], [i + 1, 1], [i, 1], [i, 0]]
+            for i in range(3)
+        ]
+        polys = R.union_all_polygons(sqs)
+        assert len(polys) == 1
+        assert R.ring_area(polys[0][0]) == pytest.approx(3.0)
+
+    def test_rings_share_boundary_detector(self):
+        t1 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+        t2 = [[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]]
+        t5 = [[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]]
+        assert R.rings_share_boundary(t1, t2)
+        assert not R.rings_share_boundary(t1, t5)  # disjoint
+        # transversal crossing is NOT shared boundary
+        assert not R.rings_share_boundary(
+            [[0, 0], [4, 0], [4, 3], [0, 3], [0, 0]],
+            [[2, 1], [6, 1], [6, 5], [2, 5], [2, 1]],
+        )
