@@ -416,6 +416,20 @@ def overlay_union(a: Ring, b: Ring) -> list[list[Ring]]:
     Raises ValueError when the boundary cannot be stitched into closed
     cycles (a high-degree touch point) — callers fall back to unmerged
     parts."""
+    return _overlay(a, b, "union")
+
+
+def overlay_difference(a: Ring, b: Ring) -> list[list[Ring]]:
+    """a − b via planar overlay (keep faces inside A and NOT inside B) —
+    the shared-boundary counterpart of ``ring_difference``, for a clip
+    whose boundary runs along the subject's (straddling inner member
+    sharing edges with the outer ring). Only meaningful when the two
+    boundaries intersect or share runs — the disconnected nested case is
+    the CALLER's hole-attachment path, as with ``ring_difference``."""
+    return _overlay(a, b, "difference")
+
+
+def _overlay(a: Ring, b: Ring, op: str) -> list[list[Ring]]:
     from collections import Counter
 
     from quackosm_spark.geometry.ops import linemerge
@@ -433,12 +447,22 @@ def overlay_union(a: Ring, b: Ring) -> list[list[Ring]]:
         return []
     arr_a = np.asarray(_close(pa), dtype=np.float64)
     arr_b = np.asarray(_close(pb), dtype=np.float64)
+
+    def _keep(probe: list[float]) -> bool:
+        in_a = _point_in_ring(probe, arr_a)
+        in_b = _point_in_ring(probe, arr_b)
+        if op == "union":
+            return in_a or in_b
+        if op == "difference":
+            return in_a and not in_b
+        return in_a and in_b  # intersection
+
     kept: list[Ring] = []
     for f in faces:
         probe = _interior_probe(f, [])
         if probe is None:
             continue
-        if _point_in_ring(probe, arr_a) or _point_in_ring(probe, arr_b):
+        if _keep(probe):
             kept.append(f)
     if not kept:
         return []
@@ -489,10 +513,10 @@ def overlay_union(a: Ring, b: Ring) -> list[list[Ring]]:
         probe = probes[i]
         if probe is None:
             continue
-        if _point_in_ring(probe, arr_a) or _point_in_ring(probe, arr_b):
+        if _keep(probe):
             # covered region, not a hole: with DISCONNECTED noded graphs
             # (nested rings) a contained component's cycle reads as
-            # depth-odd even though its interior belongs to the union
+            # depth-odd even though its interior belongs to the result
             continue
         containing = [
             k

@@ -559,6 +559,7 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
     from quackosm_spark.geometry.repair import (
         has_self_intersection,
         make_valid_ring,
+        overlay_difference,
         ring_difference,
         rings_cross,
         rings_share_boundary,
@@ -644,15 +645,24 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
         for i, inner in enumerate(inners):
             if used_inner[i]:
                 continue
-            if ring_within_ring(inner, outer):
+            if ring_within_ring(inner, outer) and not rings_share_boundary(
+                inner, outer
+            ):
                 # fully-contained inner nests as an interior ring —
                 # identical to the reference's outer ST_Difference
-                # union(inners within) for disjoint inners
+                # union(inners within) for disjoint inners. (Point
+                # touches on the boundary stay holes, like GEOS; an
+                # EDGE-run contact instead routes through the overlay
+                # difference below, which folds the bite into the
+                # boundary the way GEOS's difference does.)
                 holes.append(inner)
                 used_inner[i] = True
-            elif rings_cross(inner, outer):
-                # inner straddling the outer boundary: only the covered
-                # part may be removed — ST_Difference parity (reference
+            elif rings_cross(inner, outer) or rings_share_boundary(
+                inner, outer
+            ):
+                # inner straddling the outer boundary (transversally OR
+                # along a shared edge run): only the covered part may be
+                # removed — ST_Difference parity (reference
                 # pbf_file_reader.py:3332-3343)
                 straddlers.append(inner)
                 used_inner[i] = True
@@ -661,7 +671,19 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
             try:
                 next_shells: list[list[list[float]]] = []
                 for sh in shells:
-                    next_shells.extend(ring_difference(sh, inner))
+                    if rings_share_boundary(sh, inner) and not rings_cross(
+                        sh, inner
+                    ):
+                        # shared-edge-only contact is outside the
+                        # Greiner–Hormann transversal contract — use the
+                        # planar overlay (GEOS ST_Difference parity)
+                        for p2 in overlay_difference(sh, inner):
+                            next_shells.append([list(pt) for pt in p2[0]])
+                            holes.extend(
+                                [list(pt) for pt in h] for h in p2[1:]
+                            )
+                    else:
+                        next_shells.extend(ring_difference(sh, inner))
                 shells = [list(r) for r in next_shells] or shells
             except Exception:
                 pass

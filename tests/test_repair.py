@@ -552,3 +552,104 @@ class TestOverlayUnion:
             [[0, 0], [4, 0], [4, 3], [0, 3], [0, 0]],
             [[2, 1], [6, 1], [6, 5], [2, 5], [2, 1]],
         )
+
+
+class TestOverlayDifference:
+    """r03: planar-overlay difference — shared-boundary straddlers."""
+
+    SQ = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+
+    @staticmethod
+    def _net(polys):
+        from quackosm_spark.geometry.ops import signed_area
+
+        return sum(
+            abs(signed_area(p[0])) - sum(abs(signed_area(h)) for h in p[1:])
+            for p in polys
+        )
+
+    def test_edge_touching_clip(self):
+        bite = [[1, 0], [3, 0], [3, 2], [1, 2], [1, 0]]
+        polys = R.overlay_difference(self.SQ, bite)
+        assert len(polys) == 1 and len(polys[0]) == 1  # bay, not hole
+        assert self._net(polys) == pytest.approx(12.0)
+
+    def test_transversal_matches_gh(self):
+        import numpy as np
+
+        checked = 0
+        for seed in range(40):
+            rng = np.random.default_rng(seed)
+            a = TestBooleanInvariants._convex(rng, 0.0, 0.0, 2.0)
+            b = TestBooleanInvariants._convex(
+                rng,
+                float(rng.uniform(-1.5, 1.5)),
+                float(rng.uniform(-1.5, 1.5)),
+                float(rng.uniform(0.5, 2.5)),
+            )
+            if R.has_self_intersection(a) or R.has_self_intersection(b):
+                continue
+            if not R.rings_cross(a, b) and not R.rings_share_boundary(a, b):
+                continue  # disconnected boundaries: caller's nested path
+            gh = self._net(R.polygon_difference(a, b))
+            ov = self._net(R.overlay_difference(a, b))
+            assert ov == pytest.approx(gh, rel=1e-9, abs=1e-12), seed
+            checked += 1
+        assert checked >= 20
+
+
+class TestRelationSharedBoundary:
+    """r03: relation members meeting along shared edge runs assemble with
+    GEOS-union/difference parity (outside GH's transversal contract)."""
+
+    @staticmethod
+    def _run(members):
+        import pandas as pd
+
+        from quackosm_spark.geometry import wkb
+        from quackosm_spark.plans.pipeline import _assemble_relation
+
+        rows = [
+            {
+                "id": 1,
+                "ref_role": role,
+                "ref_idx": i,
+                "linestring": [{"x": float(x), "y": float(y)} for x, y in ring],
+            }
+            for i, (role, ring) in enumerate(members)
+        ]
+        out = _assemble_relation(pd.DataFrame(rows))
+        return wkb.loads(out["geometry"].iloc[0]) if len(out) else None
+
+    def test_shared_edge_outers_merge(self):
+        from quackosm_spark.geometry.ops import signed_area
+
+        t1 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+        t2 = [[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]]
+        g = self._run([("outer", t1), ("outer", t2)])
+        assert g["type"] == "Polygon"
+        assert abs(signed_area(g["coordinates"][0])) == pytest.approx(2.0)
+
+    def test_corner_touch_outers_stay_multipolygon(self):
+        t4 = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+        t5 = [[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]]
+        g = self._run([("outer", t4), ("outer", t5)])
+        assert g["type"] == "MultiPolygon"
+        assert len(g["coordinates"]) == 2
+
+    def test_edge_bite_inner_folds_into_boundary(self):
+        from quackosm_spark.geometry.ops import signed_area
+
+        sq = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        bite = [[1, 0], [3, 0], [3, 2], [1, 2], [1, 0]]
+        g = self._run([("outer", sq), ("inner", bite)])
+        assert g["type"] == "Polygon"
+        assert len(g["coordinates"]) == 1  # bay shape, no interior ring
+        assert abs(signed_area(g["coordinates"][0])) == pytest.approx(12.0)
+
+    def test_point_touching_inner_stays_hole(self):
+        sq = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        pt_inner = [[1, 1], [2, 0], [3, 1], [2, 2], [1, 1]]
+        g = self._run([("outer", sq), ("inner", pt_inner)])
+        assert g["type"] == "Polygon"
+        assert len(g["coordinates"]) == 2
