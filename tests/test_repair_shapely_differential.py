@@ -126,3 +126,52 @@ class TestBooleanOpsDifferential:
         assert got == pytest.approx(expected.area, rel=AREA_RTOL)
         assert len(expected.interiors) == 1
         assert len(R.polygon_union(bar, nshape)[0]) == 2
+
+
+class TestOverlayDifferential:
+    """r03 overlay kernels vs GEOS — including the degenerate
+    shared-boundary configurations GH cannot handle."""
+
+    def test_shared_edge_fixtures(self):
+        cases = [
+            # (a, b) sharing full/partial edges, plus corner touch
+            ([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]],
+             [[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]]),
+            ([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]],
+             [[1, 0.25], [2, 0.25], [2, 0.75], [1, 0.75], [1, 0.25]]),
+            ([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],
+             [[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]]),
+        ]
+        for a, b in cases:
+            expected = Polygon(a).union(Polygon(b))
+            got = _poly_area(R.overlay_union(a, b))
+            assert got == pytest.approx(expected.area, rel=1e-9)
+            n_parts = getattr(expected, "geoms", [expected])
+            assert len(R.overlay_union(a, b)) == len(list(n_parts))
+
+    def test_edge_bite_difference(self):
+        sq = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        bite = [[1, 0], [3, 0], [3, 2], [1, 2], [1, 0]]
+        expected = Polygon(sq).difference(Polygon(bite))
+        got = R.overlay_difference(sq, bite)
+        assert _poly_area(got) == pytest.approx(expected.area, rel=1e-9)
+        assert len(got[0]) == 1 + len(expected.interiors)
+
+    def test_random_pairs_union(self):
+        checked = 0
+        for seed in range(N_FUZZ):
+            rng = np.random.default_rng(seed)
+            a = _convex(rng, 0.0, 0.0, 2.0)
+            b = _convex(
+                rng,
+                float(rng.uniform(-1.5, 1.5)),
+                float(rng.uniform(-1.5, 1.5)),
+                float(rng.uniform(0.5, 2.5)),
+            )
+            if R.has_self_intersection(a) or R.has_self_intersection(b):
+                continue
+            expected = Polygon(a).union(Polygon(b)).area
+            got = _poly_area(R.overlay_union(a, b))
+            assert got == pytest.approx(expected, rel=1e-9), seed
+            checked += 1
+        assert checked >= N_FUZZ // 2
