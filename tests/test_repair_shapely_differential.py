@@ -105,6 +105,10 @@ class TestBooleanOpsDifferential:
                 float(rng.uniform(-1.5, 1.5)),
                 float(rng.uniform(0.5, 2.5)),
             )
+            # the radial generator can emit a self-crossing ring at
+            # near-equal angles — outside the simple-input contract
+            if R.has_self_intersection(a) or R.has_self_intersection(b):
+                continue
             pa, pb = Polygon(a), Polygon(b)
             union = sum(R.ring_area(r) for r in R.ring_union(a, b))
             inter = sum(R.ring_area(r) for r in R.ring_intersection(a, b))
