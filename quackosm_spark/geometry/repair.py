@@ -21,10 +21,13 @@ so they parallelize with the data and add no shuffle.
 Degeneracy contract: ``make_valid_ring`` nodes collinear-overlap pairs
 (partial retraces, zero-width spikes) before face extraction — GEOS nodes
 linework the same way — so single-ring repair handles both transversal
-crossings and collinear degeneracies. The two-ring clipping kernels
-(``ring_union``/``ring_difference``/...) still require transversal
-crossings; their callers guard with try/except keeping the raw ring on
-failure.
+crossings and collinear degeneracies. The Greiner–Hormann two-ring
+kernels (``ring_union``/``ring_difference``/...) require transversal
+crossings; pairs with shared/collinear boundary runs (detected by
+``rings_share_boundary``) route through the planar-overlay kernels
+(``overlay_union``/``overlay_difference``), which node the combined
+linework and re-polygonize exactly like GEOS. Callers still guard with
+try/except keeping the raw ring on any residual failure.
 """
 
 from __future__ import annotations
@@ -970,16 +973,18 @@ def union_all_polygons(
                 a, b = polys[i], polys[j]
                 if _shell_in_hole(b[0], a) or _shell_in_hole(a[0], b):
                     continue
-                merged = polygon_union(a[0], b[0])
-                if len(merged) != 1 and rings_share_boundary(a[0], b[0]):
-                    # shared-boundary adjacency: outside Greiner–Hormann's
-                    # transversal contract — the planar overlay merges it
-                    # (GEOS-union parity for relations whose outer ways
-                    # run along a common edge)
+                if rings_share_boundary(a[0], b[0]):
+                    # any shared-boundary run (with or without additional
+                    # transversal crossings) is outside Greiner–Hormann's
+                    # contract — the planar overlay handles both (GEOS-
+                    # union parity for relations whose outer ways run
+                    # along a common edge)
                     try:
                         merged = overlay_union(a[0], b[0])
                     except Exception:
                         merged = []
+                else:
+                    merged = polygon_union(a[0], b[0])
                 if len(merged) != 1:
                     continue
                 shell = merged[0][0]

@@ -671,12 +671,11 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
             try:
                 next_shells: list[list[list[float]]] = []
                 for sh in shells:
-                    if rings_share_boundary(sh, inner) and not rings_cross(
-                        sh, inner
-                    ):
-                        # shared-edge-only contact is outside the
-                        # Greiner–Hormann transversal contract — use the
-                        # planar overlay (GEOS ST_Difference parity)
+                    if rings_share_boundary(sh, inner):
+                        # any shared-edge contact (with or without extra
+                        # transversal crossings) is outside the Greiner–
+                        # Hormann contract — use the planar overlay
+                        # (GEOS ST_Difference parity)
                         for p2 in overlay_difference(sh, inner):
                             next_shells.append([list(pt) for pt in p2[0]])
                             holes.extend(

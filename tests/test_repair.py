@@ -653,3 +653,33 @@ class TestRelationSharedBoundary:
         g = self._run([("outer", sq), ("inner", pt_inner)])
         assert g["type"] == "Polygon"
         assert len(g["coordinates"]) == 2
+
+
+class TestMixedSharedAndCrossing:
+    """r03: a pair that BOTH shares an edge run AND crosses transversally
+    routes through the overlay (GH would mis-handle the collinear part).
+    Oracle: Monte-Carlo even-odd estimate of the union region."""
+
+    def test_l_shape_with_crossing_sharer(self):
+        import numpy as np
+
+        from quackosm_spark.geometry.ops import points_in_ring, signed_area
+
+        a = [[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4], [0, 0]]
+        b = [[2, 0], [6, 0], [6, 3], [-1, 3], [-1, 2], [2, 2], [2, 0]]
+        assert R.rings_share_boundary(a, b)
+        assert R.rings_cross(a, b)
+        polys = R.union_all_polygons([a, b])
+        assert len(polys) == 1
+        net = sum(
+            abs(signed_area(p[0])) - sum(abs(signed_area(h)) for h in p[1:])
+            for p in polys
+        )
+        rng = np.random.default_rng(0)
+        xs = rng.uniform(-1.5, 6.5, 400000)
+        ys = rng.uniform(-0.5, 4.5, 400000)
+        inside = points_in_ring(xs, ys, np.asarray(a)) | points_in_ring(
+            xs, ys, np.asarray(b)
+        )
+        mc = inside.mean() * (8.0 * 5.0)
+        assert net == pytest.approx(mc, rel=0.02)
