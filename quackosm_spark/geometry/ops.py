@@ -179,14 +179,58 @@ def points_in_multipolygon(
     return mask
 
 
+def _points_on_boundary(
+    xs: np.ndarray, ys: np.ndarray, ring_arr: np.ndarray, tol: float
+) -> np.ndarray:
+    """Per point: min distance to any ring segment < tol (vectorized,
+    blocked rows so two 2000-vertex rings never allocate K×K floats)."""
+    a = ring_arr[:-1]
+    b = ring_arr[1:]
+    d = b - a
+    dd = (d * d).sum(axis=1)
+    dd_safe = np.where(dd < 1e-300, 1.0, dd)
+    on = np.zeros(len(xs), dtype=bool)
+    block = 256
+    for s in range(0, len(xs), block):
+        e = min(s + block, len(xs))
+        px = xs[s:e, None] - a[None, :, 0]
+        py = ys[s:e, None] - a[None, :, 1]
+        t = (px * d[None, :, 0] + py * d[None, :, 1]) / dd_safe[None, :]
+        t = np.clip(t, 0.0, 1.0)
+        ddx = px - t * d[None, :, 0]
+        ddy = py - t * d[None, :, 1]
+        dist2 = ddx * ddx + ddy * ddy
+        on[s:e] = (dist2.min(axis=1) <= tol * tol)
+    return on
+
+
 def ring_within_ring(inner: Ring, outer: Ring) -> bool:
-    """ST_Within for the hole-assignment join (J7). Valid OSM multipolygon
-    rings never cross, so vertex containment is sufficient."""
+    """ST_Within for the hole-assignment join (J7): every inner vertex is
+    strictly inside the outer ring OR on its boundary, and at least one
+    is strictly inside. Boundary tolerance matters on real OSM data —
+    inner rings commonly TOUCH the outer ring at shared nodes, and GEOS's
+    ST_WITHIN (the reference's join predicate, pbf_file_reader.py:3340)
+    counts boundary contact as within; a pure ray-cast on an exactly-on-
+    boundary vertex is a coin flip."""
     arr = np.asarray(remove_repeated_points(inner), dtype=np.float64)
     if arr.shape[0] == 0:
         return False
     out = np.asarray(outer, dtype=np.float64)
-    return bool(points_in_ring(arr[:, 0], arr[:, 1], out).all())
+    inside = points_in_ring(arr[:, 0], arr[:, 1], out)
+    if inside.all():
+        return True
+    span = max(
+        out[:, 0].max() - out[:, 0].min(),
+        out[:, 1].max() - out[:, 1].min(),
+        1e-30,
+    )
+    tol = 1e-9 * span
+    rest = ~inside
+    on = _points_on_boundary(arr[rest, 0], arr[rest, 1], out, tol)
+    if not on.all():
+        return False
+    # boundary-only contact is NOT within — require some strict interior
+    return bool(inside.any())
 
 
 # --------------------------------------------------------------------------
