@@ -686,6 +686,31 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
                 shells = [list(r) for r in next_shells] or shells
             except Exception:
                 pass
+        # reference ST_Difference subtracts ST_Union_Agg(inners): inner
+        # rings that OVERLAP each other merge into one hole (attaching
+        # both individually would double-subtract); an island enclosed by
+        # the union of inners (two crossing C-shaped inners) comes back
+        # as its own polygon part, exactly what outer − union(inners)
+        # leaves. Disjoint inners keep their original vertex order.
+        island_parts: list[list[list[float]]] = []
+        if len(holes) > 1 and any(
+            rings_cross(holes[i], holes[j])
+            or rings_share_boundary(holes[i], holes[j])
+            for i in range(len(holes))
+            for j in range(i + 1, len(holes))
+        ):
+            try:
+                merged_holes = union_all_polygons(
+                    [[list(pt) for pt in h] for h in holes]
+                )
+                holes = [[list(pt) for pt in p[0]] for p in merged_holes]
+                island_parts = [
+                    [list(pt) for pt in h]
+                    for p in merged_holes
+                    for h in p[1:]
+                ]
+            except Exception:
+                pass
         if len(shells) == 1:
             polygons.append([shells[0], *holes])
         else:
@@ -694,6 +719,7 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
             for sh in shells:
                 own = [h for h in holes if ring_within_ring(h, sh)]
                 polygons.append([sh, *own])
+        polygons.extend([island] for island in island_parts)
     if not polygons:
         return pd.DataFrame({"id": pd.Series([], dtype="int64"),
                              "geometry": pd.Series([], dtype=object)})

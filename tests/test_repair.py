@@ -683,3 +683,63 @@ class TestMixedSharedAndCrossing:
         )
         mc = inside.mean() * (8.0 * 5.0)
         assert net == pytest.approx(mc, rel=0.02)
+
+
+class TestInnerUnionSemantics:
+    """r03: reference subtracts ST_Union_Agg(inners) — overlapping inner
+    rings merge into ONE hole; an island enclosed by the inners' union
+    comes back as its own polygon part; disjoint inners keep their
+    original vertex order."""
+
+    BIG = [[-2, -2], [12, -2], [12, 10], [-2, 10], [-2, -2]]  # area 168
+
+    @staticmethod
+    def _run(members):
+        import pandas as pd
+
+        from quackosm_spark.geometry import wkb
+        from quackosm_spark.plans.pipeline import _assemble_relation
+
+        rows = [
+            {"id": 1, "ref_role": role, "ref_idx": i,
+             "linestring": [{"x": float(x), "y": float(y)} for x, y in ring]}
+            for i, (role, ring) in enumerate(members)
+        ]
+        out = _assemble_relation(pd.DataFrame(rows))
+        return wkb.loads(out["geometry"].iloc[0]) if len(out) else None
+
+    @staticmethod
+    def _net(g):
+        from quackosm_spark.geometry.ops import signed_area
+
+        polys = (
+            [g["coordinates"]] if g["type"] == "Polygon" else g["coordinates"]
+        )
+        return sum(
+            abs(signed_area(p[0])) - sum(abs(signed_area(h)) for h in p[1:])
+            for p in polys
+        )
+
+    def test_overlapping_inners_merge_into_one_hole(self):
+        i1 = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        i2 = [[2, 2], [6, 2], [6, 6], [2, 6], [2, 2]]
+        g = self._run([("outer", self.BIG), ("inner", i1), ("inner", i2)])
+        assert g["type"] == "Polygon"
+        assert len(g["coordinates"]) == 2  # one merged hole, not two
+        assert self._net(g) == pytest.approx(168 - 28)  # 16+16−4 union
+
+    def test_inner_union_island_restored_as_part(self):
+        bar = [[0, 0], [10, 0], [10, 2], [0, 2], [0, 0]]
+        nshape = [[1, 1], [3, 1], [3, 6], [7, 6], [7, 1], [9, 1],
+                  [9, 8], [1, 8], [1, 1]]
+        g = self._run([("outer", self.BIG), ("inner", bar), ("inner", nshape)])
+        assert g["type"] == "MultiPolygon"
+        assert len(g["coordinates"]) == 2  # holed outer + island part
+        assert self._net(g) == pytest.approx(168 - 52)
+
+    def test_disjoint_inners_keep_vertex_order(self):
+        d1 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+        d2 = [[3, 3], [4, 3], [4, 4], [3, 4], [3, 3]]
+        g = self._run([("outer", self.BIG), ("inner", d1), ("inner", d2)])
+        assert len(g["coordinates"]) == 3
+        assert g["coordinates"][1] == d1 and g["coordinates"][2] == d2
