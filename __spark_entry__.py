@@ -1612,6 +1612,78 @@ def q94_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q95_relation_inner_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-ring union semantics (reference ST_Difference(outer,
+    ST_Union_Agg(inners)), pbf_file_reader.py:3332-3343): two OVERLAPPING
+    inner squares must merge into ONE hole — attaching both would
+    double-subtract. Per event scale s: outer 14s×12s (168s²), inners
+    [0,4s]² and [2s,6s]² overlapping by 4s² (union 28s²) → Polygon with
+    exactly 2 rings, net area 140s². Closed-form oracle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField as SF_,
+        StructType as ST_,
+    )
+
+    _ship_package(spark)
+
+    @F.pandas_udf(ST_([
+        SF_("geom_type", StringType()),
+        SF_("n_rings", IntegerType()),
+        SF_("net_area", DoubleType()),
+    ]))
+    def _assemble(scale):
+        from quackosm_spark.geometry import wkb
+        from quackosm_spark.geometry.ops import signed_area
+        from quackosm_spark.plans.pipeline import _assemble_relation
+
+        types, n_out, net_out = [], [], []
+        for sv in scale:
+            s = float(sv)
+            big = [[-2 * s, -2 * s], [12 * s, -2 * s], [12 * s, 10 * s],
+                   [-2 * s, 10 * s], [-2 * s, -2 * s]]
+            i1 = [[0, 0], [4 * s, 0], [4 * s, 4 * s], [0, 4 * s], [0, 0]]
+            i2 = [[2 * s, 2 * s], [6 * s, 2 * s], [6 * s, 6 * s],
+                  [2 * s, 6 * s], [2 * s, 2 * s]]
+            rows = [
+                {"id": 1, "ref_role": role, "ref_idx": i,
+                 "linestring": [
+                     {"x": float(x), "y": float(y)} for x, y in ring
+                 ]}
+                for i, (role, ring) in enumerate(
+                    [("outer", big), ("inner", i1), ("inner", i2)]
+                )
+            ]
+            out = _assemble_relation(pd.DataFrame(rows))
+            geom = wkb.loads(out["geometry"].iloc[0])
+            rings = (
+                geom["coordinates"]
+                if geom["type"] == "Polygon"
+                else geom["coordinates"][0]
+            )
+            net = abs(signed_area(rings[0])) - sum(
+                abs(signed_area(h)) for h in rings[1:]
+            )
+            types.append(geom["type"])
+            n_out.append(len(rings))
+            net_out.append(round(net, 6))
+        return pd.DataFrame(
+            {"geom_type": types, "n_rings": n_out, "net_area": net_out}
+        )
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 5 == 0)
+    rows = ev.select(
+        "event_id", ((F.col("event_id") % 3) + 1).cast("double").alias("s")
+    )
+    rep = _assemble(F.col("s"))
+    return rows.select(
+        "event_id", "s",
+        rep["geom_type"].alias("geom_type"),
+        rep["n_rings"].alias("n_rings"),
+        rep["net_area"].alias("net_area"),
+    )
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -1679,10 +1751,11 @@ _DRIVER_PRIORITY = [
     "q87_relation_makevalid", "q88_relation_union_holes",
     "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
     "q92_oov_rate", "q93_bigram_logprob", "q94_embedding_neardup_blocked",
+    "q95_relation_inner_union",
     # kernels changed this round (repair wrapper rework) — re-verify
     "q83_makevalid", "q84_relation_union",
     # flagships filling the window
-    "q01_pricing_summary", "q14_way_assembly", "q17_ngram_jaccard",
+    "q01_pricing_summary", "q14_way_assembly",
 ]
 
 
@@ -1788,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_oov_rate": q92_oov_rate,
         "q93_bigram_logprob": q93_bigram_logprob,
         "q94_embedding_neardup_blocked": q94_embedding_neardup_blocked,
+        "q95_relation_inner_union": q95_relation_inner_union,
     })
 
 
@@ -2893,6 +2967,17 @@ def oracle_sql() -> dict[str, str]:
                1 AS union_rings,
                round(2 * w * h - (w / 2) * (h / 2), 6) AS union_area,
                round(w * h - (w / 2) * (h / 2), 6) AS diff_area
+        FROM t
+    """
+    out["q95_relation_inner_union"] = """
+        WITH t AS (
+            SELECT event_id, ((event_id % 3) + 1)::DOUBLE AS s
+            FROM events WHERE event_id % 5 = 0
+        )
+        SELECT event_id, s,
+               'Polygon' AS geom_type,
+               2 AS n_rings,
+               round(140 * s * s, 6) AS net_area
         FROM t
     """
     out["q87_relation_makevalid"] = """
