@@ -1684,6 +1684,80 @@ def q95_relation_inner_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_relation_shared_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-boundary relation assembly (planar-overlay union — the
+    degenerate adjacency outside Greiner–Hormann's transversal contract;
+    GEOS ST_Union merges polygons that share an edge run): per event
+    scale s, two s×s outer squares sharing a full vertical edge must
+    assemble into ONE Polygon of area 2s² (corner-point-touching squares
+    would stay MultiPolygon); plus an edge-biting inner of (s/2)² folded
+    into the boundary as a bay — net 2s² − s²/4, still a single ring.
+    Closed-form oracle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField as SF_,
+        StructType as ST_,
+    )
+
+    _ship_package(spark)
+
+    @F.pandas_udf(ST_([
+        SF_("geom_type", StringType()),
+        SF_("n_rings", IntegerType()),
+        SF_("net_area", DoubleType()),
+    ]))
+    def _assemble(scale):
+        from quackosm_spark.geometry import wkb
+        from quackosm_spark.geometry.ops import signed_area
+        from quackosm_spark.plans.pipeline import _assemble_relation
+
+        types, n_out, net_out = [], [], []
+        for sv in scale:
+            s = float(sv)
+            sq1 = [[0, 0], [s, 0], [s, s], [0, s], [0, 0]]
+            sq2 = [[s, 0], [2 * s, 0], [2 * s, s], [s, s], [s, 0]]
+            h = s / 2.0
+            bite = [[s - h / 2, 0], [s + h / 2, 0], [s + h / 2, h],
+                    [s - h / 2, h], [s - h / 2, 0]]
+            rows = [
+                {"id": 1, "ref_role": role, "ref_idx": i,
+                 "linestring": [
+                     {"x": float(x), "y": float(y)} for x, y in ring
+                 ]}
+                for i, (role, ring) in enumerate(
+                    [("outer", sq1), ("outer", sq2), ("inner", bite)]
+                )
+            ]
+            out = _assemble_relation(pd.DataFrame(rows))
+            geom = wkb.loads(out["geometry"].iloc[0])
+            rings = (
+                geom["coordinates"]
+                if geom["type"] == "Polygon"
+                else geom["coordinates"][0]
+            )
+            net = abs(signed_area(rings[0])) - sum(
+                abs(signed_area(hh)) for hh in rings[1:]
+            )
+            types.append(geom["type"])
+            n_out.append(len(rings))
+            net_out.append(round(net, 6))
+        return pd.DataFrame(
+            {"geom_type": types, "n_rings": n_out, "net_area": net_out}
+        )
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 5 == 0)
+    rows = ev.select(
+        "event_id", ((F.col("event_id") % 4) + 1).cast("double").alias("s")
+    )
+    rep = _assemble(F.col("s"))
+    return rows.select(
+        "event_id", "s",
+        rep["geom_type"].alias("geom_type"),
+        rep["n_rings"].alias("n_rings"),
+        rep["net_area"].alias("net_area"),
+    )
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -1751,11 +1825,11 @@ _DRIVER_PRIORITY = [
     "q87_relation_makevalid", "q88_relation_union_holes",
     "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
     "q92_oov_rate", "q93_bigram_logprob", "q94_embedding_neardup_blocked",
-    "q95_relation_inner_union",
+    "q95_relation_inner_union", "q96_relation_shared_edge",
     # kernels changed this round (repair wrapper rework) — re-verify
     "q83_makevalid", "q84_relation_union",
     # flagships filling the window
-    "q01_pricing_summary", "q14_way_assembly",
+    "q01_pricing_summary",
 ]
 
 
@@ -1862,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_bigram_logprob": q93_bigram_logprob,
         "q94_embedding_neardup_blocked": q94_embedding_neardup_blocked,
         "q95_relation_inner_union": q95_relation_inner_union,
+        "q96_relation_shared_edge": q96_relation_shared_edge,
     })
 
 
@@ -2967,6 +3042,17 @@ def oracle_sql() -> dict[str, str]:
                1 AS union_rings,
                round(2 * w * h - (w / 2) * (h / 2), 6) AS union_area,
                round(w * h - (w / 2) * (h / 2), 6) AS diff_area
+        FROM t
+    """
+    out["q96_relation_shared_edge"] = """
+        WITH t AS (
+            SELECT event_id, ((event_id % 4) + 1)::DOUBLE AS s
+            FROM events WHERE event_id % 5 = 0
+        )
+        SELECT event_id, s,
+               'Polygon' AS geom_type,
+               1 AS n_rings,
+               round(2 * s * s - s * s / 4.0, 6) AS net_area
         FROM t
     """
     out["q95_relation_inner_union"] = """
