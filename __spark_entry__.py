@@ -1758,6 +1758,77 @@ def q96_relation_shared_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_relation_geometrycollection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GeometryCollection output type (SURVEY §1.3 "relations after
+    union"): a relation mixing a real polygonal part with a degenerate
+    zero-area (collinear) closed part emits GeometryCollection([Polygon,
+    LineString]) — GEOS's union collapses the degenerate part to
+    linework. Per event scale s: outer square s×s + collinear 3-point
+    'ring' → type, member count, polygonal area s². Closed-form
+    oracle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField as SF_,
+        StructType as ST_,
+    )
+
+    _ship_package(spark)
+
+    @F.pandas_udf(ST_([
+        SF_("geom_type", StringType()),
+        SF_("n_members", IntegerType()),
+        SF_("poly_area", DoubleType()),
+    ]))
+    def _assemble(scale):
+        from quackosm_spark.geometry import wkb
+        from quackosm_spark.geometry.ops import signed_area
+        from quackosm_spark.plans.pipeline import _assemble_relation
+
+        types, n_out, area_out = [], [], []
+        for sv in scale:
+            s = float(sv)
+            sq = [[0, 0], [s, 0], [s, s], [0, s], [0, 0]]
+            line = [[10, 10], [10 + s, 10], [10 + 2 * s, 10], [10, 10]]
+            rows = [
+                {"id": 1, "ref_role": "outer", "ref_idx": i,
+                 "linestring": [
+                     {"x": float(x), "y": float(y)} for x, y in ring
+                 ]}
+                for i, ring in enumerate([sq, line])
+            ]
+            out = _assemble_relation(pd.DataFrame(rows))
+            geom = wkb.loads(out["geometry"].iloc[0])
+            if geom["type"] == "GeometryCollection":
+                members = geom["geometries"]
+                poly = next(
+                    g for g in members if g["type"] == "Polygon"
+                )
+                area = abs(signed_area(poly["coordinates"][0]))
+            else:
+                members = [geom]
+                area = abs(signed_area(geom["coordinates"][0]))
+            types.append(geom["type"])
+            n_out.append(len(members))
+            area_out.append(round(area, 6))
+        return pd.DataFrame(
+            {"geom_type": types, "n_members": n_out, "poly_area": area_out}
+        )
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 5 == 0)
+    rows = ev.select(
+        "event_id", ((F.col("event_id") % 3) + 1).cast("double").alias("s")
+    )
+    rep = _assemble(F.col("s"))
+    return rows.select(
+        "event_id", "s",
+        rep["geom_type"].alias("geom_type"),
+        rep["n_members"].alias("n_members"),
+        rep["poly_area"].alias("poly_area"),
+    )
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -1826,10 +1897,9 @@ _DRIVER_PRIORITY = [
     "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
     "q92_oov_rate", "q93_bigram_logprob", "q94_embedding_neardup_blocked",
     "q95_relation_inner_union", "q96_relation_shared_edge",
+    "q97_relation_geometrycollection",
     # kernels changed this round (repair wrapper rework) — re-verify
     "q83_makevalid", "q84_relation_union",
-    # flagships filling the window
-    "q01_pricing_summary",
 ]
 
 
@@ -1937,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_embedding_neardup_blocked": q94_embedding_neardup_blocked,
         "q95_relation_inner_union": q95_relation_inner_union,
         "q96_relation_shared_edge": q96_relation_shared_edge,
+        "q97_relation_geometrycollection": q97_relation_geometrycollection,
     })
 
 
@@ -3042,6 +3113,17 @@ def oracle_sql() -> dict[str, str]:
                1 AS union_rings,
                round(2 * w * h - (w / 2) * (h / 2), 6) AS union_area,
                round(w * h - (w / 2) * (h / 2), 6) AS diff_area
+        FROM t
+    """
+    out["q97_relation_geometrycollection"] = """
+        WITH t AS (
+            SELECT event_id, ((event_id % 3) + 1)::DOUBLE AS s
+            FROM events WHERE event_id % 5 = 0
+        )
+        SELECT event_id, s,
+               'GeometryCollection' AS geom_type,
+               2 AS n_members,
+               round(s * s, 6) AS poly_area
         FROM t
     """
     out["q96_relation_shared_edge"] = """
