@@ -1871,12 +1871,15 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (VERDICT r02 #5); tests/oracle_harness.py covers all queries locally every
 # round regardless of the window.
 #
-# Round-3 window: the 37 queries whose last driver row is r1 (they were
-# rotated out in r2), then this round's new contract queries (q87/q88), then
-# the queries whose underlying kernels CHANGED this round (q83/q84 ride the
-# reworked repair wrappers), then flagships. Externally unverified THIS round
-# (all have green r2 driver rows, so ≤1 round old, plus local-harness rows):
-# q29, q31, q37, q42, q47, q51–q82, q85, q86.
+# Round-3 window (exactly 50): the 37 queries whose last driver row is r1
+# (they were rotated out in r2), then this round's new contract queries
+# (q87–q97: relation MakeValid / union holes / inner-union / shared-edge
+# overlay / GeometryCollection, BPE, token shards, corpus audits, blocked
+# near-dup), then q83/q84 (their kernels ride the reworked repair
+# wrappers). Externally unverified THIS round — all with green r2 driver
+# rows (≤1 round old) plus local oracle-harness rows every round:
+# q01, q05, q14, q17, q18, q20, q25, q29, q31, q33, q37, q42, q44, q47,
+# q51–q82, q85, q86.
 _DRIVER_PRIORITY = [
     # last driver row is r1 — re-verify this round
     "q02_semi_join", "q03_anti_join", "q04_ref_validity",
