@@ -1829,6 +1829,18 @@ def q97_relation_geometrycollection(
     )
 
 
+def q98_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (operators/stats.quality_psi):
+    Population Stability Index of every source's quality-score histogram
+    vs src0 — one scan + one (source, bin) count shuffle, then Column
+    math over a sources×bins aggregate. The before-you-mix-it-in check a
+    training pipeline runs on each new corpus snapshot."""
+    from quackosm_spark.operators.stats import quality_psi
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_psi(docs, ref_source="src0")
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -1900,9 +1912,11 @@ _DRIVER_PRIORITY = [
     "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
     "q92_oov_rate", "q93_bigram_logprob", "q94_embedding_neardup_blocked",
     "q95_relation_inner_union", "q96_relation_shared_edge",
-    "q97_relation_geometrycollection",
+    "q97_relation_geometrycollection", "q98_quality_psi",
     # kernels changed this round (repair wrapper rework) — re-verify
-    "q83_makevalid", "q84_relation_union",
+    # (q84's reworked wrappers are also driver-gated via q88/q96 this
+    # round, so it yields its slot to q98 and keeps its green r2 row)
+    "q83_makevalid",
 ]
 
 
@@ -2011,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_relation_inner_union": q95_relation_inner_union,
         "q96_relation_shared_edge": q96_relation_shared_edge,
         "q97_relation_geometrycollection": q97_relation_geometrycollection,
+        "q98_quality_psi": q98_quality_psi,
     })
 
 
@@ -3117,6 +3132,37 @@ def oracle_sql() -> dict[str, str]:
                round(2 * w * h - (w / 2) * (h / 2), 6) AS union_area,
                round(w * h - (w / 2) * (h / 2), 6) AS diff_area
         FROM t
+    """
+    out["q98_quality_psi"] = f"""
+        WITH d AS (
+            SELECT source,
+                   least(floor({_QUALITY_SQL} * 10), 9)::INT AS bin
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, bin, count(*) AS cnt FROM d GROUP BY source, bin
+        ),
+        grid AS (
+            SELECT s.source, g.bin
+            FROM (SELECT DISTINCT source FROM d) s
+            CROSS JOIN (SELECT unnest(range(10))::INT AS bin) g
+        ),
+        full_t AS (
+            SELECT grid.source, grid.bin, coalesce(counts.cnt, 0) AS cnt
+            FROM grid LEFT JOIN counts
+            ON grid.source = counts.source AND grid.bin = counts.bin
+        ),
+        tot AS (SELECT source, sum(cnt) AS total FROM full_t GROUP BY source),
+        probs AS (
+            SELECT f.source, f.bin, f.cnt,
+                   (f.cnt + 0.5) / (t.total + 5.0) AS p
+            FROM full_t f JOIN tot t ON f.source = t.source
+        ),
+        ref AS (SELECT bin, p AS p_ref FROM probs WHERE source = 'src0')
+        SELECT p.source, sum(p.cnt)::BIGINT AS n_docs,
+               round(sum((p.p - r.p_ref) * ln(p.p / r.p_ref)), 6) AS psi
+        FROM probs p JOIN ref r ON p.bin = r.bin
+        GROUP BY p.source
     """
     out["q97_relation_geometrycollection"] = """
         WITH t AS (

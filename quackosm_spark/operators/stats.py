@@ -235,3 +235,70 @@ def winsorize(
         )
         .drop("__g", "__lo", "__hi")
     )
+
+
+def quality_psi(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    ref_source: str | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index of each source's quality-score
+    distribution against a reference source — the drift monitor run
+    between corpus snapshots / new sources before mixing them in:
+    PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i) over ``bins`` equal-width
+    quality buckets, Laplace-smoothed (+0.5 per bin) so empty buckets
+    never produce infinities. Common reading: <0.1 stable, 0.1–0.25
+    moderate shift, >0.25 major shift. ``ref_source=None`` uses the
+    lexicographically first source. Returns (source, n_docs, psi),
+    reference row included with psi=0.
+
+    Scale shape: one scan computing the quality Column (codegen) + one
+    (source, bin) count shuffle — the aggregated table is
+    sources×bins rows, everything after is driver-free Column math over a
+    broadcast of the reference's ``bins`` rows.
+    """
+    from quackosm_spark.operators.text import quality_score
+
+    q = quality_score(text_col)
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.least(
+            F.floor(q * bins).cast("int"), F.lit(bins - 1)
+        ).alias("bin"),
+    )
+    counts = d.groupBy("source", "bin").agg(F.count("*").alias("cnt"))
+    if ref_source is None:
+        ref_source = counts.agg(F.min("source")).collect()[0][0]
+    # densify to all bins per source so smoothing covers empty buckets
+    sources = counts.select("source").distinct()
+    grid = sources.crossJoin(
+        counts.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    full = grid.join(counts, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    totals = full.groupBy("source").agg(F.sum("cnt").alias("total"))
+    probs = full.join(totals, "source").select(
+        "source", "bin", "cnt",
+        ((F.col("cnt") + 0.5) / (F.col("total") + 0.5 * bins)).alias("p"),
+    )
+    ref = (
+        probs.where(F.col("source") == ref_source)
+        .select(F.col("bin"), F.col("p").alias("p_ref"))
+    )
+    return (
+        probs.join(F.broadcast(ref), "bin")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("p_ref"))
+                    * F.log(F.col("p") / F.col("p_ref"))
+                ),
+                6,
+            ).alias("psi"),
+        )
+    )

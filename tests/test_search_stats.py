@@ -262,3 +262,24 @@ def test_edit_distance_pairs_rejects_incomplete_band(spark):
     d = spark.createDataFrame([(1, "abc")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="band"):
         edit_distance_pairs(d, max_dist=4, band=3)
+
+
+def test_quality_psi_reference_zero_and_shift_ordering(spark):
+    """r03: PSI of the reference source vs itself is exactly 0; a source
+    whose quality distribution is shifted scores higher than an
+    identically-distributed one."""
+    from quackosm_spark.operators.stats import quality_psi
+
+    rows = (
+        [(i, "high quality text " * 20, "ref") for i in range(40)]
+        + [(100 + i, "high quality text " * 20, "same") for i in range(40)]
+        + [(200 + i, "!!::;;##@@", "shifted") for i in range(40)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r for r in quality_psi(docs, ref_source="ref").collect()
+    }
+    assert out["ref"]["psi"] == 0.0
+    assert out["same"]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert out["shifted"]["psi"] > 0.25  # "major shift" band
+    assert out["shifted"]["n_docs"] == 40
