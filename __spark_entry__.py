@@ -1841,6 +1841,176 @@ def q98_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_psi(docs, ref_source="src0")
 
 
+def q99_relation_spike_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-linework MakeValid through the REAL relation path
+    (ADVICE r03: the repair gate must catch zero-width spikes/retraces,
+    which have NO transversal crossing — previously they were emitted
+    unrepaired). Even rows: a spiked OUTER (square 4s with a zero-width
+    spike to (2s, 6s)) dissolves to the plain 16s² square. Odd rows: the
+    spike ring as an INNER of a 48s² box → net 32s². Both assert the
+    spike vertex is gone. Oracle = closed-form arithmetic (reference
+    gets this from GEOS ST_MakeValid, pbf_file_reader.py:3592-3644)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, IntegerType, StringType,
+        StructField as SF_, StructType as ST_,
+    )
+
+    _ship_package(spark)
+
+    @F.pandas_udf(ST_([
+        SF_("geom_type", StringType()),
+        SF_("n_rings", IntegerType()),
+        SF_("net_area", DoubleType()),
+        SF_("spike_gone", BooleanType()),
+    ]))
+    def _assemble(scale, inner_case):
+        from quackosm_spark.geometry import wkb
+        from quackosm_spark.geometry.ops import signed_area
+        from quackosm_spark.plans.pipeline import _assemble_relation
+
+        types, n_out, net_out, gone = [], [], [], []
+        for sv, is_inner in zip(scale, inner_case):
+            s = float(sv)
+            spiked = [
+                [0, 0], [4 * s, 0], [4 * s, 4 * s], [2 * s, 4 * s],
+                [2 * s, 6 * s], [2 * s, 4 * s], [0, 4 * s], [0, 0],
+            ]
+            if bool(is_inner):
+                box = [[-s, -s], [5 * s, -s], [5 * s, 7 * s],
+                       [-s, 7 * s], [-s, -s]]
+                members = [("outer", box), ("inner", spiked)]
+            else:
+                members = [("outer", spiked)]
+            rows = [
+                {"id": 1, "ref_role": role, "ref_idx": i,
+                 "linestring": [
+                     {"x": float(x), "y": float(y)} for x, y in ring
+                 ]}
+                for i, (role, ring) in enumerate(members)
+            ]
+            out = _assemble_relation(pd.DataFrame(rows))
+            geom = wkb.loads(out["geometry"].iloc[0])
+            polys = (
+                [geom["coordinates"]]
+                if geom["type"] == "Polygon"
+                else geom["coordinates"]
+            )
+            net = sum(
+                abs(signed_area(p[0]))
+                - sum(abs(signed_area(h)) for h in p[1:])
+                for p in polys
+            )
+            spike = [2.0 * s, 6.0 * s]
+            types.append(geom["type"])
+            n_out.append(sum(len(p) for p in polys))
+            net_out.append(round(net, 6))
+            gone.append(not any(
+                list(map(float, pt)) == spike for p in polys for r in p
+                for pt in r
+            ))
+        return pd.DataFrame({
+            "geom_type": types, "n_rings": n_out, "net_area": net_out,
+            "spike_gone": gone,
+        })
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 5 == 0)
+    rows = ev.select(
+        "event_id",
+        ((F.col("event_id") % 6) + 1).cast("double").alias("s"),
+        (F.col("event_id") % 2 == 1).alias("inner_case"),
+    )
+    rep = _assemble(F.col("s"), F.col("inner_case"))
+    return rows.select(
+        "event_id", "s", F.col("inner_case").alias("spiked_inner"),
+        rep["geom_type"].alias("geom_type"),
+        rep["n_rings"].alias("n_rings"),
+        rep["net_area"].alias("net_area"),
+        rep["spike_gone"].alias("spike_gone"),
+    )
+
+
+def q100_union_courtyards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping enclosed courtyards across merged relation parts
+    (ADVICE r03: union_all_polygons subtracted only the other SHELL from
+    surviving holes, filling the shared courtyard — h ∩ other_hole must
+    be re-added). Four crossing C/U outer parts: two enclose courtyard
+    (2s,4s)², two (translated by (s,s)) enclose (3s,5s)²; the true union
+    is the 47s² merged shell minus the 1s² overlap of the courtyards.
+    Closed-form oracle: Polygon, 2 rings, shell 47s², net 46s²."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField as SF_,
+        StructType as ST_,
+    )
+
+    _ship_package(spark)
+
+    @F.pandas_udf(ST_([
+        SF_("geom_type", StringType()),
+        SF_("n_rings", IntegerType()),
+        SF_("shell_area", DoubleType()),
+        SF_("net_area", DoubleType()),
+    ]))
+    def _assemble(scale):
+        from quackosm_spark.geometry import wkb
+        from quackosm_spark.geometry.ops import signed_area
+        from quackosm_spark.plans.pipeline import _assemble_relation
+
+        base = [[0, 0], [6, 0], [6, 6], [4, 6], [4, 2], [2, 2], [2, 6],
+                [0, 6], [0, 0]]
+        types, n_out, shell_out, net_out = [], [], [], []
+        for sv in scale:
+            s = float(sv)
+
+            def u_up(dx, dy):
+                return [[(x + dx) * s, (y + dy) * s] for x, y in base]
+
+            def u_down(dx, dy):
+                return [[(x + dx) * s, (6 - y + dy) * s] for x, y in base]
+
+            members = [
+                u_up(0, 0), u_down(0, 0), u_up(1, 1), u_down(1, 1),
+            ]
+            rows = [
+                {"id": 1, "ref_role": "outer", "ref_idx": i,
+                 "linestring": [
+                     {"x": float(x), "y": float(y)} for x, y in ring
+                 ]}
+                for i, ring in enumerate(members)
+            ]
+            out = _assemble_relation(pd.DataFrame(rows))
+            geom = wkb.loads(out["geometry"].iloc[0])
+            rings = (
+                geom["coordinates"]
+                if geom["type"] == "Polygon"
+                else geom["coordinates"][0]
+            )
+            shell = abs(signed_area(rings[0]))
+            net = shell - sum(abs(signed_area(h)) for h in rings[1:])
+            types.append(geom["type"])
+            n_out.append(len(rings))
+            shell_out.append(round(shell, 6))
+            net_out.append(round(net, 6))
+        return pd.DataFrame({
+            "geom_type": types, "n_rings": n_out,
+            "shell_area": shell_out, "net_area": net_out,
+        })
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 7 == 0)
+    rows = ev.select(
+        "event_id", ((F.col("event_id") % 3) + 1).cast("double").alias("s")
+    )
+    rep = _assemble(F.col("s"))
+    return rows.select(
+        "event_id", "s",
+        rep["geom_type"].alias("geom_type"),
+        rep["n_rings"].alias("n_rings"),
+        rep["shell_area"].alias("shell_area"),
+        rep["net_area"].alias("net_area"),
+    )
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -1883,40 +2053,36 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (VERDICT r02 #5); tests/oracle_harness.py covers all queries locally every
 # round regardless of the window.
 #
-# Round-3 window (exactly 50): the 37 queries whose last driver row is r1
-# (they were rotated out in r2), then this round's new contract queries
-# (q87–q97: relation MakeValid / union holes / inner-union / shared-edge
-# overlay / GeometryCollection, BPE, token shards, corpus audits, blocked
-# near-dup), then q83/q84 (their kernels ride the reworked repair
-# wrappers). Externally unverified THIS round — all with green r2 driver
-# rows (≤1 round old) plus local oracle-harness rows every round:
-# q01, q05, q14, q17, q18, q20, q25, q29, q31, q33, q37, q42, q44, q47,
-# q51–q82, q85, q86.
+# Round-4 window (exactly 50): the 48 queries whose last driver row is r2
+# (they were rotated out in r3 — r3's window re-verified the r1-stale 37
+# plus the new q87–q98), then this round's 2 new contract queries (q99
+# spike-gate repair, q100 overlapping-courtyard union — both exercise the
+# ADVICE r03 kernel fixes). Externally unverified THIS round — all with
+# green r3 driver rows (≤1 round old) plus local oracle-harness rows every
+# round: q02–q13, q15, q16, q19, q21–q24, q26–q28, q30, q32, q34–q36,
+# q38–q41, q43, q45, q46, q48–q50, q83, q87–q98.
 _DRIVER_PRIORITY = [
-    # last driver row is r1 — re-verify this round
-    "q02_semi_join", "q03_anti_join", "q04_ref_validity",
-    "q05_ordered_collect", "q06_window_dedup", "q07_window_rank",
-    "q08_union_distinct", "q09_bool_agg", "q10_map_tags_filter",
-    "q11_distinct_tokens", "q12_bbox_filter", "q13_strip_metadata",
-    "q15_pip_triangle", "q16_exact_dedup", "q19_embedding_neardup",
-    "q21_text_analysis", "q22_langid", "q23_fingerprint",
-    "q24_events_window", "q26_topk_orders", "q27_simhash", "q28_lsh_ann",
-    "q30_relation_validity", "q32_ivf_ann", "q34_stream_windowed_counts",
-    "q35_ann_topk_vectorized", "q36_boilerplate_ngrams", "q38_pii_scan",
-    "q39_repetition_ratio", "q40_pack_sequences",
-    "q41_deterministic_sample", "q43_unigram_logprob",
-    "q45_event_quantiles", "q46_interval_join", "q48_salted_join",
-    "q49_ivf_fullprobe", "q50_bm25_search",
-    # new this round
-    "q87_relation_makevalid", "q88_relation_union_holes",
-    "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
-    "q92_oov_rate", "q93_bigram_logprob", "q94_embedding_neardup_blocked",
-    "q95_relation_inner_union", "q96_relation_shared_edge",
-    "q97_relation_geometrycollection", "q98_quality_psi",
-    # kernels changed this round (repair wrapper rework) — re-verify
-    # (q84's reworked wrappers are also driver-gated via q88/q96 this
-    # round, so it yields its slot to q98 and keeps its green r2 row)
-    "q83_makevalid",
+    # last driver row is r2 — re-verify this round
+    "q01_pricing_summary", "q14_way_assembly", "q17_ngram_jaccard",
+    "q18_minhash_lsh", "q20_ann_topk", "q25_sessionize",
+    "q29_langid_quality_join", "q31_media_stats",
+    "q33_drop_exact_duplicates", "q37_neardup_clusters",
+    "q42_decontamination", "q44_asof_previous_event", "q47_budget_mixture",
+    "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
+    "q54_event_deltas", "q55_revenue_by_nation", "q56_edit_distance_pairs",
+    "q57_stratified_fixed_n", "q58_latest_event_per_user",
+    "q59_value_spikes", "q60_quality_deciles", "q61_pivot_counts",
+    "q62_event_history", "q63_verified_neardup", "q64_event_paths",
+    "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
+    "q68_resample_ffill", "q69_weighted_sample", "q70_cohort_retention",
+    "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
+    "q74_profile_table", "q75_interleave_sources",
+    "q76_bloom_decontamination", "q77_session_window", "q78_geohash_cells",
+    "q79_near_pairs", "q80_incremental_dedup", "q81_novelty_score",
+    "q82_winsorize", "q84_relation_union", "q85_slippy_tiles",
+    "q86_repeated_spans",
+    # new this round (ADVICE r03 fixes)
+    "q99_relation_spike_repair", "q100_union_courtyards",
 ]
 
 
@@ -2026,6 +2192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_relation_shared_edge": q96_relation_shared_edge,
         "q97_relation_geometrycollection": q97_relation_geometrycollection,
         "q98_quality_psi": q98_quality_psi,
+        "q99_relation_spike_repair": q99_relation_spike_repair,
+        "q100_union_courtyards": q100_union_courtyards,
     })
 
 
@@ -3219,6 +3387,33 @@ def oracle_sql() -> dict[str, str]:
                2 AS n_rings,
                round(68 * s * s, 6) AS shell_area,
                round(52 * s * s, 6) AS net_area
+        FROM t
+    """
+    out["q99_relation_spike_repair"] = """
+        WITH t AS (
+            SELECT event_id,
+                   ((event_id % 6) + 1)::DOUBLE AS s,
+                   (event_id % 2 = 1) AS spiked_inner
+            FROM events WHERE event_id % 5 = 0
+        )
+        SELECT event_id, s, spiked_inner,
+               'Polygon' AS geom_type,
+               CASE WHEN spiked_inner THEN 2 ELSE 1 END AS n_rings,
+               round(CASE WHEN spiked_inner THEN 32 * s * s
+                          ELSE 16 * s * s END, 6) AS net_area,
+               TRUE AS spike_gone
+        FROM t
+    """
+    out["q100_union_courtyards"] = """
+        WITH t AS (
+            SELECT event_id, ((event_id % 3) + 1)::DOUBLE AS s
+            FROM events WHERE event_id % 7 = 0
+        )
+        SELECT event_id, s,
+               'Polygon' AS geom_type,
+               2 AS n_rings,
+               round(47 * s * s, 6) AS shell_area,
+               round(46 * s * s, 6) AS net_area
         FROM t
     """
     from quackosm_spark.operators.text import bpe_apply_sql, bpe_token_count_sql

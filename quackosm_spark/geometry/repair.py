@@ -145,6 +145,84 @@ def has_self_intersection(ring: Ring) -> bool:
     return False
 
 
+def has_degenerate_edges(ring: Ring) -> bool:
+    """True iff the closed ring has a repeated non-consecutive vertex
+    (pinch point) or a collinear-overlapping edge pair — zero-width
+    spikes, retraced segments, partial collinear overlaps. The companion
+    gate to ``has_self_intersection`` (which tests TRANSVERSAL crossings
+    only and returns False on all of these): GEOS's ST_MakeValid repairs
+    both classes, so the pipeline's repair gate must detect both (ADVICE
+    r03). Same fixed-row-block pairwise scheme — O(block·K) peak memory,
+    early exit on the first degenerate block."""
+    a = np.asarray(ring, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] < 4:
+        return False
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+    a = a[keep]
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        a = a[:-1]
+    n = a.shape[0]
+    if n < 3:
+        return False
+    # pinch point: the same coordinate appears twice at non-consecutive
+    # walk positions (figure-eight through a shared vertex) — O(K log K)
+    if len(np.unique(a, axis=0)) < n:
+        return True
+    arr = np.concatenate([a, a[:1]], axis=0)
+    p = arr[:-1]
+    r = arr[1:] - arr[:-1]
+    rr_full = (r * r).sum(axis=1)
+    q1x, q1y = p[:, 0], p[:, 1]
+    q2x, q2y = arr[1:, 0], arr[1:, 1]
+    j_idx = np.arange(n)[None, :]
+    for blo in range(0, n, _SELF_INTERSECT_BLOCK):
+        bhi = min(blo + _SELF_INTERSECT_BLOCK, n)
+        bi = np.arange(blo, bhi)[:, None]
+        pb_ = p[blo:bhi]
+        rb_ = r[blo:bhi]
+        rr = rr_full[blo:bhi][:, None]
+        d1x = q1x[None, :] - pb_[:, None, 0]
+        d1y = q1y[None, :] - pb_[:, None, 1]
+        d2x = q2x[None, :] - pb_[:, None, 0]
+        d2y = q2y[None, :] - pb_[:, None, 1]
+        c1 = rb_[:, None, 0] * d1y - rb_[:, None, 1] * d1x
+        c2 = rb_[:, None, 0] * d2y - rb_[:, None, 1] * d2x
+        scale = np.sqrt(rr) * (
+            np.abs(d1x) + np.abs(d1y) + np.abs(d2x) + np.abs(d2y)
+        ) + _EPS
+        collinear = (
+            (j_idx > bi)  # each unordered edge pair once; adjacent pairs
+            # INCLUDED — a spike is edge i+1 retracing along edge i
+            & (rr > _EPS)
+            & (np.abs(c1) <= 1e-9 * scale)
+            & (np.abs(c2) <= 1e-9 * scale)
+        )
+        if not collinear.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (d1x * rb_[:, None, 0] + d1y * rb_[:, None, 1]) / rr
+            t2 = (d2x * rb_[:, None, 0] + d2y * rb_[:, None, 1]) / rr
+        lo = np.minimum(t1, t2)
+        hi = np.maximum(t1, t2)
+        # genuine 1-D overlap, not an endpoint touch (a collinear
+        # CONTINUATION — three points on a straight run — overlaps with
+        # measure zero and stays on the fast path)
+        overlap = np.minimum(hi, 1.0) - np.maximum(lo, 0.0) > 1e-9
+        if bool((collinear & overlap).any()):
+            return True
+    return False
+
+
+def needs_ring_repair(ring: Ring) -> bool:
+    """The pipeline's MakeValid gate: True iff the ring has a transversal
+    self-crossing OR a degenerate (collinear/retraced/pinched) edge
+    configuration — i.e. iff GEOS's ST_MakeValid would not be the
+    identity on it. Valid rings return False and keep the exact-parity
+    fast path (no re-orientation, no vertex reordering)."""
+    return has_self_intersection(ring) or has_degenerate_edges(ring)
+
+
 def rings_cross(a: Ring, b: Ring) -> bool:
     """True iff two rings have a transversal edge crossing (the trigger
     for boolean-op assembly instead of plain nesting). Same fixed-row-
@@ -430,6 +508,14 @@ def overlay_difference(a: Ring, b: Ring) -> list[list[Ring]]:
     boundaries intersect or share runs — the disconnected nested case is
     the CALLER's hole-attachment path, as with ``ring_difference``."""
     return _overlay(a, b, "difference")
+
+
+def overlay_intersection(a: Ring, b: Ring) -> list[list[Ring]]:
+    """a ∩ b via planar overlay (keep faces inside BOTH) — the
+    shared-boundary counterpart of ``ring_intersection``, for hole pairs
+    that run along a common edge (overlapping courtyards of merged
+    relation parts)."""
+    return _overlay(a, b, "intersection")
 
 
 def _overlay(a: Ring, b: Ring, op: str) -> list[list[Ring]]:
@@ -989,8 +1075,16 @@ def union_all_polygons(
                     continue
                 shell = merged[0][0]
                 holes = list(merged[0][1:])
-                # surviving pre-existing holes: hole minus the OTHER
-                # polygon's shell (a part covering a hole fills it)
+                # surviving pre-existing holes. The union's interior is
+                # A_int ∪ B_int, so a hole h of A survives as
+                # h − B = (h − shell_B) ∪ ⋃_j (h ∩ hole_Bj): the part
+                # outside the other SHELL, plus the part that the other
+                # shell covers but one of the other polygon's own HOLES
+                # re-opens (two merged parts with overlapping enclosed
+                # courtyards — ADVICE r03: subtracting only the other
+                # shell filled the shared courtyard). The h∩oh pieces are
+                # emitted ONCE per unordered hole pair — processing hole
+                # h_B against A would re-produce the same region.
                 for h, other in (
                     [(h, b[0]) for h in a[1:]] + [(h, a[0]) for h in b[1:]]
                 ):
@@ -1002,6 +1096,22 @@ def union_all_polygons(
                         _close(ensure_orientation(_open(p), ccw=False))
                         for p in pieces
                     )
+                for ha in a[1:]:
+                    for hb in b[1:]:
+                        try:
+                            if rings_share_boundary(ha, hb):
+                                pieces = [
+                                    p[0] for p in overlay_intersection(ha, hb)
+                                ]
+                            else:
+                                pieces = ring_intersection(ha, hb)
+                        except Exception:
+                            pieces = []
+                        holes.extend(
+                            _close(ensure_orientation(_open(p), ccw=False))
+                            for p in pieces
+                            if ring_area(p) > _EPS
+                        )
                 polys = [p for k, p in enumerate(polys) if k not in (i, j)]
                 polys.append([shell, *holes])
                 changed = True

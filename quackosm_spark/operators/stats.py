@@ -271,6 +271,19 @@ def quality_psi(
     counts = d.groupBy("source", "bin").agg(F.count("*").alias("cnt"))
     if ref_source is None:
         ref_source = counts.agg(F.min("source")).collect()[0][0]
+    else:
+        # a typo'd reference source would otherwise empty the inner join
+        # below and read as "no drift anywhere" (ADVICE r03) — fail loud,
+        # naming what WAS available
+        present = [
+            r[0]
+            for r in counts.select("source").distinct().limit(101).collect()
+        ]
+        if ref_source not in present:
+            raise ValueError(
+                f"quality_psi: ref_source {ref_source!r} not present in "
+                f"{source_col!r} (saw: {sorted(map(str, present))[:20]})"
+            )
     # densify to all bins per source so smoothing covers empty buckets
     sources = counts.select("source").distinct()
     grid = sources.crossJoin(

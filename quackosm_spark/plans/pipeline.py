@@ -447,7 +447,7 @@ def _way_geometry_udf(
     """
     import struct as _struct
 
-    from quackosm_spark.geometry.repair import has_self_intersection, make_valid_ring
+    from quackosm_spark.geometry.repair import make_valid_ring, needs_ring_repair
 
     n_rows = len(xs)
     lens = np.fromiter((len(v) for v in xs), dtype=np.int64, count=n_rows)
@@ -475,9 +475,11 @@ def _way_geometry_udf(
             # re-orientation, no vertex reordering — ST_MakeValid is the
             # identity on them and the reference preserves the OSM way's
             # vertex order. Only a detected transversal self-intersection
-            # (bowtie closed way) pays the repair, matching reference
+            # (bowtie closed way) OR degenerate linework (zero-width
+            # spike, retraced/collinear-overlap edges, pinch point —
+            # ADVICE r03) pays the repair, matching reference
             # pbf_file_reader.py:3592-3644 (MakeValid on every write).
-            if has_self_intersection(coords):
+            if needs_ring_repair(coords):
                 try:
                     polys = make_valid_ring(coords.tolist())
                 except Exception:
@@ -557,8 +559,8 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
 
     from quackosm_spark.geometry.ops import signed_area
     from quackosm_spark.geometry.repair import (
-        has_self_intersection,
         make_valid_ring,
+        needs_ring_repair,
         overlay_difference,
         ring_difference,
         rings_cross,
@@ -579,7 +581,7 @@ def _assemble_relation(pdf: pd.DataFrame) -> pd.DataFrame:
         fixed: list = []
         extra_holes: list = []
         for r in rings:
-            if has_self_intersection(r):
+            if needs_ring_repair(r):
                 try:
                     polys = make_valid_ring(r)
                 except Exception:

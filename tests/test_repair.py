@@ -355,6 +355,134 @@ class TestRelationAssemblySemantics:
         geom = self._run([("outer", line)])
         assert geom["type"] == "Polygon"
 
+    # ---- r04: the repair gate reaches degenerate (non-crossing) rings
+    # through the REAL relation path (ADVICE r03 — previously the spike
+    # vertex [2,6] was emitted unrepaired because has_self_intersection
+    # alone gated the repair)
+
+    def test_spiked_outer_repaired_through_pipeline(self):
+        spiked = [[0, 0], [4, 0], [4, 4], [2, 4], [2, 6], [2, 4],
+                  [0, 4], [0, 0]]
+        geom = self._run([("outer", spiked)])
+        assert geom["type"] == "Polygon"
+        assert geom["coordinates"] == [
+            [[0, 0], [4, 0], [4, 4], [2, 4], [0, 4], [0, 0]]
+        ]
+
+    def test_spiked_inner_repaired_through_pipeline(self):
+        big = [[-1, -1], [5, -1], [5, 7], [-1, 7], [-1, -1]]
+        spiked = [[0, 0], [4, 0], [4, 4], [2, 4], [2, 6], [2, 4],
+                  [0, 4], [0, 0]]
+        geom = self._run([("outer", big), ("inner", spiked)])
+        assert geom["type"] == "Polygon"
+        from quackosm_spark.geometry.ops import signed_area
+
+        rings = geom["coordinates"]
+        assert abs(signed_area(rings[0])) == pytest.approx(48.0)
+        assert len(rings) == 2
+        assert abs(signed_area(rings[1])) == pytest.approx(16.0)
+        # the zero-width spike vertex is gone from the hole
+        assert [2, 6] not in [list(map(float, p)) for p in rings[1]]
+
+
+class TestDegenerateGate:
+    """ADVICE r03: the pipeline repair gate must detect collinear/retraced
+    degeneracies, not just transversal crossings — otherwise the collinear
+    repair in make_valid_ring is unreachable from the data path."""
+
+    SPIKE_PINCH = [[0, 0], [4, 0], [4, 4], [2, 4], [2, 6], [2, 4],
+                   [0, 4], [0, 0]]
+    SPIKE_PARTIAL = [[0, 0], [4, 0], [4, 4], [2, 4], [2, 7], [2, 5],
+                     [0, 5], [0, 0]]
+
+    def test_valid_rings_stay_fast_path(self):
+        assert not R.has_degenerate_edges(SQUARE)
+        assert not R.needs_ring_repair(SQUARE)
+        # a vertex ON a straight run is valid (collinear continuation,
+        # zero-measure overlap) — must NOT trigger repair
+        coll_mid = [[0, 0], [2, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        assert not R.has_degenerate_edges(coll_mid)
+        assert not R.needs_ring_repair(coll_mid)
+
+    def test_zero_width_spike_detected_and_dissolved(self):
+        # exact retrace through a repeated vertex (the ADVICE repro shape)
+        assert not R.has_self_intersection(self.SPIKE_PINCH)
+        assert R.has_degenerate_edges(self.SPIKE_PINCH)
+        assert R.needs_ring_repair(self.SPIKE_PINCH)
+        polys = R.make_valid_ring(self.SPIKE_PINCH)
+        assert polys == [[[[0, 0], [4, 0], [4, 4], [2, 4], [0, 4], [0, 0]]]]
+
+    def test_partial_retrace_no_repeated_vertex(self):
+        # spike whose return lands elsewhere on the same line: no repeated
+        # vertex, pure collinear-overlap pair
+        assert not R.has_self_intersection(self.SPIKE_PARTIAL)
+        assert R.has_degenerate_edges(self.SPIKE_PARTIAL)
+        assert R.make_valid_area(self.SPIKE_PARTIAL) == pytest.approx(18.0)
+
+    def test_bowtie_is_crossing_not_degenerate(self):
+        assert not R.has_degenerate_edges(BOWTIE)
+        assert R.needs_ring_repair(BOWTIE)
+
+    def test_numpy_array_input(self):
+        assert R.has_degenerate_edges(np.asarray(self.SPIKE_PINCH, float))
+        assert not R.has_degenerate_edges(np.asarray(SQUARE, float))
+
+
+def _u_up(dx=0.0, dy=0.0):
+    return [[x + dx, y + dy] for x, y in
+            [[0, 0], [6, 0], [6, 6], [4, 6], [4, 2], [2, 2], [2, 6],
+             [0, 6], [0, 0]]]
+
+
+def _u_down(dx=0.0, dy=0.0):
+    return [[x + dx, 6 - y + dy] for x, y in
+            [[0, 0], [6, 0], [6, 6], [4, 6], [4, 2], [2, 2], [2, 6],
+             [0, 6], [0, 0]]]
+
+
+class TestUnionAllOverlappingHoles:
+    """ADVICE r03: union_all_polygons lost the shared courtyard when two
+    merged parts carried overlapping enclosed holes (only the other
+    SHELL was subtracted, never re-adding h ∩ other_hole)."""
+
+    @staticmethod
+    def _net(polys):
+        return sum(
+            R.ring_area(p[0]) - sum(R.ring_area(h) for h in p[1:])
+            for p in polys
+        )
+
+    def test_identical_courtyards_survive(self):
+        # two crossing C-pairs enclosing the SAME central 2×2 courtyard
+        polys = R.union_all_polygons([_u_up(), _u_down(), _u_up(), _u_down()])
+        assert len(polys) == 1
+        assert self._net(polys) == pytest.approx(36.0 - 4.0)
+
+    def test_partially_overlapping_courtyards(self):
+        # second pair translated (1,1): holes (2,4)² and (3,5)² overlap in
+        # the unit square (3,4)²; shells union to 36+36−25 = 47
+        polys = R.union_all_polygons(
+            [_u_up(), _u_down(), _u_up(1, 1), _u_down(1, 1)]
+        )
+        assert len(polys) == 1
+        assert self._net(polys) == pytest.approx(47.0 - 1.0)
+        # pin to an independent Monte-Carlo estimate of the true union
+        rng = np.random.default_rng(7)
+        xs = rng.uniform(0, 7, 200000)
+        ys = rng.uniform(0, 7, 200000)
+        rings = [_u_up(), _u_down(), _u_up(1, 1), _u_down(1, 1)]
+        inside = np.zeros(len(xs), dtype=bool)
+        for r in rings:
+            inside |= points_in_ring(xs, ys, np.asarray(r, float))
+        assert self._net(polys) == pytest.approx(inside.mean() * 49, rel=0.02)
+
+    def test_hole_filled_by_holefree_part_still_fills(self):
+        # regression guard: a third part covering the courtyard must still
+        # fill it (the h − other_shell path is unchanged)
+        cover = [[1, 1], [5, 1], [5, 5], [1, 5], [1, 1]]
+        polys = R.union_all_polygons([_u_up(), _u_down(), cover])
+        assert self._net(polys) == pytest.approx(36.0)
+
 
 class TestBooleanInvariants:
     """Inclusion–exclusion identities over random convex polygon pairs:

@@ -283,3 +283,18 @@ def test_quality_psi_reference_zero_and_shift_ordering(spark):
     assert out["same"]["psi"] == pytest.approx(0.0, abs=1e-9)
     assert out["shifted"]["psi"] > 0.25  # "major shift" band
     assert out["shifted"]["n_docs"] == 40
+
+
+def test_quality_psi_missing_ref_source_raises(spark):
+    """ADVICE r03: a typo'd ref_source used to empty the inner join and
+    read as 'no drift anywhere' — it must fail loud instead."""
+    from quackosm_spark.operators.stats import quality_psi
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "web"), (2, "other text", "books")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="typo_source"):
+        quality_psi(docs, ref_source="typo_source")
+    # the default (lexicographically first) path is untouched
+    assert quality_psi(docs).count() == 2
