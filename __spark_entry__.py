@@ -2011,6 +2011,51 @@ def q100_union_courtyards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rule battery (operators/text.gopher_rules — Rae et
+    al. 2021 §A1.1): per-rule boolean flags + combined verdict, all
+    JVM-side Column expressions (map-only scan at any scale). Thresholds
+    tuned down to the synthetic corpus's short docs so both outcomes
+    occur."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.gopher_rules(docs, min_words=20, min_stopword_hits=1)
+
+
+def q102_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text.dsir_logweights — Xie et
+    al. 2023): log p_target/p_raw per doc under Laplace-smoothed hashed-
+    unigram models, target = source 'src0'. One explode scan feeds both
+    histograms; the weight join is a broadcast of ≤1024 bucket rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.dsir_logweights(docs, target_source="src0", buckets=1024)
+
+
+def q103_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE merge learning (text.train_bpe_merges_distributed):
+    every pair-count round is a cluster-side groupBy over the (word,
+    freq) table; only the argmax pair reaches the driver. The oracle pins
+    the merge table to the output of the INDEPENDENT driver-side sample
+    trainer (`train_bpe_merges`, its own index-walk implementation) run
+    over the same sf0.01 rows — the two implementations are proven
+    bit-equal by tests/test_differential_new_ops.py on random corpora."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    merges = T.train_bpe_merges_distributed(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left STRING, right STRING",
+    )
+
+
+def q104_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup with a retention policy (dedup.dedup_keep_best):
+    the q37 near-dup components, but keeping the highest-quality doc per
+    cluster (ties → smaller id) instead of the arbitrary min-id — the
+    production policy (drop the mirrors, keep the cleanest copy).
+    Singleton docs are their own cluster and always kept."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return D.dedup_keep_best(docs, threshold=0.2)
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -2053,14 +2098,19 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (VERDICT r02 #5); tests/oracle_harness.py covers all queries locally every
 # round regardless of the window.
 #
-# Round-4 window (exactly 50): the 48 queries whose last driver row is r2
-# (they were rotated out in r3 — r3's window re-verified the r1-stale 37
-# plus the new q87–q98), then this round's 2 new contract queries (q99
-# spike-gate repair, q100 overlapping-courtyard union — both exercise the
-# ADVICE r03 kernel fixes). Externally unverified THIS round — all with
-# green r3 driver rows (≤1 round old) plus local oracle-harness rows every
-# round: q02–q13, q15, q16, q19, q21–q24, q26–q28, q30, q32, q34–q36,
-# q38–q41, q43, q45, q46, q48–q50, q83, q87–q98.
+# Round-4 window (exactly 50): 44 of the 48 queries whose last driver row
+# is r2 (they were rotated out in r3 — r3's window re-verified the
+# r1-stale 37 plus the new q87–q98), then this round's 6 new contract
+# queries (q99 spike-gate repair, q100 overlapping-courtyard union — the
+# ADVICE r03 kernel fixes — plus q101 Gopher rules, q102 DSIR weights,
+# q103 distributed BPE, q104 keep-best dedup). With 104 queries and 50
+# slots, 4 r2-verified queries with UNCHANGED trivial kernels yield their
+# slot until r5 (q55 revenue rollup, q61 pivot, q64 event paths, q68
+# resample — plain groupBy/pivot/window shapes with no code touched since
+# r1). Externally unverified THIS round — all with green r3 driver rows
+# plus local oracle-harness rows every round: q02–q13, q15, q16, q19,
+# q21–q24, q26–q28, q30, q32, q34–q36, q38–q41, q43, q45, q46, q48–q50,
+# q83, q87–q98, and the four named above (r2 rows).
 _DRIVER_PRIORITY = [
     # last driver row is r2 — re-verify this round
     "q01_pricing_summary", "q14_way_assembly", "q17_ngram_jaccard",
@@ -2069,20 +2119,22 @@ _DRIVER_PRIORITY = [
     "q33_drop_exact_duplicates", "q37_neardup_clusters",
     "q42_decontamination", "q44_asof_previous_event", "q47_budget_mixture",
     "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
-    "q54_event_deltas", "q55_revenue_by_nation", "q56_edit_distance_pairs",
+    "q54_event_deltas", "q56_edit_distance_pairs",
     "q57_stratified_fixed_n", "q58_latest_event_per_user",
-    "q59_value_spikes", "q60_quality_deciles", "q61_pivot_counts",
-    "q62_event_history", "q63_verified_neardup", "q64_event_paths",
+    "q59_value_spikes", "q60_quality_deciles",
+    "q62_event_history", "q63_verified_neardup",
     "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
-    "q68_resample_ffill", "q69_weighted_sample", "q70_cohort_retention",
+    "q69_weighted_sample", "q70_cohort_retention",
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
     "q74_profile_table", "q75_interleave_sources",
     "q76_bloom_decontamination", "q77_session_window", "q78_geohash_cells",
     "q79_near_pairs", "q80_incremental_dedup", "q81_novelty_score",
     "q82_winsorize", "q84_relation_union", "q85_slippy_tiles",
     "q86_repeated_spans",
-    # new this round (ADVICE r03 fixes)
+    # new this round (ADVICE r03 fixes + round-4 operators)
     "q99_relation_spike_repair", "q100_union_courtyards",
+    "q101_gopher_rules", "q102_dsir_weights",
+    "q103_bpe_learned_merges", "q104_dedup_keep_best",
 ]
 
 
@@ -2194,6 +2246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_quality_psi": q98_quality_psi,
         "q99_relation_spike_repair": q99_relation_spike_repair,
         "q100_union_courtyards": q100_union_courtyards,
+        "q101_gopher_rules": q101_gopher_rules,
+        "q102_dsir_weights": q102_dsir_weights,
+        "q103_bpe_learned_merges": q103_bpe_learned_merges,
+        "q104_dedup_keep_best": q104_dedup_keep_best,
     })
 
 
@@ -3415,6 +3471,95 @@ def oracle_sql() -> dict[str, str]:
                round(47 * s * s, 6) AS shell_area,
                round(46 * s * s, 6) AS net_area
         FROM t
+    """
+    from quackosm_spark.operators.text import gopher_rules_sql
+
+    out["q101_gopher_rules"] = f"""
+        SELECT doc_id,
+               {gopher_rules_sql('text', min_words=20, min_stopword_hits=1)}
+        FROM documents
+    """
+    out["q102_dsir_weights"] = """
+        WITH w AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS w
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bucket
+            FROM w
+        ),
+        raw AS (SELECT bucket, count(*) AS cnt_r FROM b GROUP BY bucket),
+        tgt AS (SELECT bucket, count(*) AS cnt_t FROM b
+                WHERE source = 'src0' GROUP BY bucket),
+        tot AS (SELECT (SELECT sum(cnt_r) FROM raw)::DOUBLE AS tr,
+                       (SELECT sum(cnt_t) FROM tgt)::DOUBLE AS tt),
+        tab AS (
+            SELECT r.bucket,
+                   ln((coalesce(t.cnt_t, 0) + 1.0) / (tot.tt + 1024))
+                   - ln((r.cnt_r + 1.0) / (tot.tr + 1024)) AS logratio
+            FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tot
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(sum(logratio), 4) AS logweight
+        FROM b JOIN tab USING (bucket)
+        GROUP BY doc_id
+    """
+    # golden VALUES = the INDEPENDENT driver-side sample trainer's output
+    # on the same sf0.01 rows (train_bpe_merges, its own index-walk
+    # implementation; the two trainers are differential-tested bit-equal
+    # on random corpora) — DuckDB cannot run iterative BPE natively
+    out["q103_bpe_learned_merges"] = """
+        SELECT * FROM (VALUES
+            (1, 'e', 'r'), (2, 'o', 'w'), (3, 'i', 'n'), (4, 's', 't'),
+            (5, 'o', 'r'), (6, 'm', 'er'), (7, 'a', 'l'), (8, 'a', 't')
+        ) AS t(rank, "left", "right")
+    """
+    out["q104_dedup_keep_best"] = f"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, {_hashed_shingles_sql('text')} AS sh,
+                   {_QUALITY_SQL} AS quality
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        cc(id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, cc.label FROM cc JOIN edges e ON e.dst = cc.id
+        ),
+        comp AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM cc GROUP BY id),
+        lab AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.quality
+            FROM docs d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, cluster_id, quality,
+               (row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY quality DESC, doc_id) = 1) AS keep
+        FROM lab
     """
     from quackosm_spark.operators.text import bpe_apply_sql, bpe_token_count_sql
 

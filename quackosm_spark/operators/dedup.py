@@ -1041,3 +1041,47 @@ def embedding_near_duplicates_blocked(
     # pairs live only in their (lo, hi) task; same-block pairs are halved
     # in the kernel), so no dedup shuffle is needed on the output
     return tasks.groupBy("lo", "hi").applyInPandas(_score, schema=out_schema)
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    quality: Column | None = None,
+) -> DataFrame:
+    """Cluster-level near-dedup with a RETENTION POLICY: group docs into
+    transitive near-duplicate clusters (exact n-gram jaccard pairs →
+    connected components) and keep the highest-quality doc per cluster
+    instead of the arbitrary min-id — what a production corpus actually
+    wants (drop the 9 mirrors, keep the cleanest copy).
+
+    ``quality`` defaults to ``text.quality_score``; ties break on the
+    smaller doc id (deterministic). Docs in no pair are their own
+    singleton cluster and always kept. One pair-graph build + the
+    pointer-jumping CC rounds + ONE window over (cluster, quality desc,
+    id) — the window partitions by cluster so no global sort. Returns
+    (doc_id, cluster_id, quality, keep)."""
+    from pyspark.sql import Window
+
+    from quackosm_spark.operators.text import quality_score
+
+    q = quality if quality is not None else quality_score(text_col)
+    pairs = ngram_jaccard_pairs(docs, id_col=id_col, text_col=text_col,
+                                threshold=threshold)
+    clusters = neardup_clusters(pairs)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), q.alias("quality")
+    )
+    labeled = base.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return labeled.select(
+        "doc_id", "cluster_id", "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

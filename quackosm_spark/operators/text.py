@@ -487,12 +487,26 @@ def train_bpe_merges(
     tables converge on a tiny fraction of a 100 TB corpus, and the result
     broadcasts to ``bpe_*`` appliers as a plain list."""
     oc = order_col or docs.columns[0]
-    rows = (
-        docs.select(F.col(text_col).alias("t"))
-        .orderBy(oc)
-        .limit(int(sample_rows))
-        .collect()
-    )
+    if sample_rows <= 100_000:
+        rows = (
+            docs.select(F.col(text_col).alias("t"))
+            .orderBy(oc)
+            .limit(int(sample_rows))
+            .collect()
+        )
+    else:
+        # TakeOrderedAndProject preallocates a per-task priority queue of
+        # the LIMIT's capacity — a "take everything" sample_rows (10^9)
+        # OOMs every executor thread before a single row flows. Large
+        # samples stream the global sort partition-by-partition instead.
+        from itertools import islice
+
+        it = (
+            docs.select(F.col(text_col).alias("t"), F.col(oc).alias("o"))
+            .orderBy("o")
+            .toLocalIterator()
+        )
+        rows = list(islice(it, int(sample_rows)))
     import re as _re
     from collections import Counter
 
@@ -769,3 +783,349 @@ def oov_rate(
             "oov_frac", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule set (Rae et al. 2021 §A1.1; also the RedPajama
+# / Dolma filtering recipes) — per-rule boolean flags, all JVM Columns
+# --------------------------------------------------------------------------
+
+#: the stopword-presence rule's marker list (Gopher's original eight)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality rule battery as per-rule boolean flags plus the
+    combined ``passes`` verdict — the canonical pre-training corpus filter
+    (word-count bounds, mean word length band, symbol-to-word ratio,
+    bullet-line and ellipsis-line shares, alphabetic-word ratio, stopword
+    presence).
+
+    Every rule is a built-in Column expression (split/filter/aggregate —
+    whole-stage codegen, no UDF, no shuffle): filtering 100 TB is a
+    map-only scan. Ratio denominators use greatest(n, 1) so empty docs
+    produce deterministic flags (they fail the word-count rule).
+    Emits (id, n_words, rule_* flags, passes)."""
+    col = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(col), r"\s+"), lambda w: w != F.lit("")
+    )
+    n_words = F.size(words)
+    denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = sum_len / denom_w
+    n = F.length(col)
+    hash_n = n - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    uni_ell = n - F.length(F.replace(col, F.lit("…"), F.lit("")))
+    ascii_ell = (
+        n - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_n + uni_ell + ascii_ell) / denom_w
+    lines = F.filter(
+        F.split(col, r"\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    denom_l = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+                | F.startswith(F.ltrim(l), F.lit("*"))
+                | F.startswith(F.ltrim(l), F.lit("•")),
+            )
+        )
+        / denom_l
+    )
+    ellipsis_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+                | F.endswith(F.rtrim(l), F.lit("…")),
+            )
+        )
+        / denom_l
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / denom_w
+    )
+    words_lower = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words_lower, s),
+        )
+    )
+    flags = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_word_length": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "rule_bullets": bullet_ratio <= max_bullet_ratio,
+        "rule_ellipsis": ellipsis_ratio <= max_ellipsis_ratio,
+        "rule_alpha": alpha_ratio >= min_alpha_word_ratio,
+        "rule_stopwords": stop_hits >= min_stopword_hits,
+    }
+    passes = None
+    for f in flags.values():
+        passes = f if passes is None else (passes & f)
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+        passes.alias("passes"),
+    )
+
+
+def gopher_rules_sql(
+    text_expr: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> str:
+    """DuckDB replica of gopher_rules' flag expressions: returns the SQL
+    for a struct-free SELECT fragment ``rule_* ..., passes`` given a
+    ``words``/``lines`` lateral already defined — kept as one fragment so
+    the oracle and any ad-hoc DuckDB user share one definition."""
+    words = (
+        f"list_filter(string_split_regex(trim({text_expr}), '\\s+'),"
+        f" w -> w <> '')"
+    )
+    lines = (
+        f"list_filter(string_split({text_expr}, chr(10)),"
+        f" l -> trim(l) <> '')"
+    )
+    n_words = f"len({words})"
+    denom_w = f"greatest({n_words}, 1)::DOUBLE"
+    mean_len = (
+        f"(list_sum(list_transform({words}, w -> length(w)::BIGINT))"
+        f" / {denom_w})"
+    )
+    n = f"length({text_expr})"
+    sym = (
+        f"(({n} - length(replace({text_expr}, '#', '')))"
+        f" + ({n} - length(replace({text_expr}, '…', '')))"
+        f" + ({n} - length(replace({text_expr}, '...', ''))) / 3)"
+    )
+    bullets = (
+        f"len(list_filter({lines}, l -> starts_with(ltrim(l), '-')"
+        f" OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))"
+    )
+    ells = (
+        f"len(list_filter({lines}, l -> ends_with(rtrim(l), '...')"
+        f" OR ends_with(rtrim(l), '…')))"
+    )
+    denom_l = f"greatest(len({lines}), 1)::DOUBLE"
+    alpha = (
+        f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    )
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    stop_hits = (
+        f"len(list_filter([{stops}],"
+        f" s -> list_contains(list_transform({words}, w -> lower(w)), s)))"
+    )
+    flags = {
+        "rule_word_count": (
+            f"({n_words} >= {min_words} AND {n_words} <= {max_words})"
+        ),
+        "rule_word_length": (
+            f"({mean_len} >= {min_mean_word_len}"
+            f" AND {mean_len} <= {max_mean_word_len})"
+        ),
+        "rule_symbol_ratio": f"({sym} / {denom_w} <= {max_symbol_ratio})",
+        "rule_bullets": f"({bullets} / {denom_l} <= {max_bullet_ratio})",
+        "rule_ellipsis": f"({ells} / {denom_l} <= {max_ellipsis_ratio})",
+        "rule_alpha": f"({alpha} / {denom_w} >= {min_alpha_word_ratio})",
+        "rule_stopwords": f"({stop_hits} >= {min_stopword_hits})",
+    }
+    cols = [f"{n_words}::INT AS n_words"]
+    cols += [f"{expr} AS {name}" for name, expr in flags.items()]
+    cols.append(" AND ".join(flags.values()) + " AS passes")
+    return ",\n       ".join(cols)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") — hashed unigram features
+# --------------------------------------------------------------------------
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Per-document log importance weight log p_target(x)/p_raw(x) under
+    hashed-unigram bag-of-words models — the DSIR selection signal:
+    resample the raw pool with these weights to approximate the target
+    distribution. The target model is fit on ``target_source``'s docs,
+    the raw model on the whole pool; both are Laplace-smoothed bucket
+    histograms (+1 per bucket).
+
+    Scale shape: one word-explode scan feeds BOTH histograms (buckets ≤
+    a few thousand rows each — broadcast), and the per-doc weight is one
+    more map-side join + sum. No driver data beyond two scalar totals.
+    Hash is md5-derived so the DuckDB oracle reproduces weights exactly.
+    Returns (id, n_tokens, logweight); empty docs emit no row. Raises
+    ValueError when ``target_source`` matches nothing (a typo'd source
+    must not read as an empty report)."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    bucketed = w.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("bigint") % buckets,
+    ).select("doc_id", "source", "bucket")
+    raw = bucketed.groupBy("bucket").agg(F.count("*").alias("cnt_r"))
+    tgt = (
+        bucketed.where(F.col("source") == target_source)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt_t"))
+    )
+    totals = raw.agg(F.sum("cnt_r")).collect()[0][0]
+    total_t_row = tgt.agg(F.sum("cnt_t")).collect()[0][0]
+    if total_t_row is None:
+        raise ValueError(
+            f"dsir_logweights: target_source {target_source!r} matched no "
+            f"rows in {source_col!r}"
+        )
+    total_r, total_t = float(totals), float(total_t_row)
+    table = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1.0)
+                    / F.lit(total_t + buckets)
+                )
+                - F.log((F.col("cnt_r") + 1.0) / F.lit(total_r + buckets))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(table), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("logratio"), 4).alias("logweight"),
+        )
+    )
+
+
+def train_bpe_merges_distributed(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Fully DISTRIBUTED classic BPE training (Sennrich et al. 2016) —
+    the 100 TB upgrade of ``train_bpe_merges``: instead of collecting a
+    sample to the driver, the corpus is folded ONCE into a (word, freq)
+    table (the only corpus-scale shuffle; a natural-language vocabulary
+    is sublinear in corpus size), and every merge round runs on the
+    cluster: adjacent-pair explode → groupBy sum → a single argmax row
+    to the driver → Column-fold merge application. Driver traffic is one
+    (pair, count) row per round.
+
+    Bit-compatible with the driver-side trainer on identical input rows:
+    same normalization (lowercase, ``[^a-z0-9 ]`` → space), same greedy
+    left-to-right merge application (the ``aggregate`` fold consumes the
+    pair exactly like the sample trainer's index walk), same
+    (−count, pair) lexicographic tie-break, same ``min_freq`` stop.
+    ``localCheckpoint`` truncates round-over-round lineage, as in
+    ``neardup_clusters``."""
+    norm = F.regexp_replace(
+        F.lower(F.col(text_col)), _BPE_NORMALIZE_RE, " "
+    )
+    word_freq = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(norm, " "), lambda t: t != F.lit(""))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.filter(
+                F.split(F.col("word"), ""), lambda c: c != F.lit("")
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pair_counts = (
+            word_freq.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = (
+            pair_counts.orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        ab = a + b
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        word_freq = word_freq.select(
+            merged.alias("syms"), "freq"
+        ).localCheckpoint()
+    return merges

@@ -292,3 +292,131 @@ def test_oov_and_bigram_match_bruteforce(spark, seed):
         assert got_bg[i][1] == pytest.approx(
             round(sum(logs) / len(logs), 4), abs=1e-4
         ), i
+
+
+@pytest.mark.parametrize("seed,n_merges", [(21, 6), (22, 10)])
+def test_distributed_bpe_matches_driver_trainer(spark, seed, n_merges):
+    """The distributed pair-count trainer must be bit-equal to the
+    driver-side sample trainer on identical rows (same normalization,
+    greedy application, tie-break, min_freq stop)."""
+    from quackosm_spark.operators.text import (
+        train_bpe_merges,
+        train_bpe_merges_distributed,
+    )
+
+    docs = _random_docs(seed, n=80)
+    d = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    expected = train_bpe_merges(
+        d, n_merges=n_merges, sample_rows=10**9, order_col="doc_id"
+    )
+    got = train_bpe_merges_distributed(d, n_merges=n_merges)
+    assert got == expected
+
+
+def test_gopher_rules_semantics(spark):
+    from quackosm_spark.operators.text import gopher_rules
+
+    good = "The quick brown foxes have been running to the barn " * 8
+    bullets = "\n".join(f"- item {i} of the list to have" for i in range(20))
+    symbols = ("word " * 60) + ("#" * 40)
+    rows = [
+        (1, good), (2, ""), (3, bullets), (4, symbols),
+        (5, "short text only"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in gopher_rules(d, min_words=20).collect()}
+    assert out[1].passes
+    assert not out[2].rule_word_count and not out[2].passes
+    assert not out[3].rule_bullets  # every line bullet-led
+    assert not out[4].rule_symbol_ratio
+    assert not out[5].rule_word_count
+
+
+def test_gopher_rules_matches_python_reference(spark):
+    """Flag-for-flag differential vs a plain-Python reimplementation on
+    random mixed docs."""
+    from quackosm_spark.operators.text import GOPHER_STOPWORDS, gopher_rules
+
+    rng = random.Random(31)
+    pool = WORDS + ["the", "and", "#tag", "a", "...", "•", "x" * 15]
+    rows = []
+    for i in range(50):
+        n = rng.randint(0, 80)
+        words = [rng.choice(pool) for _ in range(n)]
+        text = ""
+        for w in words:
+            text += w + (rng.random() < 0.1 and "\n" or " ")
+        rows.append((i, text))
+
+    def ref(text):
+        words = [w for w in text.split() if w]
+        nw = len(words)
+        dw = max(nw, 1)
+        mean_len = sum(len(w) for w in words) / dw
+        sym = (
+            text.count("#") + text.count("…") + text.count("...")
+        ) / dw
+        lines = [l for l in text.split("\n") if l.strip()]
+        dl = max(len(lines), 1)
+        bull = sum(
+            1 for l in lines if l.lstrip(" ").startswith(("-", "*", "•"))
+        ) / dl
+        ell = sum(
+            1
+            for l in lines
+            if l.rstrip(" ").endswith(("...", "…"))
+        ) / dl
+        alpha = sum(1 for w in words if any(c.isascii() and c.isalpha() for c in w)) / dw
+        lower = [w.lower() for w in words]
+        stops = sum(1 for s in GOPHER_STOPWORDS if s in lower)
+        return (
+            20 <= nw <= 100_000, 3.0 <= mean_len <= 10.0, sym <= 0.1,
+            bull <= 0.9, ell <= 0.3, alpha >= 0.8, stops >= 2,
+        )
+
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (
+            r.rule_word_count, r.rule_word_length, r.rule_symbol_ratio,
+            r.rule_bullets, r.rule_ellipsis, r.rule_alpha,
+            r.rule_stopwords,
+        )
+        for r in gopher_rules(d, min_words=20).collect()
+    }
+    for i, text in rows:
+        assert got[i] == ref(text), f"doc {i}: {text!r}"
+
+
+def test_dsir_logweights_orders_target_like_docs(spark):
+    from quackosm_spark.operators.text import dsir_logweights
+
+    target_text = "alpha beta gamma delta " * 10
+    other_text = "zeta eta theta omega " * 10
+    rows = (
+        [(i, target_text, "tgt") for i in range(20)]
+        + [(100 + i, other_text, "web") for i in range(20)]
+        + [(200, target_text, "web"), (201, other_text, "tgt")]
+    )
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {r.doc_id: r.logweight for r in
+           dsir_logweights(d, target_source="tgt", buckets=256).collect()}
+    # a target-looking doc in the raw pool outranks a raw-looking one
+    assert out[200] > out[201]
+    assert out[0] > out[100]
+
+    with pytest.raises(ValueError, match="nope"):
+        dsir_logweights(d, target_source="nope", buckets=256).collect()
+
+
+def test_dedup_keep_best_retains_highest_quality(spark):
+    from quackosm_spark.operators.dedup import dedup_keep_best
+
+    dup_a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    dup_b = dup_a + " !!!!!!!!!!!!!!!!!!!!!!!!"  # same content, worse quality
+    uniq = "completely different text about distributed query engines"
+    rows = [(1, dup_b), (2, dup_a), (3, uniq)]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in dedup_keep_best(d, threshold=0.3).collect()}
+    assert out[1].cluster_id == out[2].cluster_id == 1
+    assert out[2].keep and not out[1].keep  # cleaner copy wins despite id
+    assert out[3].keep and out[3].cluster_id == 3
