@@ -147,13 +147,14 @@ def has_self_intersection(ring: Ring) -> bool:
 
 def has_degenerate_edges(ring: Ring) -> bool:
     """True iff the closed ring has a repeated non-consecutive vertex
-    (pinch point) or a collinear-overlapping edge pair — zero-width
-    spikes, retraced segments, partial collinear overlaps. The companion
+    (pinch point), a collinear-overlapping edge pair (zero-width spike,
+    retraced segment, partial collinear overlap), or a vertex lying in
+    the INTERIOR of a non-incident edge (tangent T-touch). The companion
     gate to ``has_self_intersection`` (which tests TRANSVERSAL crossings
     only and returns False on all of these): GEOS's ST_MakeValid repairs
-    both classes, so the pipeline's repair gate must detect both (ADVICE
-    r03). Same fixed-row-block pairwise scheme — O(block·K) peak memory,
-    early exit on the first degenerate block."""
+    every class, so the pipeline's repair gate must detect them all
+    (ADVICE r03). Same fixed-row-block pairwise scheme — O(block·K) peak
+    memory, early exit on the first degenerate block."""
     a = np.asarray(ring, dtype=np.float64)
     if a.ndim != 2 or a.shape[0] < 4:
         return False
@@ -198,11 +199,25 @@ def has_degenerate_edges(ring: Ring) -> bool:
             & (np.abs(c1) <= 1e-9 * scale)
             & (np.abs(c2) <= 1e-9 * scale)
         )
-        if not collinear.any():
-            continue
         with np.errstate(divide="ignore", invalid="ignore"):
             t1 = (d1x * rb_[:, None, 0] + d1y * rb_[:, None, 1]) / rr
             t2 = (d2x * rb_[:, None, 0] + d2y * rb_[:, None, 1]) / rr
+        # tangent T-touch: edge j's START vertex sits strictly inside
+        # edge i (every vertex is some edge's start, so j ≠ i covers all
+        # vertex×edge pairs; incident vertices land at t1 ∈ {0, 1}
+        # exactly and are excluded by the open interval)
+        scale_pt = np.sqrt(rr) * (np.abs(d1x) + np.abs(d1y)) + _EPS
+        touch = (
+            (j_idx != bi)
+            & (rr > _EPS)
+            & (np.abs(c1) <= 1e-9 * scale_pt)
+            & (t1 > 1e-12)
+            & (t1 < 1.0 - 1e-12)
+        )
+        if bool(touch.any()):
+            return True
+        if not collinear.any():
+            continue
         lo = np.minimum(t1, t2)
         hi = np.maximum(t1, t2)
         # genuine 1-D overlap, not an endpoint touch (a collinear
@@ -521,8 +536,6 @@ def overlay_intersection(a: Ring, b: Ring) -> list[list[Ring]]:
 def _overlay(a: Ring, b: Ring, op: str) -> list[list[Ring]]:
     from collections import Counter
 
-    from quackosm_spark.geometry.ops import linemerge
-
     pa = _open(remove_repeated_points(a))
     pb = _open(remove_repeated_points(b))
     segs = [
@@ -555,28 +568,81 @@ def _overlay(a: Ring, b: Ring, op: str) -> list[list[Ring]]:
             kept.append(f)
     if not kept:
         return []
-    # boundary = undirected noded edges used by exactly ONE kept face
+    # boundary = undirected noded edges used by exactly ONE kept face,
+    # kept DIRECTED as the (CCW) face walks them, so the region interior
+    # stays on the edge's left. Cycle extraction follows the same
+    # rotation-system successor rule as _faces_from_segments (at the end
+    # vertex, the clockwise-next neighbor after the reversed edge) — at a
+    # PINCH vertex (two kept faces touching at a point: degree 4) this
+    # picks the turn that keeps the contour on one component, where the
+    # old undirected linemerge stitch could not close the cycles at all
+    # and raised for the caller to fall back to unmerged parts.
     usage: Counter = Counter()
+    pts: dict[tuple[float, float], list[float]] = {}
     for f in kept:
         closed = _close(f)
         for k in range(len(closed) - 1):
             e = tuple(sorted((_key(closed[k]), _key(closed[k + 1]))))
             usage[e] += 1
-    boundary_segs: list[Ring] = []
-    seen_pts: dict[tuple[float, float], list[float]] = {}
+            pts[_key(closed[k])] = list(closed[k])
+    directed: set = set()
     for f in kept:
         closed = _close(f)
         for k in range(len(closed) - 1):
-            seen_pts[_key(closed[k])] = list(closed[k])
-    for e, cnt in usage.items():
-        if cnt == 1:
-            boundary_segs.append([seen_pts[e[0]], seen_pts[e[1]]])
-    cycles = [c for c in linemerge(boundary_segs) if len(c) >= 3]
-    closed_cycles = []
-    for c in cycles:
-        if _key(c[0]) != _key(c[-1]):
+            a, b = _key(closed[k]), _key(closed[k + 1])
+            if usage[tuple(sorted((a, b)))] == 1:
+                directed.add((a, b))
+    out_nbrs: dict[tuple[float, float], list[tuple[float, float]]] = {}
+    for a, b in directed:
+        out_nbrs.setdefault(a, []).append(b)
+    for a, nbrs in out_nbrs.items():
+        nbrs.sort(
+            key=lambda b: math.atan2(pts[b][1] - pts[a][1], pts[b][0] - pts[a][0])
+        )
+    visited: set = set()
+    closed_cycles: list[Ring] = []
+    for e0 in sorted(directed):
+        if e0 in visited:
+            continue
+        cyc: Ring = []
+        cur = e0
+        while cur not in visited:
+            visited.add(cur)
+            a, b = cur
+            cyc.append(pts[a])
+            nbrs = out_nbrs.get(b, [])
+            if not nbrs:
+                raise ValueError("overlay boundary did not close")
+            if len(nbrs) == 1:
+                cur = (b, nbrs[0])
+            else:
+                # clockwise-next outgoing direction after the incoming
+                # reverse (a as seen from b) — the _faces_from_segments
+                # successor rule restricted to boundary edges; purely
+                # deterministic, so directed boundary edges partition
+                # into cycles and the walk must return to its start
+                ang_in = math.atan2(
+                    pts[a][1] - pts[b][1], pts[a][0] - pts[b][0]
+                )
+                cur = (
+                    b,
+                    min(
+                        nbrs,
+                        key=lambda c: (
+                            ang_in
+                            - math.atan2(
+                                pts[c][1] - pts[b][1],
+                                pts[c][0] - pts[b][0],
+                            )
+                        )
+                        % (2 * math.pi)
+                        or (2 * math.pi),
+                    ),
+                )
+        if cur != e0:
             raise ValueError("overlay boundary did not close")
-        closed_cycles.append(remove_repeated_points(c))
+        if len(cyc) >= 3:
+            closed_cycles.append(remove_repeated_points(cyc))
     # classify by containment depth (same scheme as polygon_union)
     arrs = [np.asarray(_close(c), dtype=np.float64) for c in closed_cycles]
     probes = [_interior_probe(_open(c), []) for c in closed_cycles]
@@ -1089,7 +1155,15 @@ def union_all_polygons(
                     [(h, b[0]) for h in a[1:]] + [(h, a[0]) for h in b[1:]]
                 ):
                     try:
-                        pieces = ring_difference(h, other)
+                        if rings_share_boundary(h, other):
+                            # hole rim running along the covering part's
+                            # boundary — outside Greiner–Hormann's
+                            # contract, same overlay route as the shells
+                            pieces = [
+                                p[0] for p in overlay_difference(h, other)
+                            ]
+                        else:
+                            pieces = ring_difference(h, other)
                     except Exception:
                         pieces = [h]
                     holes.extend(

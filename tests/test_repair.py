@@ -427,6 +427,36 @@ class TestDegenerateGate:
         assert R.has_degenerate_edges(np.asarray(self.SPIKE_PINCH, float))
         assert not R.has_degenerate_edges(np.asarray(SQUARE, float))
 
+    def test_tangent_touch_vertex_on_edge(self):
+        # boundary touches its own bottom edge at (2,0) without crossing:
+        # invalid per OGC, GEOS MakeValid splits at the touch point
+        touch = [[0, 0], [4, 0], [4, 4], [2, 0], [0, 4], [0, 0]]
+        assert not R.has_self_intersection(touch)
+        assert R.has_degenerate_edges(touch)
+        polys = R.make_valid_ring(touch)
+        assert len(polys) == 2
+        assert R.make_valid_area(touch) == pytest.approx(8.0)
+
+    def test_pentagram_is_crossing_not_degenerate(self):
+        star = _star()
+        assert not R.has_degenerate_edges(star)
+        assert R.needs_ring_repair(star)
+
+    def test_random_convex_rings_no_false_positives(self):
+        # valid convex rings (random angles/radii) must never trip the
+        # degenerate gate — it guards the exact-parity fast path
+        rng = np.random.default_rng(11)
+        for _ in range(50):
+            n = int(rng.integers(4, 40))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            if np.min(np.diff(ang)) < 1e-4:
+                continue
+            rad = rng.uniform(0.5, 2.0)
+            pts = np.stack([np.cos(ang) * rad, np.sin(ang) * rad], axis=1)
+            ring = np.concatenate([pts, pts[:1]]).tolist()
+            assert not R.has_degenerate_edges(ring)
+            assert not R.needs_ring_repair(ring)
+
 
 def _u_up(dx=0.0, dy=0.0):
     return [[x + dx, y + dy] for x, y in
@@ -482,6 +512,46 @@ class TestUnionAllOverlappingHoles:
         cover = [[1, 1], [5, 1], [5, 5], [1, 5], [1, 1]]
         polys = R.union_all_polygons([_u_up(), _u_down(), cover])
         assert self._net(polys) == pytest.approx(36.0)
+
+
+class TestOverlayPinchVertices:
+    """r04: the overlay boundary stitch follows DIRECTED edges with the
+    rotation-system successor, so two kept faces meeting at a point
+    (degree-4 pinch vertex) extract as two closed cycles — the old
+    undirected linemerge raised there and callers fell back to unmerged
+    (sometimes area-wrong) parts."""
+
+    def test_overlay_difference_pinch(self):
+        # rect minus an inscribed triangle whose apex touches the right
+        # edge: two residual triangles meet at the pinch (7,4)
+        rect = [[3, 2], [7, 2], [7, 6], [3, 6], [3, 2]]
+        tri = [[3, 2], [7, 4], [3, 6], [3, 2]]
+        out = R.overlay_difference(rect, tri)
+        assert sorted(round(R.ring_area(p[0]), 6) for p in out) == [4.0, 4.0]
+
+    def test_union_all_hole_shrunk_by_shared_boundary_part(self):
+        # q88's bar+nshape enclose hole [3,7]×[2,6]; the triangle fills
+        # its left half SHARING the hole's left rim — the hole survival
+        # must route through overlay_difference (Greiner–Hormann's
+        # contract excludes the shared run) instead of keeping the full
+        # hole
+        bar = [[0, 0], [10, 0], [10, 2], [0, 2], [0, 0]]
+        nshape = [[1, 1], [3, 1], [3, 6], [7, 6], [7, 1], [9, 1],
+                  [9, 8], [1, 8], [1, 1]]
+        tri = [[3, 2], [7, 4], [3, 6], [3, 2]]
+        polys = R.union_all_polygons([bar, nshape, tri])
+        net = sum(
+            R.ring_area(p[0]) - sum(R.ring_area(h) for h in p[1:])
+            for p in polys
+        )
+        assert net == pytest.approx(68.0 - 16.0 + 8.0)
+
+    def test_overlay_union_shared_edge_unchanged(self):
+        a = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        b = [[4, 0], [8, 0], [8, 4], [4, 4], [4, 0]]
+        out = R.overlay_union(a, b)
+        assert len(out) == 1
+        assert R.ring_area(out[0][0]) == pytest.approx(32.0)
 
 
 class TestBooleanInvariants:
