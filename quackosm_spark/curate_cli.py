@@ -32,6 +32,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-quality", type=float, default=0.05)
     p.add_argument("--max-repetition", type=float, default=0.6)
     p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--keep-best-quality", action="store_true",
+                   help="Near-dup retention policy: keep each cluster's "
+                        "highest-quality doc instead of the smallest id")
+    p.add_argument("--gopher", nargs="?", const="{}", metavar="JSON",
+                   help="Apply the Gopher rule battery (optionally with "
+                        'threshold overrides as JSON, e.g. \'{"min_words": 30}\')')
+    p.add_argument("--dsir-target-source",
+                   help="Keep the docs most like this source's distribution "
+                        "(DSIR importance weights over hashed unigrams)")
+    p.add_argument("--dsir-keep-fraction", type=float, default=0.5)
     p.add_argument("--budgets", help='Per-source token budgets as JSON, e.g. \'{"web": 1000000}\'')
     p.add_argument("--default-budget", type=int, default=10_000)
     p.add_argument("--pack-capacity", type=int, help="Sequence-packing token capacity")
@@ -73,9 +83,15 @@ def main(argv: Optional[list[str]] = None) -> str:
         text_col=args.text_col,
         near_dup=args.near_dup,
         min_jaccard=args.min_jaccard,
+        keep_best_quality=args.keep_best_quality,
         min_quality=args.min_quality,
         max_repetition=args.max_repetition,
         min_tokens=args.min_tokens,
+        # bare --gopher (const "{}") means defaults-on, which must map to
+        # True — an empty dict is falsy and would silently skip the stage
+        gopher=(json.loads(args.gopher) or True) if args.gopher else False,
+        dsir_target_source=args.dsir_target_source,
+        dsir_keep_fraction=args.dsir_keep_fraction,
         budgets=budgets,
         default_budget=args.default_budget,
         pack_capacity=args.pack_capacity,

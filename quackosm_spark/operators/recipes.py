@@ -35,9 +35,13 @@ def curate_corpus(
     text_col: str = "text",
     near_dup: bool = True,
     min_jaccard: float = 0.8,
+    keep_best_quality: bool = False,
     min_quality: float = 0.05,
     max_repetition: float = 0.6,
     min_tokens: int = 5,
+    gopher: bool | dict = False,
+    dsir_target_source: str | None = None,
+    dsir_keep_fraction: float = 0.5,
     budgets: dict[str, int] | None = None,
     default_budget: int = 10_000,
     pack_capacity: int | None = None,
@@ -55,6 +59,14 @@ def curate_corpus(
     shards in id order, mix.assign_token_shards); with ``bpe_merges`` the
     token counts come from the real BPE chain (text.bpe_token_count)
     instead of whitespace counting.
+
+    Round-4 stages: ``keep_best_quality`` switches the near-dup retention
+    policy from smallest-id to highest quality_score per cluster (ties →
+    smaller id). ``gopher`` (True or a threshold dict) applies the Gopher
+    rule battery as ONE scan-stage predicate after the heuristic quality
+    filter. ``dsir_target_source`` keeps the top ``dsir_keep_fraction`` of
+    docs by DSIR importance weight toward that source's distribution (the
+    cutoff is an exact percentile — one tiny aggregate job).
     """
     stages: dict[str, int] = {}
     _cached: list[DataFrame] = []
@@ -88,9 +100,28 @@ def curate_corpus(
             out, candidates, id_col, text_col, min_jaccard=min_jaccard
         )
         clusters = D.neardup_clusters(pairs, "doc_a", "doc_b")
-        losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
-            F.col("doc_id").alias(id_col)
-        )
+        if keep_best_quality:
+            # retention policy: highest quality_score per cluster (ties →
+            # smaller id) instead of the arbitrary min-id — one window
+            # partitioned by cluster, no extra shuffle beyond it
+            from pyspark.sql import Window
+
+            q = out.select(
+                F.col(id_col).alias("doc_id"),
+                T.quality_score(text_col).alias("__q"),
+            ).join(clusters, "doc_id")
+            w = Window.partitionBy("cluster_id").orderBy(
+                F.col("__q").desc(), F.col("doc_id").asc()
+            )
+            losers = (
+                q.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") > 1)
+                .select(F.col("doc_id").alias(id_col))
+            )
+        else:
+            losers = clusters.where(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select(F.col("doc_id").alias(id_col))
         out = _note("near_dedup", out.join(losers, id_col, "left_anti"))
 
     # 3. quality filter (single scan-stage predicate)
@@ -104,6 +135,24 @@ def curate_corpus(
             min_tokens=min_tokens,
         ),
     )
+
+    # 3b. Gopher rule battery — one conjunctive scan-stage predicate
+    if gopher:
+        thresholds = gopher if isinstance(gopher, dict) else {}
+        out = _note(
+            "gopher", out.where(T.gopher_passes(text_col, **thresholds))
+        )
+
+    # 3c. DSIR selection toward a target source's distribution
+    if dsir_target_source is not None:
+        weights = T.dsir_logweights(
+            out, dsir_target_source, id_col=id_col, text_col=text_col
+        ).select(F.col("doc_id").alias(id_col), "logweight")
+        cutoff = weights.agg(
+            F.percentile("logweight", 1.0 - dsir_keep_fraction)
+        ).collect()[0][0]
+        keep = weights.where(F.col("logweight") >= cutoff).select(id_col)
+        out = _note("dsir", out.join(keep, id_col, "left_semi"))
 
     # 4. decontamination vs the benchmark set
     if benchmark is not None:

@@ -794,9 +794,7 @@ def oov_rate(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_rules(
-    docs: DataFrame,
-    id_col: str = "doc_id",
+def gopher_flag_columns(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
@@ -807,18 +805,10 @@ def gopher_rules(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stopword_hits: int = 2,
-) -> DataFrame:
-    """The Gopher quality rule battery as per-rule boolean flags plus the
-    combined ``passes`` verdict — the canonical pre-training corpus filter
-    (word-count bounds, mean word length band, symbol-to-word ratio,
-    bullet-line and ellipsis-line shares, alphabetic-word ratio, stopword
-    presence).
-
-    Every rule is a built-in Column expression (split/filter/aggregate —
-    whole-stage codegen, no UDF, no shuffle): filtering 100 TB is a
-    map-only scan. Ratio denominators use greatest(n, 1) so empty docs
-    produce deterministic flags (they fail the word-count rule).
-    Emits (id, n_words, rule_* flags, passes)."""
+) -> tuple[Column, dict[str, Column]]:
+    """(n_words, {rule_name: flag Column}) for the Gopher battery — the
+    raw Column form so a curation recipe can filter scan-stage with the
+    conjunction instead of paying a join against the flag table."""
     col = F.col(text_col)
     words = F.filter(
         F.split(F.trim(col), r"\s+"), lambda w: w != F.lit("")
@@ -881,6 +871,38 @@ def gopher_rules(
         "rule_alpha": alpha_ratio >= min_alpha_word_ratio,
         "rule_stopwords": stop_hits >= min_stopword_hits,
     }
+    return n_words, flags
+
+
+def gopher_passes(text_col: str = "text", **thresholds) -> Column:
+    """The combined Gopher verdict as ONE scan-stage Column predicate —
+    what `recipes.curate_corpus` filters with (no flag table, no join)."""
+    _, flags = gopher_flag_columns(text_col, **thresholds)
+    passes = None
+    for f in flags.values():
+        passes = f if passes is None else (passes & f)
+    return passes
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """The Gopher quality rule battery (Rae et al. 2021 §A1.1; also the
+    RedPajama / Dolma filtering recipes) as per-rule boolean flags plus
+    the combined ``passes`` verdict — the canonical pre-training corpus
+    filter (word-count bounds, mean word length band, symbol-to-word
+    ratio, bullet-line and ellipsis-line shares, alphabetic-word ratio,
+    stopword presence).
+
+    Every rule is a built-in Column expression (split/filter/aggregate —
+    whole-stage codegen, no UDF, no shuffle): filtering 100 TB is a
+    map-only scan. Ratio denominators use greatest(n, 1) so empty docs
+    produce deterministic flags (they fail the word-count rule).
+    Emits (id, n_words, rule_* flags, passes)."""
+    n_words, flags = gopher_flag_columns(text_col, **thresholds)
     passes = None
     for f in flags.values():
         passes = f if passes is None else (passes & f)

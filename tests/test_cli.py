@@ -218,6 +218,27 @@ def test_curate_cli_shard_manifest_with_bpe(spark, tmp_path, capsys):
     assert shard_ids == list(range(len(shard_ids)))
 
 
+def test_curate_cli_round4_stages(spark, tmp_path, capsys):
+    """--gopher (bare = defaults-on), --dsir-target-source and
+    --keep-best-quality flow through to the recipe stages."""
+    from quackosm_spark.curate_cli import main as curate_main
+
+    out = str(tmp_path / "curated_r4")
+    result = curate_main([
+        "/root/testdata/sf0.001/documents.parquet",
+        "-o", out,
+        "--no-near-dup",
+        "--min-tokens", "3",
+        "--gopher", '{"min_words": 5, "min_stopword_hits": 0, "min_alpha_word_ratio": 0.5}',
+        "--dsir-target-source", "src0",
+        "--dsir-keep-fraction", "0.7",
+    ])
+    assert result == out
+    printed = capsys.readouterr().out
+    assert "gopher:" in printed and "dsir:" in printed
+    assert 0 < spark.read.parquet(out).count() <= 500
+
+
 def test_cli_extract_query_with_source_registry(tmp_path):
     """`--osm-extract-query monaco --osm-extract-source Geofabrik
     --extracts-index-dir <precalculated>` — the reference's everyday

@@ -110,3 +110,59 @@ def test_curate_corpus_shard_manifest_stage(spark):
         ).collect()
     }
     assert all(r["n_tokens"] == expect[r["doc_id"]] for r in rows)
+
+
+def test_curate_corpus_round4_stages(spark):
+    """gopher + dsir + keep-best retention compose into the chain with
+    monotone survivor counts and deterministic output."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out, report = curate_corpus(
+        docs,
+        keep_best_quality=True,
+        gopher={"min_words": 5, "min_stopword_hits": 0,
+                "min_alpha_word_ratio": 0.5},
+        dsir_target_source="src0",
+        dsir_keep_fraction=0.6,
+    )
+    assert list(report) == [
+        "input", "exact_dedup", "near_dedup", "quality", "gopher", "dsir",
+    ]
+    vals = list(report.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert 0 < report["dsir"] <= report["gopher"]
+    # ~keep_fraction of the gopher survivors pass the DSIR percentile
+    assert report["dsir"] >= int(report["gopher"] * 0.4)
+    out2, report2 = curate_corpus(
+        docs,
+        keep_best_quality=True,
+        gopher={"min_words": 5, "min_stopword_hits": 0,
+                "min_alpha_word_ratio": 0.5},
+        dsir_target_source="src0",
+        dsir_keep_fraction=0.6,
+    )
+    assert report2 == report
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
+def test_curate_keep_best_prefers_quality_over_id(spark):
+    base = ("the quick brown fox jumps over the lazy dog and that have "
+            "with to be of it again and again for the test corpus") * 3
+    rows = [
+        (1, base + " !!!!!!!!!!!!!!!!!!!!!!!!!!!!", "web"),  # dirtier copy
+        (2, base, "web"),                                     # cleaner copy
+        (3, "an unrelated document about spark query planning "
+            "that shares nothing with the others", "web"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out_min, _ = curate_corpus(
+        d, min_jaccard=0.3, min_tokens=1, min_quality=0.0,
+        max_repetition=1.0,
+    )
+    out_best, _ = curate_corpus(
+        d, min_jaccard=0.3, min_tokens=1, min_quality=0.0,
+        max_repetition=1.0, keep_best_quality=True,
+    )
+    assert {r.doc_id for r in out_min.collect()} == {1, 3}   # min-id policy
+    assert {r.doc_id for r in out_best.collect()} == {2, 3}  # quality policy
