@@ -197,3 +197,39 @@ def test_assign_token_shards_no_global_sort(docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "global=true" not in plan
     assert "windowspecdefinition(_bucket" in plan
+
+
+def test_gopher_rules_is_map_only(docs):
+    from quackosm_spark.operators.text import gopher_rules
+
+    plan = _plan(gopher_rules(docs))
+    assert "Exchange" not in plan  # the whole battery is one scan stage
+
+
+def test_gopher_passes_filter_is_scan_stage(docs):
+    from quackosm_spark.operators.text import gopher_passes
+
+    plan = _plan(docs.where(gopher_passes("text", min_words=5)))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_dsir_weight_join_broadcasts_bucket_table(docs):
+    from quackosm_spark.operators.text import dsir_logweights
+
+    plan = _plan(dsir_logweights(docs, target_source="src0", buckets=512))
+    # the ≤512-row logratio table must broadcast; the only hash exchange
+    # left is the per-doc aggregation
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dedup_keep_best_window_partitions_by_cluster(docs):
+    from quackosm_spark.operators.dedup import dedup_keep_best
+
+    plan = _plan(dedup_keep_best(docs.where(F.col("doc_id") % 5 == 0)))
+    assert "Window" in plan
+    # the retention window shuffles BY CLUSTER (local sort within
+    # partitions), never through a single-partition global sort
+    assert "hashpartitioning(cluster_id" in plan
+    assert "rangepartitioning" not in plan
