@@ -1,6 +1,7 @@
-"""Curate a document corpus for LLM training: dedup -> near-dedup ->
-quality filter -> decontamination -> token-budget mixture -> packing ->
-BPE-counted shard manifest.
+"""Curate a document corpus for LLM training: dedup -> near-dedup
+(keep-best-quality retention) -> quality filter -> Gopher rule battery ->
+DSIR target-distribution selection -> decontamination -> token-budget
+mixture -> packing -> BPE-counted shard manifest (distributed trainer).
 
 Usage: python examples/curate_training_corpus.py [sf_dir]
 """
@@ -26,12 +27,19 @@ def main() -> None:
     benchmark = docs.where(F.col("doc_id") % 17 == 0)  # held-out eval slice
     train = docs.where(F.col("doc_id") % 17 != 0)
 
-    from quackosm_spark.operators.text import train_bpe_merges
+    from quackosm_spark.operators.text import train_bpe_merges_distributed
 
-    merges = train_bpe_merges(train, n_merges=16, order_col="doc_id")
+    # fully distributed pair counting: only one (pair, count) row per merge
+    # round reaches the driver — no sample ceiling
+    merges = train_bpe_merges_distributed(train, n_merges=16)
     curated, report = curate_corpus(
         train,
         benchmark=benchmark,
+        keep_best_quality=True,
+        gopher={"min_words": 5, "min_stopword_hits": 0,
+                "min_alpha_word_ratio": 0.5},
+        dsir_target_source="src0",
+        dsir_keep_fraction=0.8,
         budgets={"src0": 2000, "src1": 1000},
         default_budget=1500,
         pack_capacity=2048,
