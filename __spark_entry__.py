@@ -2056,6 +2056,23 @@ def q104_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_keep_best(docs, threshold=0.2)
 
 
+def q105_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal-Rank Fusion (search.rrf_fuse /
+    hybrid_search — Cormack et al. 2009): BM25 top-50 over documents
+    fused with exact-cosine top-50 around one query embedding,
+    score = Σ 1/(60 + rank). Each ranker is a map-side corpus pass; the
+    fusion is candidate-list-sized (no calibration between rankers)."""
+    from quackosm_spark.operators.search import hybrid_search
+
+    return hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        query_terms=_Q50_TERMS,
+        query_vec_id=7,
+        k_candidates=50,
+    )
+
+
 def q86_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-level exact-substring dedup summary (Lee et al. 2022 via
     corpus-wide positional n-gram index, operators/text.repeated_spans):
@@ -2104,10 +2121,11 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (q99 spike-gate repair, q100 overlapping-courtyard union — the
 # ADVICE r03 kernel fixes — plus q101 Gopher rules, q102 DSIR weights,
 # q103 distributed BPE, q104 keep-best dedup). With 104 queries and 50
-# slots, 4 r2-verified queries with UNCHANGED trivial kernels yield their
-# slot until r5 (q55 revenue rollup, q61 pivot, q64 event paths, q68
-# resample — plain groupBy/pivot/window shapes with no code touched since
-# r1). Externally unverified THIS round — all with green r3 driver rows
+# slots, 5 r2-verified queries with UNCHANGED trivial kernels yield their
+# slot until r5 (q54 lag deltas, q55 revenue rollup, q61 pivot, q64 event
+# paths, q68 resample — plain groupBy/pivot/window shapes with no code
+# touched since r1). Externally unverified THIS round — all with green r3
+# driver rows
 # plus local oracle-harness rows every round: q02–q13, q15, q16, q19,
 # q21–q24, q26–q28, q30, q32, q34–q36, q38–q41, q43, q45, q46, q48–q50,
 # q83, q87–q98, and the four named above (r2 rows).
@@ -2119,7 +2137,7 @@ _DRIVER_PRIORITY = [
     "q33_drop_exact_duplicates", "q37_neardup_clusters",
     "q42_decontamination", "q44_asof_previous_event", "q47_budget_mixture",
     "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
-    "q54_event_deltas", "q56_edit_distance_pairs",
+    "q56_edit_distance_pairs",
     "q57_stratified_fixed_n", "q58_latest_event_per_user",
     "q59_value_spikes", "q60_quality_deciles",
     "q62_event_history", "q63_verified_neardup",
@@ -2135,6 +2153,7 @@ _DRIVER_PRIORITY = [
     "q99_relation_spike_repair", "q100_union_courtyards",
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
+    "q105_hybrid_rrf",
 ]
 
 
@@ -2250,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_dsir_weights": q102_dsir_weights,
         "q103_bpe_learned_merges": q103_bpe_learned_merges,
         "q104_dedup_keep_best": q104_dedup_keep_best,
+        "q105_hybrid_rrf": q105_hybrid_rrf,
     })
 
 
@@ -3517,6 +3537,37 @@ def oracle_sql() -> dict[str, str]:
             (1, 'e', 'r'), (2, 'o', 'w'), (3, 'i', 'n'), (4, 's', 't'),
             (5, 'o', 'r'), (6, 'm', 'er'), (7, 'a', 'l'), (8, 'a', 't')
         ) AS t(rank, "left", "right")
+    """
+    from quackosm_spark.operators.search import bm25_oracle_sql as _bm25_sql
+
+    out["q105_hybrid_rrf"] = f"""
+        WITH bm_scores AS ({_bm25_sql(_Q50_TERMS)}),
+        bm AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM bm_scores
+            QUALIFY rank <= 50
+        ),
+        ann AS (
+            SELECT doc_id, rank FROM (
+                SELECT c.vec_id AS doc_id,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.embedding::DOUBLE[]
+                           ) DESC, c.vec_id
+                       ) AS rank
+                FROM embeddings c JOIN embeddings q
+                  ON q.vec_id = 7 AND c.vec_id != 7
+            ) WHERE rank <= 50
+        ),
+        u AS (
+            SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm
+            UNION ALL
+            SELECT doc_id, 1.0 / (60 + rank) FROM ann
+        )
+        SELECT doc_id, round(sum(c), 6) AS rrf_score,
+               count(*)::INT AS n_lists
+        FROM u GROUP BY doc_id
     """
     out["q104_dedup_keep_best"] = f"""
         WITH RECURSIVE docs AS (

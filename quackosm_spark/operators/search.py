@@ -182,3 +182,86 @@ def bm25_oracle_sql(
         FROM t, s
         WHERE ({matched}) > 0
     """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack, Clarke & Büttcher 2009) of N
+    ranked candidate lists: score(d) = Σ_lists 1/(k + rank_list(d)) —
+    the standard hybrid-retrieval combiner (BM25 ∪ dense ANN) that needs
+    no score calibration between heterogeneous rankers.
+
+    Inputs are CANDIDATE LISTS (top-k outputs, ≤ thousands of rows each
+    with an explicit ``rank_col``), so the union + one groupBy here is
+    trivially cheap regardless of corpus size — the heavy lifting already
+    happened inside the rankers, which scan the corpus map-side. Returns
+    (id_col, rrf_score, n_lists) for every doc appearing in ≥1 list."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col))).alias("__contrib"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.round(F.sum("__contrib"), 6).alias("rrf_score"),
+        F.count("*").cast("int").alias("n_lists"),
+    )
+
+
+def with_rank(
+    df: DataFrame, order_by: list, rank_col: str = "rank"
+) -> DataFrame:
+    """Append a 1-based ``rank`` by the given deterministic order — for
+    feeding a scored candidate list into :func:`rrf_fuse`. Global window:
+    meant for TOP-K LISTS (small by construction), not corpora."""
+    from pyspark.sql import Window
+
+    return df.withColumn(
+        rank_col, F.row_number().over(Window.orderBy(*order_by))
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k_candidates: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+) -> DataFrame:
+    """Hybrid keyword+dense retrieval: BM25 top-k over ``docs`` fused
+    with exact cosine top-k around ``query_vec_id``'s embedding, by RRF.
+    Ids are fused across the two spaces (vec_id ≡ doc_id by corpus
+    construction). Each ranker is its own map-side corpus pass; the
+    fusion is candidate-list-sized."""
+    from quackosm_spark.operators.similarity import brute_force_topk
+
+    bm25 = with_rank(
+        bm25_topk(docs, query_terms, k=k_candidates, id_col=id_col,
+                  text_col=text_col),
+        [F.desc("score"), F.asc(id_col)],
+    ).select(F.col(id_col), "rank")
+    ann = (
+        brute_force_topk(
+            embeddings,
+            embeddings.where(F.col(vec_id) == query_vec_id),
+            k=k_candidates,
+            corpus_id=vec_id,
+            query_id=vec_id,
+        )
+        .select(F.col("match_id").alias(id_col), "rank")
+    )
+    return rrf_fuse([bm25, ann], id_col=id_col, k=rrf_k)

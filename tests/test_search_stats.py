@@ -298,3 +298,42 @@ def test_quality_psi_missing_ref_source_raises(spark):
         quality_psi(docs, ref_source="typo_source")
     # the default (lexicographically first) path is untouched
     assert quality_psi(docs).count() == 2
+
+
+def test_rrf_fuse_known_values(spark):
+    """Hand-computed RRF: doc 1 in both lists, docs 2/3 in one each."""
+    from quackosm_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id LONG, rank INT")
+    b = spark.createDataFrame([(3, 1), (1, 2)], "doc_id LONG, rank INT")
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    assert out[1].n_lists == 2
+    assert out[1].rrf_score == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert out[2].rrf_score == pytest.approx(1 / 62, abs=1e-6)
+    assert out[3].rrf_score == pytest.approx(1 / 61, abs=1e-6)
+    # a doc appearing in both lists outranks single-list docs at any rank
+    assert out[1].rrf_score > max(out[2].rrf_score, out[3].rrf_score)
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_search_end_to_end(spark):
+    from quackosm_spark.operators.search import hybrid_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = hybrid_search(docs, emb, ["spark", "window"], query_vec_id=3,
+                        k_candidates=20)
+    rows = out.collect()
+    assert 20 <= len(rows) <= 40  # two top-20 lists, possibly overlapping
+    assert all(r.n_lists in (1, 2) for r in rows)
+    # every score is a sum of n_lists reciprocal terms in [1/80, 1/61]
+    for r in rows:
+        assert r.n_lists * (1 / 80) - 1e-6 <= r.rrf_score
+        assert r.rrf_score <= r.n_lists * (1 / 61) + 1e-6
+    # deterministic across reruns
+    again = hybrid_search(docs, emb, ["spark", "window"], query_vec_id=3,
+                          k_candidates=20).collect()
+    assert sorted((r.doc_id, r.rrf_score) for r in rows) == sorted(
+        (r.doc_id, r.rrf_score) for r in again
+    )
