@@ -2056,6 +2056,16 @@ def q104_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_keep_best(docs, threshold=0.2)
 
 
+def q106_logprob_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band pruning (text.logprob_band_filter — the CCNet /
+    Gopher LM-filter shape): corpus-unigram logprob per doc, keep the
+    middle [0.1, 0.9] quantile band. The cutoffs are one exact-percentile
+    aggregate (two scalars); the verdict is a scan-stage comparison."""
+    from quackosm_spark.operators.text import logprob_band_filter
+
+    return logprob_band_filter(_t(spark, sf_dir, "documents"))
+
+
 def q105_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via Reciprocal-Rank Fusion (search.rrf_fuse /
     hybrid_search — Cormack et al. 2009): BM25 top-50 over documents
@@ -2121,11 +2131,11 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (q99 spike-gate repair, q100 overlapping-courtyard union — the
 # ADVICE r03 kernel fixes — plus q101 Gopher rules, q102 DSIR weights,
 # q103 distributed BPE, q104 keep-best dedup). With 104 queries and 50
-# slots, 5 r2-verified queries with UNCHANGED trivial kernels yield their
-# slot until r5 (q54 lag deltas, q55 revenue rollup, q61 pivot, q64 event
-# paths, q68 resample — plain groupBy/pivot/window shapes with no code
-# touched since r1). Externally unverified THIS round — all with green r3
-# driver rows
+# slots, 6 r2-verified queries with UNCHANGED trivial kernels yield their
+# slot until r5 (q54 lag deltas, q55 revenue rollup, q61 pivot, q62 event
+# history, q64 event paths, q68 resample — plain groupBy/pivot/window
+# shapes with no code touched since r1). Externally unverified THIS round
+# — all with green r3 driver rows
 # plus local oracle-harness rows every round: q02–q13, q15, q16, q19,
 # q21–q24, q26–q28, q30, q32, q34–q36, q38–q41, q43, q45, q46, q48–q50,
 # q83, q87–q98, and the four named above (r2 rows).
@@ -2139,8 +2149,7 @@ _DRIVER_PRIORITY = [
     "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
     "q56_edit_distance_pairs",
     "q57_stratified_fixed_n", "q58_latest_event_per_user",
-    "q59_value_spikes", "q60_quality_deciles",
-    "q62_event_history", "q63_verified_neardup",
+    "q59_value_spikes", "q60_quality_deciles", "q63_verified_neardup",
     "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
     "q69_weighted_sample", "q70_cohort_retention",
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
@@ -2153,7 +2162,7 @@ _DRIVER_PRIORITY = [
     "q99_relation_spike_repair", "q100_union_courtyards",
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
-    "q105_hybrid_rrf",
+    "q105_hybrid_rrf", "q106_logprob_band",
 ]
 
 
@@ -2270,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_bpe_learned_merges": q103_bpe_learned_merges,
         "q104_dedup_keep_best": q104_dedup_keep_best,
         "q105_hybrid_rrf": q105_hybrid_rrf,
+        "q106_logprob_band": q106_logprob_band,
     })
 
 
@@ -3537,6 +3547,31 @@ def oracle_sql() -> dict[str, str]:
             (1, 'e', 'r'), (2, 'o', 'w'), (3, 'i', 'n'), (4, 's', 't'),
             (5, 'o', 'r'), (6, 'm', 'er'), (7, 'a', 'l'), (8, 'a', 't')
         ) AS t(rank, "left", "right")
+    """
+    out["q106_logprob_band"] = """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       w -> w != ''
+                   )) AS w
+            FROM documents
+        ),
+        vocab AS (SELECT w, count(*)::DOUBLE AS cnt FROM words GROUP BY w),
+        tot AS (SELECT sum(cnt) AS t FROM vocab),
+        scored AS (
+            SELECT doc_id, round(avg(ln(v.cnt / tot.t)), 4) AS avg_logprob
+            FROM words JOIN vocab v USING (w), tot
+            GROUP BY doc_id
+        ),
+        cut AS (
+            SELECT quantile_cont(avg_logprob, 0.1) AS lo,
+                   quantile_cont(avg_logprob, 0.9) AS hi
+            FROM scored
+        )
+        SELECT doc_id, avg_logprob,
+               (avg_logprob >= cut.lo AND avg_logprob <= cut.hi) AS kept
+        FROM scored, cut
     """
     from quackosm_spark.operators.search import bm25_oracle_sql as _bm25_sql
 

@@ -1151,3 +1151,34 @@ def train_bpe_merges_distributed(
             merged.alias("syms"), "freq"
         ).localCheckpoint()
     return merges
+
+
+def logprob_band_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower_q: float = 0.1,
+    upper_q: float = 0.9,
+) -> DataFrame:
+    """Perplexity-band pruning (the CCNet / Gopher LM-filter shape): score
+    every doc with the corpus's own unigram LM (`unigram_logprob`) and
+    keep the middle [lower_q, upper_q] quantile band — the head is
+    degenerate/boilerplate (too predictable), the tail is noise (too
+    surprising). Returns (id, avg_logprob, kept).
+
+    Scale shape: the LM is the `unigram_logprob` broadcast vocabulary;
+    the band cutoffs are ONE exact-percentile aggregate (two scalars to
+    the driver); the verdict is a scan-stage comparison. Nothing here
+    grows with corpus size except the vocab table."""
+    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    lo, hi = scored.agg(
+        F.percentile("avg_logprob", lower_q),
+        F.percentile("avg_logprob", upper_q),
+    ).collect()[0]
+    return scored.select(
+        F.col("doc_id").alias(id_col),
+        "avg_logprob",
+        ((F.col("avg_logprob") >= lo) & (F.col("avg_logprob") <= hi)).alias(
+            "kept"
+        ),
+    )

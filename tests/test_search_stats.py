@@ -337,3 +337,20 @@ def test_hybrid_search_end_to_end(spark):
     assert sorted((r.doc_id, r.rrf_score) for r in rows) == sorted(
         (r.doc_id, r.rrf_score) for r in again
     )
+
+
+def test_logprob_band_filter_band_membership(spark):
+    from quackosm_spark.operators.text import logprob_band_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = logprob_band_filter(docs, lower_q=0.2, upper_q=0.8).collect()
+    n = len(out)
+    kept = [r for r in out if r.kept]
+    # roughly the middle 60% band survives (ties can widen it slightly)
+    assert 0.55 * n <= len(kept) <= 0.7 * n
+    lo = min(r.avg_logprob for r in kept)
+    hi = max(r.avg_logprob for r in kept)
+    # every dropped doc lies strictly outside the kept band
+    for r in out:
+        if not r.kept:
+            assert r.avg_logprob < lo or r.avg_logprob > hi
