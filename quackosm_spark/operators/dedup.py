@@ -133,6 +133,46 @@ def seeded_minhash(hashes: Column, seed: int) -> Column:
     )
 
 
+def minhash_signature_col(
+    text: Column, num_hashes: int = 16, shingle: int = DEFAULT_SHINGLE
+) -> Column:
+    """The minhash signature as a raw Column expression (array<bigint>) —
+    shared by the batch table form and the streaming band-bucket op."""
+    hs = hashed_shingles(text, shingle)
+    seeds = [(2 * i + 3, 7919 * i + 1) for i in range(num_hashes)]
+    return F.aggregate(
+        hs,
+        F.array(*[F.lit(MINHASH_P).cast("bigint")] * num_hashes),
+        lambda acc, h: F.array(
+            *[
+                F.least(F.element_at(acc, i + 1), (h * a + b) % F.lit(MINHASH_P))
+                for i, (a, b) in enumerate(seeds)
+            ]
+        ),
+    )
+
+
+def minhash_band_array(
+    sig: Column, num_hashes: int = 16, bands: int = 4
+) -> Column:
+    """The LSH band keys of a signature as array<string> (band index is
+    baked into the key so buckets never collide across bands)."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[
+                    F.element_at(sig, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -149,18 +189,7 @@ def minhash_signatures(
     Catalyst's CollapseProject re-inlines non-deterministic-free aliases,
     so md5 would run N× per shingle).
     """
-    hs = hashed_shingles(F.col(text_col), shingle)
-    seeds = [(2 * i + 3, 7919 * i + 1) for i in range(num_hashes)]
-    sig = F.aggregate(
-        hs,
-        F.array(*[F.lit(MINHASH_P).cast("bigint")] * num_hashes),
-        lambda acc, h: F.array(
-            *[
-                F.least(F.element_at(acc, i + 1), (h * a + b) % F.lit(MINHASH_P))
-                for i, (a, b) in enumerate(seeds)
-            ]
-        ),
-    )
+    sig = minhash_signature_col(F.col(text_col), num_hashes, shingle)
     return _spread(docs).select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
@@ -178,21 +207,11 @@ def minhash_lsh_candidates(
     Scale shape: explode to (band_key, doc) then self-join per bucket —
     pair blowup is bounded by bucket sizes, not corpus size.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(b),
-                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
-                    )
-                    for b in range(bands)
-                ]
-            )
+            minhash_band_array(F.col("sig"), num_hashes, bands)
         ).alias("band", "band_key"),
     )
     # the self-join would otherwise recompute the signature hashing on BOTH

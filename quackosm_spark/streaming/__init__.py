@@ -398,3 +398,99 @@ def session_window_stats(
             "sum_value",
         )
     )
+
+
+_NEARDUP_OUTPUT_SCHEMA = (
+    "doc_a LONG, doc_b LONG, band INT"
+)
+_NEARDUP_STATE_SCHEMA = "anchor LONG"
+
+
+def _band_anchor_group(key, pdfs, state):
+    """Per-band-bucket stateful kernel: the FIRST doc ever seen in this
+    LSH bucket becomes its anchor (carried in state); every later doc
+    emits a (anchor, doc, band) candidate pair. Within a batch, rows are
+    processed in (ts, doc_id) order so the anchor choice is deterministic
+    regardless of arrival partitioning."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
+    if state.exists:
+        (anchor,) = state.get
+    else:
+        anchor = None
+    out_a, out_b, out_band = [], [], []
+    for doc_id, band in zip(rows["doc_id"], rows["band"]):
+        if anchor is None:
+            anchor = int(doc_id)
+        elif int(doc_id) != anchor:
+            out_a.append(anchor)
+            out_b.append(int(doc_id))
+            out_band.append(int(band))
+    state.update((anchor,))
+    yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "band": out_band})
+
+
+def neardup_candidates_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """STREAMING near-duplicate candidate detection — the streaming twin
+    of the batch MinHash-LSH pipeline (q18): each arriving doc is hashed
+    into its LSH band buckets map-side (the same
+    `minhash_signature_col`/`minhash_band_array` Columns as batch), and a
+    per-bucket anchor is kept in state; a doc landing in a bucket that
+    already has an anchor emits a (anchor, doc, band) candidate pair.
+
+    Exactly like the batch design, a band collision is EVIDENCE, not a
+    verdict — downstream verifies candidates exactly (e.g. in a
+    foreachBatch against the stored corpus) before dropping anything.
+
+    State: ONE bigint per non-empty bucket (not per doc), the minimum
+    possible for anchor-based detection. Batch: the same kernel runs via
+    ``applyInPandas`` (no state) so the batch analogue — min-(ts, id)
+    anchor per bucket joined back — oracles the streaming kernel."""
+    from quackosm_spark.operators.dedup import (
+        minhash_band_array,
+        minhash_signature_col,
+    )
+
+    sig = minhash_signature_col(F.col(text_col), num_hashes, shingle)
+    banded = docs.select(
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            minhash_band_array(sig, num_hashes, bands)
+        ).alias("band", "band_key"),
+    )
+    if docs.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return (
+            banded.withWatermark("ts", watermark_delay)
+            .groupBy("band_key")
+            .applyInPandasWithState(
+                _band_anchor_group,
+                outputStructType=_NEARDUP_OUTPUT_SCHEMA,
+                stateStructType=_NEARDUP_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    class _NoState:
+        exists = False
+        get = None
+
+        def update(self, _v) -> None:
+            pass
+
+    return banded.groupBy("band_key").applyInPandas(
+        lambda key, pdf: next(_band_anchor_group(key, [pdf], _NoState())),
+        schema=_NEARDUP_OUTPUT_SCHEMA,
+    )
