@@ -2056,6 +2056,24 @@ def q104_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_keep_best(docs, threshold=0.2)
 
 
+def q107_stream_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming LSH near-dup kernel's BATCH analogue
+    (streaming.neardup_candidates_stream — q18's banding with a per-bucket
+    anchor): the first doc per band bucket anchors it, later docs emit
+    (anchor, doc, band) candidates. The same kernel function runs under
+    applyInPandasWithState on a stream (state = one bigint per bucket);
+    batch mode oracles it exactly (ts is a deterministic function of
+    doc_id here, so the anchor is the bucket's min doc_id)."""
+    from quackosm_spark.streaming import neardup_candidates_stream
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .withColumn("ts", F.timestamp_micros(F.col("doc_id")))
+    )
+    return neardup_candidates_stream(docs, num_hashes=8, bands=4)
+
+
 def q106_logprob_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-band pruning (text.logprob_band_filter — the CCNet /
     Gopher LM-filter shape): corpus-unigram logprob per doc, keep the
@@ -2131,11 +2149,11 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (q99 spike-gate repair, q100 overlapping-courtyard union — the
 # ADVICE r03 kernel fixes — plus q101 Gopher rules, q102 DSIR weights,
 # q103 distributed BPE, q104 keep-best dedup). With 104 queries and 50
-# slots, 6 r2-verified queries with UNCHANGED trivial kernels yield their
-# slot until r5 (q54 lag deltas, q55 revenue rollup, q61 pivot, q62 event
-# history, q64 event paths, q68 resample — plain groupBy/pivot/window
-# shapes with no code touched since r1). Externally unverified THIS round
-# — all with green r3 driver rows
+# slots, 7 r2-verified queries with UNCHANGED trivial kernels yield their
+# slot until r5 (q54 lag deltas, q55 revenue rollup, q58 latest-per-user,
+# q61 pivot, q62 event history, q64 event paths, q68 resample — plain
+# groupBy/pivot/window shapes with no code touched since r1). Externally
+# unverified THIS round — all with green r3 driver rows
 # plus local oracle-harness rows every round: q02–q13, q15, q16, q19,
 # q21–q24, q26–q28, q30, q32, q34–q36, q38–q41, q43, q45, q46, q48–q50,
 # q83, q87–q98, and the four named above (r2 rows).
@@ -2148,7 +2166,7 @@ _DRIVER_PRIORITY = [
     "q42_decontamination", "q44_asof_previous_event", "q47_budget_mixture",
     "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
     "q56_edit_distance_pairs",
-    "q57_stratified_fixed_n", "q58_latest_event_per_user",
+    "q57_stratified_fixed_n",
     "q59_value_spikes", "q60_quality_deciles", "q63_verified_neardup",
     "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
     "q69_weighted_sample", "q70_cohort_retention",
@@ -2162,7 +2180,7 @@ _DRIVER_PRIORITY = [
     "q99_relation_spike_repair", "q100_union_courtyards",
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
-    "q105_hybrid_rrf", "q106_logprob_band",
+    "q105_hybrid_rrf", "q106_logprob_band", "q107_stream_neardup_kernel",
 ]
 
 
@@ -2280,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_dedup_keep_best": q104_dedup_keep_best,
         "q105_hybrid_rrf": q105_hybrid_rrf,
         "q106_logprob_band": q106_logprob_band,
+        "q107_stream_neardup_kernel": q107_stream_neardup_kernel,
     })
 
 
@@ -2338,6 +2357,27 @@ def oracle_sql() -> dict[str, str]:
         f"('{b}_' || sig[{b * 2 + 1}]::VARCHAR || '_' || sig[{b * 2 + 2}]::VARCHAR)"
         for b in range(4)
     )
+    banded_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"('{b}_' || sig[{b * 2 + 1}]::VARCHAR || '_' || sig[{b * 2 + 2}]::VARCHAR)"
+        f" AS band_key FROM sigs"
+        for b in range(4)
+    )
+    q107_sql = f"""
+        WITH docs AS (
+            SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        sigs AS (SELECT doc_id, [{sig_elems}] AS sig FROM docs),
+        banded AS ({banded_union}),
+        anchors AS (
+            SELECT band_key, min(doc_id) AS anchor
+            FROM banded GROUP BY band_key
+        )
+        SELECT anchor AS doc_a, doc_id AS doc_b, band
+        FROM banded JOIN anchors USING (band_key)
+        WHERE doc_id != anchor
+    """
     q18_sql = f"""
         WITH docs AS (
             SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
@@ -2444,6 +2484,7 @@ def oracle_sql() -> dict[str, str]:
 
     out = {
         "q18_minhash_lsh": q18_sql,
+        "q107_stream_neardup_kernel": q107_sql,
         "q63_verified_neardup": q63_sql,
         "q27_simhash": q27_sql,
         "q28_lsh_ann": q28_sql,
