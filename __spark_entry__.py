@@ -2074,6 +2074,32 @@ def q107_stream_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_candidates_stream(docs, num_hashes=8, bands=4)
 
 
+def q108_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF featurization (text.hashed_tfidf): sparse
+    (doc, bucket, tfidf) triples over md5 buckets — one (doc, bucket)
+    count shuffle + a ≤dim-row broadcast idf table. The no-learned-
+    embedding bridge into the vector-similarity stack."""
+    from quackosm_spark.operators.text import hashed_tfidf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return hashed_tfidf(docs, dim=128)
+
+
+def q109_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SEVERITY report (text.contamination_overlap_report):
+    fraction of each training doc's distinct word 5-grams appearing in a
+    held-out benchmark slice — q42 answers yes/no, audits need the
+    DEGREE. Benchmark grams broadcast; scoring map-side."""
+    from quackosm_spark.operators.text import contamination_overlap_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_overlap_report(
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+        n=5,
+    )
+
+
 def q106_logprob_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-band pruning (text.logprob_band_filter — the CCNet /
     Gopher LM-filter shape): corpus-unigram logprob per doc, keep the
@@ -2149,11 +2175,13 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (q99 spike-gate repair, q100 overlapping-courtyard union — the
 # ADVICE r03 kernel fixes — plus q101 Gopher rules, q102 DSIR weights,
 # q103 distributed BPE, q104 keep-best dedup). With 104 queries and 50
-# slots, 7 r2-verified queries with UNCHANGED trivial kernels yield their
-# slot until r5 (q54 lag deltas, q55 revenue rollup, q58 latest-per-user,
-# q61 pivot, q62 event history, q64 event paths, q68 resample — plain
-# groupBy/pivot/window shapes with no code touched since r1). Externally
-# unverified THIS round — all with green r3 driver rows
+# slots, 9 r2-verified queries with UNCHANGED stable kernels yield their
+# slot until r5 (q54 lag deltas, q55 revenue rollup, q57 stratified-n,
+# q58 latest-per-user, q60 deciles, q61 pivot, q62 event history, q64
+# event paths, q68 resample — plain groupBy/pivot/window shapes with no
+# code touched since r1; new queries need FIRST driver evidence more than
+# stable ones need a third green row). Externally unverified THIS round —
+# all with green r3 driver rows
 # plus local oracle-harness rows every round: q02–q13, q15, q16, q19,
 # q21–q24, q26–q28, q30, q32, q34–q36, q38–q41, q43, q45, q46, q48–q50,
 # q83, q87–q98, and the four named above (r2 rows).
@@ -2166,8 +2194,7 @@ _DRIVER_PRIORITY = [
     "q42_decontamination", "q44_asof_previous_event", "q47_budget_mixture",
     "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
     "q56_edit_distance_pairs",
-    "q57_stratified_fixed_n",
-    "q59_value_spikes", "q60_quality_deciles", "q63_verified_neardup",
+    "q59_value_spikes", "q63_verified_neardup",
     "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
     "q69_weighted_sample", "q70_cohort_retention",
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
@@ -2181,6 +2208,7 @@ _DRIVER_PRIORITY = [
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
     "q105_hybrid_rrf", "q106_logprob_band", "q107_stream_neardup_kernel",
+    "q108_hashed_tfidf", "q109_contamination_report",
 ]
 
 
@@ -2299,6 +2327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_hybrid_rrf": q105_hybrid_rrf,
         "q106_logprob_band": q106_logprob_band,
         "q107_stream_neardup_kernel": q107_stream_neardup_kernel,
+        "q108_hashed_tfidf": q108_hashed_tfidf,
+        "q109_contamination_report": q109_contamination_report,
     })
 
 
@@ -3588,6 +3618,58 @@ def oracle_sql() -> dict[str, str]:
             (1, 'e', 'r'), (2, 'o', 'w'), (3, 'i', 'n'), (4, 's', 't'),
             (5, 'o', 'r'), (6, 'm', 'er'), (7, 'a', 'l'), (8, 'a', 't')
         ) AS t(rank, "left", "right")
+    """
+    out["q108_hashed_tfidf"] = """
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        w AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS w
+            FROM d
+        ),
+        b AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(w), 1, 8))::BIGINT % 128 AS bucket
+            FROM w
+        ),
+        counts AS (
+            SELECT doc_id, bucket, count(*) AS tf_raw FROM b GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, sum(tf_raw) AS dl FROM counts GROUP BY 1),
+        dfreq AS (
+            SELECT bucket, count(*)::DOUBLE AS df FROM counts GROUP BY 1
+        ),
+        nd AS (SELECT count(*)::DOUBLE AS n FROM d)
+        SELECT doc_id, bucket,
+               round((tf_raw / dl) * ln(nd.n / (1.0 + df)), 6) AS tfidf
+        FROM counts JOIN dl USING (doc_id) JOIN dfreq USING (bucket), nd
+    """
+    out["q109_contamination_report"] = """
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(w) - 4 > 0 THEN
+                           list_transform(range(1, len(w) - 4 + 1),
+                               i -> array_to_string(w[i:i+4], ' '))
+                       ELSE [] END
+                   )) AS g
+            FROM words
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+        train AS (SELECT doc_id, g FROM grams WHERE doc_id % 17 != 0)
+        SELECT t.doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_contaminated,
+               round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS overlap_frac
+        FROM train t LEFT JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id
     """
     out["q106_logprob_band"] = """
         WITH words AS (

@@ -1182,3 +1182,103 @@ def logprob_band_filter(
             "kept"
         ),
     )
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+) -> DataFrame:
+    """Hashing-trick TF-IDF featurization in SPARSE form — the classic
+    bridge from raw text to the vector-similarity stack when no learned
+    embedding exists: (id, bucket, tfidf) triples with
+    tf = bucket count / doc length and idf = ln(N / (1 + df_bucket)).
+
+    md5-derived buckets keep the DuckDB oracle exact. Scale shape: one
+    word-explode scan → (doc, bucket) counts (ONE shuffle); document
+    frequencies aggregate from those counts (map-side combinable); the
+    idf table is ≤ ``dim`` rows, broadcast back. Sparse output on purpose
+    — densifying 100 TB × dim doubles the shuffle for zero information.
+    Empty docs emit no row."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    n_docs = float(docs.count())
+    bucketed = w.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+            .cast("bigint") % dim
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("tf_raw")
+    )
+    doc_len = counts.groupBy("doc_id").agg(F.sum("tf_raw").alias("dl"))
+    dfreq = counts.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    return (
+        counts.join(doc_len, "doc_id")
+        .join(F.broadcast(dfreq), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            F.round(
+                (F.col("tf_raw") / F.col("dl"))
+                * F.log(F.lit(n_docs) / (1.0 + F.col("df"))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def contamination_overlap_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination SEVERITY vs a held-out benchmark: the
+    fraction of the doc's word n-grams that appear anywhere in the
+    benchmark (dedup.contamination_matches answers yes/no on ≥1 shared
+    gram; training-data audits need the overlap DEGREE — a 2% brush vs a
+    90% verbatim inclusion are different decisions).
+
+    The benchmark's distinct gram set is BROADCAST (eval suites are tiny
+    by construction); scoring is one map-side semi-join-free pass:
+    size(array_intersect(doc_grams, bench_grams))/size(doc_grams).
+    Returns (id, n_grams, n_contaminated, overlap_frac); docs with no
+    n-grams emit no row."""
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    ).distinct()
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    hits = (
+        grams.join(F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+                   "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+            "overlap_frac"
+        ),
+    )

@@ -354,3 +354,50 @@ def test_logprob_band_filter_band_membership(spark):
     for r in out:
         if not r.kept:
             assert r.avg_logprob < lo or r.avg_logprob > hi
+
+
+def test_hashed_tfidf_sparse_semantics(spark):
+    from quackosm_spark.operators.text import hashed_tfidf
+
+    d = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "aa cc"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    rows = hashed_tfidf(d, dim=64).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.tfidf
+    assert 3 not in by_doc  # empty doc emits nothing
+    import math
+    # 'aa' appears in 2 of 3 docs, so its bucket idf = ln(3/(1+2)) = 0
+    # (assuming no bucket collision at dim=64 for 3 distinct words)
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+    tf_aa_doc1 = 2 / 3
+    vals1 = sorted(by_doc[1].values())
+    assert any(abs(v - round(tf_aa_doc1 * 0.0, 6)) < 1e-9 for v in vals1)
+    # 'bb' df=1: tfidf = (1/3)*ln(3/2)
+    assert any(
+        abs(v - round((1 / 3) * math.log(3 / 2), 6)) < 1e-9 for v in vals1
+    )
+
+
+def test_contamination_overlap_report_degrees(spark):
+    from quackosm_spark.operators.text import contamination_overlap_report
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id LONG, text STRING"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),          # fully contained
+            (2, "one two three four five different tail here now"),
+            (3, "nothing shared at all in this text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in
+           contamination_overlap_report(docs, bench, n=5).collect()}
+    assert out[1].overlap_frac == 1.0
+    assert 0.0 < out[2].overlap_frac < 1.0
+    assert out[3].overlap_frac == 0.0
+    assert out[2].n_contaminated == 1  # only "one two three four five"
