@@ -1101,9 +1101,16 @@ def union_all_polygons(
     ...]``: merge any two whose shells cross or nest until a fixpoint of
     disjoint polygons remains. Union-enclosed holes (two crossing
     C-shapes) are kept as interior rings; a later part that covers a hole
-    shrinks it via difference. Above ``max_parts`` input shells the
-    fixpoint is skipped (documented pathology cap) and the parts come
-    back unmerged."""
+    shrinks it via difference (through the planar overlay when the hole
+    rim runs along the covering part's boundary). Above ``max_parts``
+    input shells the fixpoint is skipped (documented pathology cap) and
+    the parts come back unmerged.
+
+    Known divergence from GEOS, area-neutral: a part nested inside
+    another part's HOLE stays a separate polygon (island-in-lake) even
+    when it touches the hole's rim — GEOS would fold the rim-touching
+    island into the outer polygon's boundary. Net area and point-in-set
+    semantics are identical; only the part decomposition differs."""
     cleaned = [
         _close(ensure_orientation(_open(remove_repeated_points(r)), ccw=True))
         for r in rings
