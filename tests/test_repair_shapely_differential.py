@@ -179,3 +179,62 @@ class TestOverlayDifferential:
             assert got == pytest.approx(expected, rel=1e-9), seed
             checked += 1
         assert checked >= N_FUZZ // 2
+
+
+class TestRound4DegenerateClasses:
+    """r04 gate + overlay additions vs GEOS: tangent touches, pinch
+    points, pinch-vertex overlay differences, overlapping union holes."""
+
+    def test_tangent_touch_matches_geos_makevalid(self):
+        from shapely import make_valid
+        from shapely.geometry import Polygon
+
+        touch = [[0, 0], [4, 0], [4, 4], [2, 0], [0, 4], [0, 0]]
+        assert R.needs_ring_repair(touch)
+        expected = make_valid(Polygon(touch))
+        assert R.make_valid_area(touch) == pytest.approx(
+            expected.area, rel=1e-9
+        )
+
+    def test_spike_classes_match_geos_makevalid(self):
+        from shapely import make_valid
+        from shapely.geometry import Polygon
+
+        for ring in (
+            [[0, 0], [4, 0], [4, 4], [2, 4], [2, 6], [2, 4], [0, 4], [0, 0]],
+            [[0, 0], [4, 0], [4, 4], [2, 4], [2, 7], [2, 5], [0, 5], [0, 0]],
+        ):
+            assert R.needs_ring_repair(ring)
+            expected = make_valid(Polygon(ring))
+            assert R.make_valid_area(ring) == pytest.approx(
+                expected.area, rel=1e-9
+            )
+
+    def test_pinch_overlay_difference_matches_geos(self):
+        from shapely.geometry import Polygon
+
+        rect = [[3, 2], [7, 2], [7, 6], [3, 6], [3, 2]]
+        tri = [[3, 2], [7, 4], [3, 6], [3, 2]]
+        expected = Polygon(rect).difference(Polygon(tri))
+        got = R.overlay_difference(rect, tri)
+        assert _poly_area(got) == pytest.approx(expected.area, rel=1e-9)
+        assert len(got) == len(list(getattr(expected, "geoms", [expected])))
+
+    def test_overlapping_courtyard_union_matches_geos(self):
+        from shapely.ops import unary_union
+        from shapely.geometry import Polygon
+
+        def u_up(dx=0.0, dy=0.0):
+            return [[x + dx, y + dy] for x, y in
+                    [[0, 0], [6, 0], [6, 6], [4, 6], [4, 2], [2, 2],
+                     [2, 6], [0, 6], [0, 0]]]
+
+        def u_down(dx=0.0, dy=0.0):
+            return [[x + dx, 6 - y + dy] for x, y in
+                    [[0, 0], [6, 0], [6, 6], [4, 6], [4, 2], [2, 2],
+                     [2, 6], [0, 6], [0, 0]]]
+
+        rings = [u_up(), u_down(), u_up(1, 1), u_down(1, 1)]
+        expected = unary_union([Polygon(r) for r in rings])
+        got = R.union_all_polygons(rings)
+        assert _poly_area(got) == pytest.approx(expected.area, rel=1e-9)
