@@ -2066,6 +2066,7 @@ def q107_stream_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id here, so the anchor is the bucket's min doc_id)."""
     from quackosm_spark.streaming import neardup_candidates_stream
 
+    _ship_package(spark)  # the band-anchor kernel runs in Python workers
     docs = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 5 == 0)
