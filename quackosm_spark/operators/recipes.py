@@ -6,10 +6,13 @@ boundaries (filters sink toward the scan; only true barriers — the dedup
 shuffles and the mixture window — materialize):
 
     exact dedup (q16/q33) → near-dup removal (q18 candidates, exact-jaccard
-    verified, → q37 clusters) → quality/PII/language filter (q21/q38/q39) →
-    benchmark decontamination (q42) → token-budget mixture (q47) →
-    sequence packing (q40) → token-budget shard manifest (q90, optionally
-    counting tokens with a real BPE merge table, q89)
+    verified, → q37 clusters; retention policy min-id or best-quality,
+    q104) → quality/PII/language filter (q21/q38/q39) → Gopher rule
+    battery (q101) → DSIR target-distribution selection (q102) →
+    benchmark decontamination (q42; severity report available via q109) →
+    token-budget mixture (q47) → sequence packing (q40) → token-budget
+    shard manifest (q90, optionally counting tokens with a real BPE merge
+    table, q89/q103)
 
 Every stage is optional; ``curate_corpus`` returns the curated DataFrame
 plus a per-stage surviving-row report. With report=True each stage is
