@@ -941,3 +941,44 @@ class TestInnerUnionSemantics:
         g = self._run([("outer", self.BIG), ("inner", d1), ("inner", d2)])
         assert len(g["coordinates"]) == 3
         assert g["coordinates"][1] == d1 and g["coordinates"][2] == d2
+
+
+class TestGateInvariances:
+    """The repair gates and repaired area must not depend on which vertex
+    the ring walk starts at, nor on orientation — OSM offers no such
+    guarantee."""
+
+    RINGS = [
+        SQUARE,
+        [[0, 0], [2, 0], [4, 0], [4, 4], [0, 4], [0, 0]],    # collinear mid
+        BOWTIE,
+        [[0, 0], [4, 0], [4, 4], [2, 4], [2, 6], [2, 4], [0, 4], [0, 0]],
+        [[0, 0], [4, 0], [4, 4], [2, 4], [2, 7], [2, 5], [0, 5], [0, 0]],
+        [[0, 0], [4, 0], [4, 4], [2, 0], [0, 4], [0, 0]],    # tangent touch
+    ]
+
+    @staticmethod
+    def _rotations(ring):
+        pts = [list(p) for p in ring[:-1]]
+        for k in range(len(pts)):
+            rot = pts[k:] + pts[:k]
+            yield rot + [rot[0]]
+
+    def test_gate_rotation_and_reflection_invariant(self):
+        for ring in self.RINGS:
+            base_deg = R.has_degenerate_edges(ring)
+            base_rep = R.needs_ring_repair(ring)
+            for rot in self._rotations(ring):
+                assert R.has_degenerate_edges(rot) == base_deg, rot
+                assert R.needs_ring_repair(rot) == base_rep, rot
+            rev = [list(p) for p in reversed(ring)]
+            assert R.has_degenerate_edges(rev) == base_deg
+            assert R.needs_ring_repair(rev) == base_rep
+
+    def test_repaired_area_rotation_invariant(self):
+        for ring in self.RINGS:
+            if not R.needs_ring_repair(ring):
+                continue
+            base = R.make_valid_area(ring)
+            for rot in self._rotations(ring):
+                assert R.make_valid_area(rot) == pytest.approx(base), rot
