@@ -2075,6 +2075,16 @@ def q107_stream_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_candidates_stream(docs, num_hashes=8, bands=4)
 
 
+def q110_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (mix.curriculum_order): quality bands by
+    exact percentile cutpoints (cleanest band = stage 0, trained first) +
+    a deterministic md5 in-band shuffle key. The writer materializes the
+    order via repartitionByRange — no global sort here or there."""
+    from quackosm_spark.operators.mix import curriculum_order
+
+    return curriculum_order(_t(spark, sf_dir, "documents"), stages=4)
+
+
 def q108_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick TF-IDF featurization (text.hashed_tfidf): sparse
     (doc, bucket, tfidf) triples over md5 buckets — one (doc, bucket)
@@ -2176,13 +2186,13 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (q99 spike-gate repair, q100 overlapping-courtyard union — the
 # ADVICE r03 kernel fixes — plus q101 Gopher rules, q102 DSIR weights,
 # q103 distributed BPE, q104 keep-best dedup). With 104 queries and 50
-# slots, 9 r2-verified queries with UNCHANGED stable kernels yield their
+# slots, 10 r2-verified queries with UNCHANGED stable kernels yield their
 # slot until r5 (q54 lag deltas, q55 revenue rollup, q57 stratified-n,
-# q58 latest-per-user, q60 deciles, q61 pivot, q62 event history, q64
-# event paths, q68 resample — plain groupBy/pivot/window shapes with no
-# code touched since r1; new queries need FIRST driver evidence more than
-# stable ones need a third green row). Externally unverified THIS round —
-# all with green r3 driver rows
+# q58 latest-per-user, q59 spikes, q60 deciles, q61 pivot, q62 event
+# history, q64 event paths, q68 resample — plain groupBy/pivot/window
+# shapes with no code touched since r1; new queries need FIRST driver
+# evidence more than stable ones need a third green row). Externally
+# unverified THIS round — all with green r3 driver rows
 # plus local oracle-harness rows every round: q02–q13, q15, q16, q19,
 # q21–q24, q26–q28, q30, q32, q34–q36, q38–q41, q43, q45, q46, q48–q50,
 # q83, q87–q98, and the four named above (r2 rows).
@@ -2195,7 +2205,7 @@ _DRIVER_PRIORITY = [
     "q42_decontamination", "q44_asof_previous_event", "q47_budget_mixture",
     "q51_rollup_stats", "q52_segment_dedup", "q53_semantic_dedup",
     "q56_edit_distance_pairs",
-    "q59_value_spikes", "q63_verified_neardup",
+    "q63_verified_neardup",
     "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
     "q69_weighted_sample", "q70_cohort_retention",
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
@@ -2210,6 +2220,7 @@ _DRIVER_PRIORITY = [
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
     "q105_hybrid_rrf", "q106_logprob_band", "q107_stream_neardup_kernel",
     "q108_hashed_tfidf", "q109_contamination_report",
+    "q110_curriculum_order",
 ]
 
 
@@ -2330,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_stream_neardup_kernel": q107_stream_neardup_kernel,
         "q108_hashed_tfidf": q108_hashed_tfidf,
         "q109_contamination_report": q109_contamination_report,
+        "q110_curriculum_order": q110_curriculum_order,
     })
 
 
@@ -3619,6 +3631,23 @@ def oracle_sql() -> dict[str, str]:
             (1, 'e', 'r'), (2, 'o', 'w'), (3, 'i', 'n'), (4, 's', 't'),
             (5, 'o', 'r'), (6, 'm', 'er'), (7, 'a', 'l'), (8, 'a', 't')
         ) AS t(rank, "left", "right")
+    """
+    out["q110_curriculum_order"] = f"""
+        WITH scored AS (
+            SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+        ),
+        cuts AS (
+            SELECT quantile_cont(quality, 0.25) AS c1,
+                   quantile_cont(quality, 0.50) AS c2,
+                   quantile_cont(quality, 0.75) AS c3
+            FROM scored
+        )
+        SELECT doc_id, quality,
+               (3 - ((quality > cuts.c1)::INT + (quality > cuts.c2)::INT
+                     + (quality > cuts.c3)::INT)) AS stage,
+               ('0x' || substr(md5('curriculum' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   AS order_key
+        FROM scored, cuts
     """
     out["q108_hashed_tfidf"] = """
         WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),

@@ -297,3 +297,54 @@ def assign_token_shards(
     return d.withColumn(
         "shard_id", F.floor(cum_before / F.lit(int(target_tokens))).cast("bigint")
     ).drop("_bucket")
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stages: int = 4,
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Curriculum training order: band documents by quality (exact
+    percentile cutpoints, cleanest band first) and give each doc a
+    deterministic in-band shuffle key — the writer materializes the order
+    with ``repartitionByRange(stage, order_key)`` + per-partition sort,
+    so no single-partition global sort ever exists.
+
+    stage 0 = the top quality band (trained first); ``order_key`` is an
+    md5-derived 32-bit value of (salt, id) so reshuffling the corpus
+    cannot change the curriculum. Cutpoints are ONE tiny aggregate
+    (stages − 1 scalars). Returns (id, quality, stage, order_key)."""
+    from quackosm_spark.operators.text import quality_score
+
+    if stages < 2:
+        raise ValueError("curriculum_order: need at least 2 stages")
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), quality_score(text_col).alias("quality")
+    )
+    cuts = list(
+        scored.agg(
+            *[
+                F.percentile("quality", i / stages).alias(f"c{i}")
+                for i in range(1, stages)
+            ]
+        ).collect()[0]
+    )
+    band = None
+    for c in cuts:
+        term = F.when(F.col("quality") > float(c), 1).otherwise(0)
+        band = term if band is None else band + term
+    stage = (F.lit(stages - 1) - band).alias("stage")
+    order_key = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        )
+        .cast("bigint")
+        .alias("order_key")
+    )
+    return scored.select("doc_id", "quality", stage, order_key)

@@ -998,3 +998,26 @@ def test_embedding_neardup_blocked_bit_matches_baseline(spark):
             ).collect()
         )
         assert blk == base, f"num_blocks={b}"
+
+
+def test_curriculum_order_bands_and_determinism(spark):
+    from quackosm_spark.operators.mix import curriculum_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curriculum_order(docs, stages=4).collect()
+    by_stage: dict = {}
+    for r in out:
+        by_stage.setdefault(r.stage, []).append(r.quality)
+    assert set(by_stage) <= {0, 1, 2, 3}
+    # stage 0 holds the HIGHEST-quality band; bands are quality-ordered
+    mins = {s: min(v) for s, v in by_stage.items()}
+    maxs = {s: max(v) for s, v in by_stage.items()}
+    for s in sorted(by_stage)[:-1]:
+        assert mins[s] >= maxs[s + 1] - 1e-9
+    # order_key deterministic across runs
+    again = {r.doc_id: r.order_key
+             for r in curriculum_order(docs, stages=4).collect()}
+    assert all(again[r.doc_id] == r.order_key for r in out)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curriculum_order(docs, stages=1)
