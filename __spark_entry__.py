@@ -2075,6 +2075,55 @@ def q107_stream_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_candidates_stream(docs, num_hashes=8, bands=4)
 
 
+# q111 polygon literals, shared by the Spark query and the SQL oracle.
+# Corners sit on a 0.05-offset grid while synthetic point coords sit on a
+# 0.1 grid, so no point ever lands exactly on a boundary (keeps the
+# ray-cast refine and the SQL half-plane tests trivially agreeing).
+_Q111_RECTS = [
+    (k, round(-170.05 + 34.0 * k, 2), round(-80.05 + 16.0 * k, 2),
+     round(-130.05 + 34.0 * k, 2), round(-40.05 + 16.0 * k, 2))
+    for k in range(8)
+]
+_Q111_TRIS = [
+    # CCW vertex order: (x0,y0) -> (x1,y1) -> (x2,y2); corners rounded so
+    # the generated SQL literals stay short (fp dust would otherwise make
+    # DuckDB type them as over-wide DECIMALs)
+    (100 + k, round(-60.05 + 30.0 * k, 2), -20.05,
+     round(-20.05 + 30.0 * k, 2), -20.05,
+     round(-40.05 + 30.0 * k, 2), 30.05)
+    for k in range(4)
+]
+
+
+def q111_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed points-in-polygons JOIN (operators/spatial.
+    points_in_polygons_join): slippy-tile cell bucketing co-locates
+    candidates (polygon explodes to bbox-covering tiles; a point lives in
+    exactly one tile, so no dedup shuffle) and a vectorized ray-cast
+    refine keeps true containments. Polygons here are rectangles +
+    triangles so the oracle is pure comparison/half-plane arithmetic."""
+    from quackosm_spark.operators.spatial import points_in_polygons_join
+
+    _ship_package(spark)
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 13 == 0)
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        (((F.col("event_id") / 13) % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("value") % 180.0) - 90.0).alias("lat"),
+    )
+    rows = []
+    for pid, x1, y1, x2, y2 in _Q111_RECTS:
+        ring = [(x1, y1), (x2, y1), (x2, y2), (x1, y2), (x1, y1)]
+        rows.append((pid, [{"x": float(x), "y": float(y)} for x, y in ring]))
+    for pid, x0, y0, x1, y1, x2, y2 in _Q111_TRIS:
+        ring = [(x0, y0), (x1, y1), (x2, y2), (x0, y0)]
+        rows.append((pid, [{"x": float(x), "y": float(y)} for x, y in ring]))
+    polys = spark.createDataFrame(
+        rows, "poly_id LONG, ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+    )
+    return points_in_polygons_join(pts, polys, zoom=6)
+
+
 def q110_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (mix.curriculum_order): quality bands by
     exact percentile cutpoints (cleanest band = stage 0, trained first) +
@@ -2186,13 +2235,13 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (q99 spike-gate repair, q100 overlapping-courtyard union — the
 # ADVICE r03 kernel fixes — plus q101 Gopher rules, q102 DSIR weights,
 # q103 distributed BPE, q104 keep-best dedup). With 104 queries and 50
-# slots, 10 r2-verified queries with UNCHANGED stable kernels yield their
+# slots, 11 r2-verified queries with UNCHANGED stable kernels yield their
 # slot until r5 (q54 lag deltas, q55 revenue rollup, q57 stratified-n,
 # q58 latest-per-user, q59 spikes, q60 deciles, q61 pivot, q62 event
-# history, q64 event paths, q68 resample — plain groupBy/pivot/window
-# shapes with no code touched since r1; new queries need FIRST driver
-# evidence more than stable ones need a third green row). Externally
-# unverified THIS round — all with green r3 driver rows
+# history, q64 event paths, q68 resample, q70 cohort retention — plain
+# groupBy/pivot/window shapes with no code touched since r1; new queries
+# need FIRST driver evidence more than stable ones need a third green
+# row). Externally unverified THIS round — all with green r3 driver rows
 # plus local oracle-harness rows every round: q02–q13, q15, q16, q19,
 # q21–q24, q26–q28, q30, q32, q34–q36, q38–q41, q43, q45, q46, q48–q50,
 # q83, q87–q98, and the four named above (r2 rows).
@@ -2207,7 +2256,7 @@ _DRIVER_PRIORITY = [
     "q56_edit_distance_pairs",
     "q63_verified_neardup",
     "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
-    "q69_weighted_sample", "q70_cohort_retention",
+    "q69_weighted_sample",
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
     "q74_profile_table", "q75_interleave_sources",
     "q76_bloom_decontamination", "q77_session_window", "q78_geohash_cells",
@@ -2220,7 +2269,7 @@ _DRIVER_PRIORITY = [
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
     "q105_hybrid_rrf", "q106_logprob_band", "q107_stream_neardup_kernel",
     "q108_hashed_tfidf", "q109_contamination_report",
-    "q110_curriculum_order",
+    "q110_curriculum_order", "q111_spatial_join",
 ]
 
 
@@ -2342,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_hashed_tfidf": q108_hashed_tfidf,
         "q109_contamination_report": q109_contamination_report,
         "q110_curriculum_order": q110_curriculum_order,
+        "q111_spatial_join": q111_spatial_join,
     })
 
 
@@ -3631,6 +3681,32 @@ def oracle_sql() -> dict[str, str]:
             (1, 'e', 'r'), (2, 'o', 'w'), (3, 'i', 'n'), (4, 's', 't'),
             (5, 'o', 'r'), (6, 'm', 'er'), (7, 'a', 'l'), (8, 'a', 't')
         ) AS t(rank, "left", "right")
+    """
+    q111_parts = []
+    for pid, x1, y1, x2, y2 in _Q111_RECTS:
+        q111_parts.append(
+            f"SELECT point_id, {pid} AS poly_id FROM pts "
+            f"WHERE lon >= {x1} AND lon <= {x2} "
+            f"AND lat >= {y1} AND lat <= {y2}"
+        )
+    for pid, x0, y0, x1, y1, x2, y2 in _Q111_TRIS:
+        # CCW triangle: inside iff every edge's cross product is >= 0
+        e0 = f"(({x1} - {x0}) * (lat - {y0}) - ({y1} - {y0}) * (lon - {x0}))"
+        e1 = f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1}))"
+        e2 = f"(({x0} - {x2}) * (lat - {y2}) - ({y0} - {y2}) * (lon - {x2}))"
+        q111_parts.append(
+            f"SELECT point_id, {pid} AS poly_id FROM pts "
+            f"WHERE {e0} >= 0 AND {e1} >= 0 AND {e2} >= 0"
+        )
+    q111_union = " UNION ALL ".join(q111_parts)
+    out["q111_spatial_join"] = f"""
+        WITH pts AS (
+            SELECT event_id AS point_id,
+                   ((event_id / 13) % 3600) / 10.0 - 180.0 AS lon,
+                   (value % 180.0) - 90.0 AS lat
+            FROM events WHERE event_id % 13 = 0
+        )
+        {q111_union}
     """
     out["q110_curriculum_order"] = f"""
         WITH scored AS (

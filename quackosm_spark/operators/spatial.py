@@ -1,0 +1,129 @@
+"""Distributed spatial join: points-in-polygons at scale.
+
+The reference's geometry filter clips one dataset against ONE query
+polygon (filters/geometry.py); analytics over geo data also needs the
+JOIN form — millions of points against a polygon TABLE (geofencing,
+admin-area enrichment, POI containment). Neither side may be collected
+or broadcast wholesale at 100 TB, so the join is grid-bucketed:
+
+1. every point maps to its slippy tile at ``zoom`` (scan-stage Column
+   arithmetic, geometry/tiles.py);
+2. every polygon explodes to the tiles covering its bbox (completeness:
+   a containing polygon's bbox contains the point, so they share the
+   point's tile);
+3. equi-join on the tile key co-locates candidates — pair blowup is
+   bounded by per-tile densities, never |points| × |polygons|;
+4. an exact vectorized ray-cast refine (geometry/ops.points_in_ring)
+   keeps true containments only.
+
+A point lies in exactly one tile, so no post-join dedup shuffle exists.
+``zoom`` trades explode fan-out (large polygons cover many tiles) against
+candidate density (coarse tiles pack unrelated points and polygons
+together); ``max_cells_per_polygon`` fails loud instead of silently
+exploding a continent-sized polygon into millions of rows. Polygons
+spanning the antimeridian are out of contract (split them first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quackosm_spark.geometry.tiles import tile_x, tile_y
+
+
+def _cell(cx: Column, cy: Column, zoom: int) -> Column:
+    return (cx * (1 << zoom) + cy).cast("bigint")
+
+
+def points_in_polygons_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    zoom: int = 8,
+    point_id: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    poly_id: str = "poly_id",
+    ring_col: str = "ring",
+    max_cells_per_polygon: int = 4096,
+) -> DataFrame:
+    """Join ``points`` (id, lon, lat) against ``polygons`` (id, ring:
+    array<struct<x,y>>): returns (point_id, poly_id) for every point
+    strictly or boundary-contained in a polygon ring (even-odd)."""
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(lon_col).alias("x"),
+        F.col(lat_col).alias("y"),
+        _cell(
+            tile_x(F.col(lon_col), zoom), tile_y(F.col(lat_col), zoom), zoom
+        ).alias("cell"),
+    )
+    ring = F.col(ring_col)
+    xs = F.transform(ring, lambda p: p["x"])
+    ys = F.transform(ring, lambda p: p["y"])
+    polys = polygons.select(
+        F.col(poly_id).alias("poly_id"),
+        ring.alias("ring"),
+        tile_x(F.array_min(xs), zoom).alias("cx0"),
+        tile_x(F.array_max(xs), zoom).alias("cx1"),
+        # y tiles grow downward: max lat → min ytile
+        tile_y(F.array_max(ys), zoom).alias("cy0"),
+        tile_y(F.array_min(ys), zoom).alias("cy1"),
+    )
+    n_cells = (F.col("cx1") - F.col("cx0") + 1) * (
+        F.col("cy1") - F.col("cy0") + 1
+    )
+    overflow = polys.where(n_cells > max_cells_per_polygon).limit(1).collect()
+    if overflow:
+        raise ValueError(
+            f"points_in_polygons_join: polygon {overflow[0]['poly_id']!r} "
+            f"covers more than {max_cells_per_polygon} tiles at zoom "
+            f"{zoom}; lower the zoom or raise max_cells_per_polygon"
+        )
+    covered = (
+        polys.select(
+            "poly_id",
+            "ring",
+            F.explode(F.sequence(F.col("cx0"), F.col("cx1"))).alias("cx"),
+            F.col("cy0"),
+            F.col("cy1"),
+        )
+        .select(
+            "poly_id",
+            "ring",
+            "cx",
+            F.explode(F.sequence(F.col("cy0"), F.col("cy1"))).alias("cy"),
+        )
+        .select(
+            "poly_id",
+            "ring",
+            _cell(F.col("cx"), F.col("cy"), zoom).alias("cell"),
+        )
+    )
+    candidates = pts.join(covered, "cell").select(
+        "point_id", "x", "y", "poly_id", "ring"
+    )
+
+    @F.pandas_udf("boolean")
+    def _contains(x: pd.Series, y: pd.Series, rings: pd.Series) -> pd.Series:
+        from quackosm_spark.geometry.ops import points_in_ring
+
+        out = np.zeros(len(x), dtype=bool)
+        xv = x.to_numpy(dtype=np.float64)
+        yv = y.to_numpy(dtype=np.float64)
+        for i, r in enumerate(rings):
+            arr = np.asarray(
+                [[p["x"], p["y"]] for p in r], dtype=np.float64
+            )
+            if arr.shape[0] < 3:
+                continue
+            out[i] = bool(
+                points_in_ring(xv[i : i + 1], yv[i : i + 1], arr)[0]
+            )
+        return pd.Series(out)
+
+    return candidates.where(
+        _contains(F.col("x"), F.col("y"), F.col("ring"))
+    ).select("point_id", "poly_id")
