@@ -3685,7 +3685,7 @@ def oracle_sql() -> dict[str, str]:
     q111_parts = []
     for pid, x1, y1, x2, y2 in _Q111_RECTS:
         q111_parts.append(
-            f"SELECT point_id, {pid} AS poly_id FROM pts "
+            f"SELECT point_id, {pid}::BIGINT AS poly_id FROM pts "
             f"WHERE lon >= {x1} AND lon <= {x2} "
             f"AND lat >= {y1} AND lat <= {y2}"
         )
@@ -3695,7 +3695,7 @@ def oracle_sql() -> dict[str, str]:
         e1 = f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1}))"
         e2 = f"(({x0} - {x2}) * (lat - {y2}) - ({y0} - {y2}) * (lon - {x2}))"
         q111_parts.append(
-            f"SELECT point_id, {pid} AS poly_id FROM pts "
+            f"SELECT point_id, {pid}::BIGINT AS poly_id FROM pts "
             f"WHERE {e0} >= 0 AND {e1} >= 0 AND {e2} >= 0"
         )
     q111_union = " UNION ALL ".join(q111_parts)
