@@ -2124,6 +2124,55 @@ def q111_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_in_polygons_join(pts, polys, zoom=6)
 
 
+def _q112_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-valued doc features (exact float64 sums on both engines):
+    x1 = n_chars, x2 = count of 'a' chars, y = whitespace token count."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("n_chars").cast("double").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "a", ""))
+        ).cast("double").alias("x2"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("y"),
+    )
+
+
+def q112_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression by distributed normal equations (operators/ml.
+    ridge_fit_normal_eq): ONE corpus scan aggregates the O(p^2) Gram sums
+    (every term a map-side-combinable SUM), the (p+1)x(p+1) solve runs on
+    the driver. The quality-classifier training shape: at 100 TB the
+    corpus never moves, only p(p+3)/2+2 doubles per partition do. Oracle:
+    the same normal equations solved by Cramer's rule in pure SQL — the
+    features are integer-valued so both engines' sums are exact."""
+    from quackosm_spark.operators.ml import ridge_fit_normal_eq
+
+    feats = _q112_features(spark, sf_dir)
+    model = ridge_fit_normal_eq(feats, ["x1", "x2"], "y", l2=10.0)
+    rows = [
+        ("intercept", float(model["intercept"])),
+        ("x1_n_chars", float(model["coef"]["x1"])),
+        ("x2_a_count", float(model["coef"]["x2"])),
+    ]
+    return spark.createDataFrame(rows, "feature STRING, coef DOUBLE").select(
+        "feature", F.round("coef", 6).alias("coef")
+    )
+
+
+def q113_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix from ONE sufficient-statistics
+    pass (operators/ml.correlation_matrix_suffstats): the raw sums
+    aggregate in a single scan, the p(p-1)/2 correlations unpivot from
+    the 1-row result with a closed formula. Features are integer-valued,
+    so the sums are exact in float64 and the formula is bit-reproducible
+    — the oracle mirrors the identical expression, no rounding."""
+    from quackosm_spark.operators.ml import correlation_matrix_suffstats
+
+    feats = _q112_features(spark, sf_dir)
+    return correlation_matrix_suffstats(feats, ["x1", "x2", "y"])
+
+
 def q110_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (mix.curriculum_order): quality bands by
     exact percentile cutpoints (cleanest band = stage 0, trained first) +
@@ -2260,16 +2309,18 @@ _DRIVER_PRIORITY = [
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
     "q74_profile_table", "q75_interleave_sources",
     "q76_bloom_decontamination", "q77_session_window", "q78_geohash_cells",
-    "q79_near_pairs", "q80_incremental_dedup", "q81_novelty_score",
-    "q82_winsorize", "q84_relation_union", "q85_slippy_tiles",
+    "q79_near_pairs", "q80_incremental_dedup",
+    "q82_winsorize", "q84_relation_union",
     "q86_repeated_spans",
-    # new this round (ADVICE r03 fixes + round-4 operators)
+    # new this round (ADVICE r03 fixes + round-4 operators); q81/q85
+    # rotated out to make window room — both driver-green in r1/r2
     "q99_relation_spike_repair", "q100_union_courtyards",
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
     "q105_hybrid_rrf", "q106_logprob_band", "q107_stream_neardup_kernel",
     "q108_hashed_tfidf", "q109_contamination_report",
     "q110_curriculum_order", "q111_spatial_join",
+    "q112_ridge_normal_eq", "q113_feature_corr",
 ]
 
 
@@ -2392,6 +2443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_contamination_report": q109_contamination_report,
         "q110_curriculum_order": q110_curriculum_order,
         "q111_spatial_join": q111_spatial_join,
+        "q112_ridge_normal_eq": q112_ridge_normal_eq,
+        "q113_feature_corr": q113_feature_corr,
     })
 
 
@@ -4050,6 +4103,76 @@ def oracle_sql() -> dict[str, str]:
                             + ((xtile >> ({_Q85_ZOOM} - i)) & 1)),
                    '') AS quadkey
         FROM t
+    """
+    # q112/q113 share the same integer-valued feature CTE: x1 = n_chars,
+    # x2 = count of 'a' chars, y = whitespace token count. Integer sums
+    # are exact in float64, so both engines aggregate identical doubles.
+    q112_feats = """
+        SELECT n_chars::DOUBLE AS x1,
+               (length(text) - length(replace(text, 'a', '')))::DOUBLE AS x2,
+               len(string_split(text, ' '))::DOUBLE AS y
+        FROM documents
+    """
+    out["q112_ridge_normal_eq"] = f"""
+        WITH f AS ({q112_feats}),
+        s AS (
+            SELECT count(*)::DOUBLE AS n,
+                   sum(x1) AS sx1, sum(x2) AS sx2,
+                   sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+                   sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+            FROM f
+        ),
+        -- ridge: l2=10 on the feature diagonal, not the intercept
+        m AS (
+            SELECT n, sx1, sx2, s12, sy, s1y, s2y,
+                   s11 + 10.0 AS a11, s22 + 10.0 AS a22
+            FROM s
+        ),
+        d AS (
+            SELECT *,
+                   n*(a11*a22 - s12*s12) - sx1*(sx1*a22 - s12*sx2)
+                     + sx2*(sx1*s12 - a11*sx2) AS det
+            FROM m
+        )
+        SELECT 'intercept' AS feature,
+               round((sy*(a11*a22 - s12*s12) - sx1*(s1y*a22 - s12*s2y)
+                      + sx2*(s1y*s12 - a11*s2y)) / det, 6) AS coef
+        FROM d
+        UNION ALL
+        SELECT 'x1_n_chars',
+               round((n*(s1y*a22 - s12*s2y) - sy*(sx1*a22 - s12*sx2)
+                      + sx2*(sx1*s2y - s1y*sx2)) / det, 6)
+        FROM d
+        UNION ALL
+        SELECT 'x2_a_count',
+               round((n*(a11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)
+                      + sy*(sx1*s12 - a11*sx2)) / det, 6)
+        FROM d
+    """
+    q113_corr = (
+        "(n*s{i}{j} - s{i}*s{j}) / "
+        "sqrt((n*s{i}{i} - s{i}*s{i}) * (n*s{j}{j} - s{j}*s{j}))"
+    )
+    q113_pairs = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        + q113_corr.format(i=ia, j=ib)
+        + " AS corr FROM s"
+        for (a, ia), (b, ib) in [
+            (("x1", 1), ("x2", 2)),
+            (("x1", 1), ("y", 3)),
+            (("x2", 2), ("y", 3)),
+        ]
+    )
+    out["q113_feature_corr"] = f"""
+        WITH f AS ({q112_feats}),
+        s AS (
+            SELECT count(*)::DOUBLE AS n,
+                   sum(x1) AS s1, sum(x2) AS s2, sum(y) AS s3,
+                   sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*y) AS s13,
+                   sum(x2*x2) AS s22, sum(x2*y) AS s23, sum(y*y) AS s33
+            FROM f
+        )
+        {q113_pairs}
     """
     return _driver_order(out)
 

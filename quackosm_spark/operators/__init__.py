@@ -25,6 +25,10 @@
                    exact-broadcast) + bloom-prefiltered exact decontamination
 - ``graph``      — iterative graph algorithms (PageRank with dangling-mass
                    redistribution)
+- ``ml``         — single-pass sufficient-statistics model fitting: ridge
+                   regression via normal equations (one scan, O(p^2) bytes
+                   to the driver), scan-stage linear scoring, one-pass
+                   pairwise correlation matrix
 """
 
 from quackosm_spark.operators import (
@@ -32,6 +36,7 @@ from quackosm_spark.operators import (
     dedup,
     graph,
     mix,
+    ml,
     multimodal,
     osm,
     recipes,
@@ -48,6 +53,7 @@ __all__ = [
     "dedup",
     "graph",
     "mix",
+    "ml",
     "multimodal",
     "osm",
     "recipes",

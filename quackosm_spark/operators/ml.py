@@ -1,0 +1,190 @@
+"""Single-pass sufficient-statistics ML: ridge regression + correlations.
+
+The 100 TB pattern these operators encode: model fitting over a corpus
+never moves the corpus. A linear model with p features needs only the
+O(p^2) Gram-matrix sums (X'X, X'y) — each a map-side-combinable SUM, so
+one scan emits p(p+3)/2 + 2 doubles per partition, one tiny Exchange
+merges them, and the (p+1)x(p+1) solve happens on the driver in numpy.
+Scoring the fitted model back over the corpus is pure scan-stage Column
+arithmetic (no join, no shuffle, no UDF).
+
+This is the distributed form of the quality-classifier training loop in
+LLM data curation (fit a cheap linear scorer on labeled features, score
+every document with it): the expensive side (the scan) parallelizes
+perfectly, the sequential side (the solve) is O(p^3) on p ~ dozens.
+
+``correlation_matrix`` uses the same shape for feature diagnostics: all
+pairwise Pearson correlations from one aggregate over sums / squares /
+cross-products — one pass, one 1-row Exchange, p(p-1)/2 outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def regression_suffstats(
+    df: DataFrame, feature_cols: Sequence[str], target_col: str
+) -> dict:
+    """One-pass sufficient statistics for linear regression.
+
+    Returns ``{"n": float, "sx": np.array(p), "sxx": np.array(p, p),
+    "sxy": np.array(p), "sy": float, "syy": float}`` where ``sxx`` holds
+    the raw cross-product sums ``sum(x_i * x_j)``. A single ``agg`` call
+    — every term is a plain SUM, so Spark's partial aggregation combines
+    map-side and ships one row per partition to one reducer.
+    """
+    p = len(feature_cols)
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(target_col).cast("double")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(xs[i]).alias(f"sx_{i}") for i in range(p)]
+    aggs += [
+        F.sum(xs[i] * xs[j]).alias(f"sxx_{i}_{j}")
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    aggs += [F.sum(xs[i] * y).alias(f"sxy_{i}") for i in range(p)]
+    aggs += [F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
+    row = df.agg(*aggs).collect()[0]
+    sxx = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            sxx[i, j] = sxx[j, i] = row[f"sxx_{i}_{j}"]
+    return {
+        "n": float(row["n"]),
+        "sx": np.array([row[f"sx_{i}"] for i in range(p)]),
+        "sxx": sxx,
+        "sxy": np.array([row[f"sxy_{i}"] for i in range(p)]),
+        "sy": float(row["sy"]),
+        "syy": float(row["syy"]),
+    }
+
+
+def ridge_fit_normal_eq(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str,
+    l2: float = 0.0,
+    fit_intercept: bool = True,
+) -> dict:
+    """Fit ridge regression by the normal equations.
+
+    Solves ``(X'X + l2*I) beta = X'y`` (the l2 penalty is NOT applied to
+    the intercept, matching sklearn's ``Ridge``). Returns
+    ``{"intercept": float, "coef": {feature: float}}``. The corpus is
+    touched exactly once (see `regression_suffstats`); the solve is a
+    (p+1)x(p+1) ``np.linalg.solve`` on the driver.
+    """
+    s = regression_suffstats(df, feature_cols, target_col)
+    p = len(feature_cols)
+    if fit_intercept:
+        a = np.zeros((p + 1, p + 1))
+        b = np.zeros(p + 1)
+        a[0, 0] = s["n"]
+        a[0, 1:] = a[1:, 0] = s["sx"]
+        a[1:, 1:] = s["sxx"]
+        b[0] = s["sy"]
+        b[1:] = s["sxy"]
+        if l2:
+            a[1:, 1:] += l2 * np.eye(p)
+        beta = np.linalg.solve(a, b)
+        return {
+            "intercept": float(beta[0]),
+            "coef": dict(zip(feature_cols, (float(v) for v in beta[1:]))),
+        }
+    a = s["sxx"] + (l2 * np.eye(p) if l2 else 0.0)
+    beta = np.linalg.solve(a, s["sxy"])
+    return {
+        "intercept": 0.0,
+        "coef": dict(zip(feature_cols, (float(v) for v in beta))),
+    }
+
+
+def linear_score(model: dict, feature_cols: Sequence[str] | None = None) -> Column:
+    """Scan-stage Column scoring a fitted `ridge_fit_normal_eq` model:
+    ``intercept + sum(coef_i * x_i)`` — no shuffle, no UDF, fully inside
+    whole-stage codegen."""
+    cols = list(feature_cols) if feature_cols is not None else list(model["coef"])
+    expr = F.lit(float(model["intercept"]))
+    for c in cols:
+        expr = expr + F.lit(float(model["coef"][c])) * F.col(c).cast("double")
+    return expr
+
+
+def correlation_matrix_suffstats(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """All pairwise Pearson correlations from ONE sufficient-statistics
+    aggregate, with a reproducible closed formula.
+
+    Same single-scan shape as `correlation_matrix`, but instead of
+    ``F.corr`` it aggregates the raw sums (sum x, sum x^2, sum x*y) and
+    computes ``(n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))``
+    in Column arithmetic. With integer-valued features the sums are
+    exact in float64, so the result is bit-reproducible across engines
+    evaluating the same formula — which is what the contract oracle
+    pins. Output: ``(col_a, col_b, corr)`` per unordered pair.
+    """
+    p = len(cols)
+    xs = [F.col(c).cast("double") for c in cols]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(xs[i]).alias(f"s_{i}") for i in range(p)]
+    aggs += [
+        F.sum(xs[i] * xs[j]).alias(f"ss_{i}_{j}")
+        for i in range(p)
+        for j in range(i, p)
+    ]
+    one = df.agg(*aggs)
+    structs = []
+    for i in range(p):
+        for j in range(i + 1, p):
+            n, si, sj = F.col("n"), F.col(f"s_{i}"), F.col(f"s_{j}")
+            sii, sjj = F.col(f"ss_{i}_{i}"), F.col(f"ss_{j}_{j}")
+            sij = F.col(f"ss_{i}_{j}")
+            corr = (n * sij - si * sj) / F.sqrt(
+                (n * sii - si * si) * (n * sjj - sj * sj)
+            )
+            structs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    corr.alias("corr"),
+                )
+            )
+    # one explode over the single 1-row agg result — the corpus is
+    # scanned exactly once no matter how many pairs unpivot from it
+    return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """All pairwise Pearson correlations in ONE aggregate pass.
+
+    Returns a DataFrame ``(col_a, col_b, corr)`` for every unordered pair
+    ``col_a < col_b`` (positionally). Uses ``F.corr`` — Spark computes
+    each pair's co-moments inside the same partial-aggregation scan, so
+    p columns cost one corpus read and one 1-row Exchange regardless of
+    the p(p-1)/2 output size.
+    """
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = [
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+            f"c_{i}"
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)"
+    )
