@@ -2173,6 +2173,24 @@ def q113_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix_suffstats(feats, ["x1", "x2", "y"])
 
 
+def q114_groupwise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source linear trend lines (operators/ml.groupwise_linear_fit):
+    a million per-domain regressions cost ONE groupBy shuffle of 5
+    doubles per group (map-side partial sums), never a corpus reshuffle;
+    slope/intercept evaluate from the closed formula in Column math.
+    Integer-valued inputs → exact float64 sums → the oracle mirrors the
+    identical expression bit-for-bit, no rounding."""
+    from quackosm_spark.operators.ml import groupwise_linear_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.col("text"), " ")).alias("y"),
+    )
+    return groupwise_linear_fit(feats, "source", "x", "y")
+
+
 def q110_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (mix.curriculum_order): quality bands by
     exact percentile cutpoints (cleanest band = stage 0, trained first) +
@@ -2309,18 +2327,18 @@ _DRIVER_PRIORITY = [
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
     "q74_profile_table", "q75_interleave_sources",
     "q76_bloom_decontamination", "q77_session_window", "q78_geohash_cells",
-    "q79_near_pairs", "q80_incremental_dedup",
+    "q79_near_pairs",
     "q82_winsorize", "q84_relation_union",
     "q86_repeated_spans",
-    # new this round (ADVICE r03 fixes + round-4 operators); q81/q85
-    # rotated out to make window room — both driver-green in r1/r2
+    # new this round (ADVICE r03 fixes + round-4 operators); q80/q81/q85
+    # rotated out to make window room — all driver-green in r1/r2
     "q99_relation_spike_repair", "q100_union_courtyards",
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
     "q105_hybrid_rrf", "q106_logprob_band", "q107_stream_neardup_kernel",
     "q108_hashed_tfidf", "q109_contamination_report",
     "q110_curriculum_order", "q111_spatial_join",
-    "q112_ridge_normal_eq", "q113_feature_corr",
+    "q112_ridge_normal_eq", "q113_feature_corr", "q114_groupwise_trend",
 ]
 
 
@@ -2445,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_spatial_join": q111_spatial_join,
         "q112_ridge_normal_eq": q112_ridge_normal_eq,
         "q113_feature_corr": q113_feature_corr,
+        "q114_groupwise_trend": q114_groupwise_trend,
     })
 
 
@@ -4173,6 +4192,28 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         )
         {q113_pairs}
+    """
+    out["q114_groupwise_trend"] = """
+        WITH f AS (
+            SELECT source,
+                   n_chars::DOUBLE AS x,
+                   len(string_split(text, ' '))::DOUBLE AS y
+            FROM documents
+        ),
+        s AS (
+            SELECT source AS "group",
+                   count(*)::DOUBLE AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x*x) AS sxx, sum(x*y) AS sxy
+            FROM f GROUP BY 1
+        )
+        SELECT "group", n::BIGINT AS n,
+               CASE WHEN (n*sxx - sx*sx) <> 0
+                    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope,
+               CASE WHEN (n*sxx - sx*sx) <> 0
+                    THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+               END AS intercept
+        FROM s
     """
     return _driver_order(out)
 

@@ -116,6 +116,111 @@ def linear_score(model: dict, feature_cols: Sequence[str] | None = None) -> Colu
     return expr
 
 
+def groupwise_linear_fit(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Simple linear regression PER GROUP from grouped sufficient stats.
+
+    One ``groupBy`` shuffle moves 5 doubles per group (n, sum x, sum y,
+    sum x^2, sum x*y — all partial-aggregated map-side), then the closed
+    formula ``slope = (n*sxy - sx*sy) / (n*sxx - sx^2)``,
+    ``intercept = (sy - slope*sx) / n`` evaluates in Column arithmetic.
+    Fitting a million per-domain trend lines costs exactly one shuffle
+    of a million tiny rows — the corpus itself never reshuffles. With
+    integer-valued inputs the sums are exact in float64, so the output
+    is bit-reproducible across engines evaluating the same formula.
+    Groups with zero x-variance return NULL slope/intercept (0/0).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    return g.select(
+        "group",
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        F.when(denom != 0, (sy - ((n * sxy - sx * sy) / denom) * sx) / n)
+        .alias("intercept"),
+    )
+
+
+def logistic_fit_irls(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str,
+    iters: int = 8,
+    l2: float = 0.0,
+) -> dict:
+    """Distributed logistic regression via IRLS (Newton-Raphson).
+
+    The binary-quality-classifier trainer (the fastText-style filter in
+    LLM curation pipelines, e.g. the educational-quality scorers), built
+    on the same never-move-the-corpus contract as `ridge_fit_normal_eq`:
+    each Newton step is ONE scan that aggregates the gradient
+    ``X'(y - mu)`` and Hessian ``X'WX`` (w = mu*(1-mu)) under the
+    CURRENT coefficients — the coefficients enter as literals, so the
+    whole per-row computation is JVM-codegen Column arithmetic, and only
+    O(p^2) doubles reach the driver per iteration. ``iters`` scans
+    total; the (p+1)x(p+1) solve per step is driver-side numpy.
+
+    ``target_col`` must be 0/1 (cast to double). l2 penalizes features,
+    not the intercept. Returns ``{"intercept", "coef", "iters"}``.
+    Deterministic: no sampling, no RNG, fixed iteration count.
+    """
+    p = len(feature_cols)
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    yv = F.col(target_col).cast("double")
+    beta = np.zeros(p + 1)
+    for _ in range(iters):
+        eta = F.lit(float(beta[0]))
+        for i in range(p):
+            eta = eta + F.lit(float(beta[i + 1])) * xs[i]
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        resid = yv - mu
+        design = [F.lit(1.0)] + xs
+        aggs = [
+            F.sum(design[i] * resid).alias(f"g_{i}") for i in range(p + 1)
+        ]
+        aggs += [
+            F.sum(design[i] * design[j] * w).alias(f"h_{i}_{j}")
+            for i in range(p + 1)
+            for j in range(i, p + 1)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        grad = np.array([row[f"g_{i}"] for i in range(p + 1)])
+        hess = np.zeros((p + 1, p + 1))
+        for i in range(p + 1):
+            for j in range(i, p + 1):
+                hess[i, j] = hess[j, i] = row[f"h_{i}_{j}"]
+        if l2:
+            pen = np.diag([0.0] + [l2] * p)
+            hess = hess + pen
+            grad = grad - pen @ beta
+        beta = beta + np.linalg.solve(hess, grad)
+    return {
+        "intercept": float(beta[0]),
+        "coef": dict(zip(feature_cols, (float(v) for v in beta[1:]))),
+        "iters": iters,
+    }
+
+
+def logistic_score(model: dict, feature_cols: Sequence[str] | None = None) -> Column:
+    """Scan-stage sigmoid probability under a fitted `logistic_fit_irls`
+    model — Column arithmetic only, no UDF."""
+    eta = linear_score(model, feature_cols)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+
 def correlation_matrix_suffstats(
     df: DataFrame, cols: Sequence[str]
 ) -> DataFrame:

@@ -96,6 +96,111 @@ class TestRidge:
         assert s["sxx"][0, 1] == s["sxx"][1, 0]
 
 
+class TestGroupwiseLinearFit:
+    def test_matches_per_group_polyfit(self, spark):
+        rng = np.random.RandomState(3)
+        rows = []
+        for g, (slope, icpt) in enumerate([(2.0, 1.0), (-0.5, 3.0), (0.0, 7.0)]):
+            x = rng.randint(0, 50, size=60)
+            y = np.round(icpt + slope * x + rng.randint(-2, 3, size=60))
+            rows += [(f"g{g}", int(a), int(b)) for a, b in zip(x, y)]
+        df = spark.createDataFrame(rows, "group string, x long, y long")
+        out = (
+            ml.groupwise_linear_fit(df, "group", "x", "y")
+            .toPandas()
+            .set_index("group")
+        )
+        pdf = df.toPandas()
+        for g, sub in pdf.groupby("group"):
+            beta = np.polyfit(sub["x"], sub["y"], 1)
+            assert out.loc[g, "slope"] == pytest.approx(beta[0], rel=1e-9)
+            assert out.loc[g, "intercept"] == pytest.approx(beta[1], rel=1e-9)
+            assert out.loc[g, "n"] == len(sub)
+
+    def test_zero_variance_group_is_null(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5, 1), ("a", 5, 2), ("b", 1, 1), ("b", 2, 3)],
+            "group string, x long, y long",
+        )
+        out = (
+            ml.groupwise_linear_fit(df, "group", "x", "y")
+            .toPandas()
+            .set_index("group")
+        )
+        assert out.loc["a", "slope"] is None or np.isnan(out.loc["a", "slope"])
+        assert out.loc["b", "slope"] == pytest.approx(2.0)
+
+
+def _numpy_irls(x, y, iters, l2=0.0):
+    n, p = x.shape
+    xd = np.hstack([np.ones((n, 1)), x])
+    beta = np.zeros(p + 1)
+    for _ in range(iters):
+        mu = 1.0 / (1.0 + np.exp(-(xd @ beta)))
+        w = mu * (1.0 - mu)
+        grad = xd.T @ (y - mu)
+        hess = (xd * w[:, None]).T @ xd
+        if l2:
+            pen = np.diag([0.0] + [l2] * p)
+            hess = hess + pen
+            grad = grad - pen @ beta
+        beta = beta + np.linalg.solve(hess, grad)
+    return beta
+
+
+class TestLogisticIRLS:
+    @pytest.fixture(scope="class")
+    def logit_df(self, spark):
+        rng = np.random.RandomState(11)
+        x = rng.uniform(-2, 2, size=(500, 2))
+        eta = -0.5 + 1.5 * x[:, 0] - 2.0 * x[:, 1]
+        y = (rng.uniform(size=500) < 1.0 / (1.0 + np.exp(-eta))).astype(float)
+        rows = [
+            (float(a), float(b), float(t)) for (a, b), t in zip(x, y)
+        ]
+        return (
+            spark.createDataFrame(rows, "x1 double, x2 double, y double")
+            .repartition(4)
+            .cache()
+        )
+
+    def test_matches_numpy_irls(self, logit_df):
+        model = ml.logistic_fit_irls(logit_df, ["x1", "x2"], "y", iters=6)
+        pdf = logit_df.toPandas()
+        beta = _numpy_irls(
+            pdf[["x1", "x2"]].to_numpy(), pdf["y"].to_numpy(), iters=6
+        )
+        assert model["intercept"] == pytest.approx(beta[0], rel=1e-7)
+        assert model["coef"]["x1"] == pytest.approx(beta[1], rel=1e-7)
+        assert model["coef"]["x2"] == pytest.approx(beta[2], rel=1e-7)
+        # recovers the generating signs and rough magnitudes
+        assert model["coef"]["x1"] > 0.8 and model["coef"]["x2"] < -1.2
+
+    def test_l2_matches_numpy_and_shrinks(self, logit_df):
+        model = ml.logistic_fit_irls(
+            logit_df, ["x1", "x2"], "y", iters=6, l2=25.0
+        )
+        pdf = logit_df.toPandas()
+        beta = _numpy_irls(
+            pdf[["x1", "x2"]].to_numpy(), pdf["y"].to_numpy(), iters=6, l2=25.0
+        )
+        assert model["coef"]["x1"] == pytest.approx(beta[1], rel=1e-7)
+        assert model["coef"]["x2"] == pytest.approx(beta[2], rel=1e-7)
+        unpen = ml.logistic_fit_irls(logit_df, ["x1", "x2"], "y", iters=6)
+        assert abs(model["coef"]["x1"]) < abs(unpen["coef"]["x1"])
+        assert abs(model["coef"]["x2"]) < abs(unpen["coef"]["x2"])
+
+    def test_logistic_score_column(self, logit_df):
+        model = ml.logistic_fit_irls(logit_df, ["x1", "x2"], "y", iters=6)
+        scored = logit_df.withColumn(
+            "p", ml.logistic_score(model, ["x1", "x2"])
+        ).toPandas()
+        assert ((scored["p"] > 0) & (scored["p"] < 1)).all()
+        # classifier beats chance comfortably on its own training data
+        acc = ((scored["p"] > 0.5) == (scored["y"] > 0.5)).mean()
+        assert acc > 0.8
+
+
 class TestCorrelationMatrix:
     def test_matches_numpy_corrcoef(self, xy_df, spark):
         out = ml.correlation_matrix(xy_df, ["x1", "x2", "x3", "y"]).toPandas()
