@@ -38,6 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gopher", nargs="?", const="{}", metavar="JSON",
                    help="Apply the Gopher rule battery (optionally with "
                         'threshold overrides as JSON, e.g. \'{"min_words": 30}\')')
+    p.add_argument("--quality-model", action="store_true",
+                   help="Distill the Gopher verdict into a logistic scorer "
+                        "(trained on a deterministic sample) and keep the "
+                        "top fraction of docs by model probability")
+    p.add_argument("--model-keep-fraction", type=float, default=0.5)
+    p.add_argument("--model-train-fraction", type=float, default=0.25)
+    p.add_argument("--model-label-thresholds", metavar="JSON",
+                   help="Gopher threshold overrides for the weak labels "
+                        "the model distills (defaults to --gopher's)")
     p.add_argument("--dsir-target-source",
                    help="Keep the docs most like this source's distribution "
                         "(DSIR importance weights over hashed unigrams)")
@@ -90,6 +99,14 @@ def main(argv: Optional[list[str]] = None) -> str:
         # bare --gopher (const "{}") means defaults-on, which must map to
         # True — an empty dict is falsy and would silently skip the stage
         gopher=(json.loads(args.gopher) or True) if args.gopher else False,
+        quality_model=args.quality_model,
+        model_keep_fraction=args.model_keep_fraction,
+        model_train_fraction=args.model_train_fraction,
+        model_label_thresholds=(
+            json.loads(args.model_label_thresholds)
+            if args.model_label_thresholds
+            else None
+        ),
         dsir_target_source=args.dsir_target_source,
         dsir_keep_fraction=args.dsir_keep_fraction,
         budgets=budgets,

@@ -8,7 +8,10 @@ shuffles and the mixture window — materialize):
     exact dedup (q16/q33) → near-dup removal (q18 candidates, exact-jaccard
     verified, → q37 clusters; retention policy min-id or best-quality,
     q104) → quality/PII/language filter (q21/q38/q39) → Gopher rule
-    battery (q101) → DSIR target-distribution selection (q102) →
+    battery (q101) → distilled logistic quality model (train on a
+    deterministic sample with the rule verdict as weak labels, score
+    everything scan-stage — operators/ml.logistic_fit_irls) → DSIR
+    target-distribution selection (q102) →
     benchmark decontamination (q42; severity report available via q109) →
     token-budget mixture (q47) → sequence packing (q40) → token-budget
     shard manifest (q90, optionally counting tokens with a real BPE merge
@@ -43,6 +46,10 @@ def curate_corpus(
     max_repetition: float = 0.6,
     min_tokens: int = 5,
     gopher: bool | dict = False,
+    quality_model: bool = False,
+    model_keep_fraction: float = 0.5,
+    model_train_fraction: float = 0.25,
+    model_label_thresholds: dict | None = None,
     dsir_target_source: str | None = None,
     dsir_keep_fraction: float = 0.5,
     budgets: dict[str, int] | None = None,
@@ -146,7 +153,72 @@ def curate_corpus(
             "gopher", out.where(T.gopher_passes(text_col, **thresholds))
         )
 
-    # 3c. DSIR selection toward a target source's distribution
+    # 3c. distilled model filter: fit a logistic scorer on the Gopher
+    # rule verdict as weak labels (the FineWeb-Edu pattern — distill an
+    # expensive/rule-based judgment into a cheap model, then score
+    # everything). Training reads a deterministic md5-bucket sample ONCE
+    # per Newton step (iters tiny scans over the sample); scoring the
+    # full corpus is one scan-stage sigmoid — no join, no UDF.
+    if quality_model:
+        from quackosm_spark.operators import ml as M
+        from quackosm_spark.operators.mix import _hash_bucket
+
+        tcol = F.col(text_col)
+        toks = F.size(F.split(tcol, " ")).cast("double")
+        feats = {
+            "__f_logtok": F.log1p(toks),
+            "__f_wordlen": (F.length(tcol).cast("double") + 1.0)
+            / (toks + 1.0),
+            "__f_alpha": F.length(
+                F.regexp_replace(tcol, r"[^A-Za-z ]", "")
+            ).cast("double")
+            / (F.length(tcol).cast("double") + 1.0),
+        }
+        featured = out
+        for name, expr in feats.items():
+            featured = featured.withColumn(name, expr)
+        train = featured.where(
+            _hash_bucket(F.col(id_col))
+            < int(model_train_fraction * 65536)
+        ).withColumn(
+            "__y",
+            T.gopher_passes(
+                text_col,
+                **(
+                    model_label_thresholds
+                    or (gopher if isinstance(gopher, dict) else {})
+                ),
+            ).cast("double"),
+        )
+        # degenerate weak labels (all pass / all fail) leave nothing to
+        # distill — and would drive the unpenalized intercept to a
+        # singular Hessian. Skip the stage loudly in the report instead.
+        y_lo, y_hi = train.agg(
+            F.min("__y"), F.max("__y")
+        ).collect()[0]
+        if y_lo == y_hi:
+            stages["model_filter_skipped_degenerate_labels"] = 0
+            out = featured.drop(*feats)
+            model = None
+        else:
+            model = M.logistic_fit_irls(
+                train, list(feats), "__y", iters=6, l2=1.0
+            )
+        if model is not None:
+            scored = featured.withColumn(
+                "__p", M.logistic_score(model, list(feats))
+            )
+            cutoff = scored.agg(
+                F.percentile("__p", 1.0 - model_keep_fraction)
+            ).collect()[0][0]
+            out = _note(
+                "model_filter",
+                scored.where(F.col("__p") >= cutoff).drop(
+                    "__p", *feats
+                ),
+            )
+
+    # 3d. DSIR selection toward a target source's distribution
     if dsir_target_source is not None:
         weights = T.dsir_logweights(
             out, dsir_target_source, id_col=id_col, text_col=text_col

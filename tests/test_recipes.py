@@ -166,3 +166,59 @@ def test_curate_keep_best_prefers_quality_over_id(spark):
     )
     assert {r.doc_id for r in out_min.collect()} == {1, 3}   # min-id policy
     assert {r.doc_id for r in out_best.collect()} == {2, 3}  # quality policy
+
+
+def test_curate_corpus_quality_model_stage(spark):
+    """The distilled logistic quality filter trains on a deterministic
+    sample with the Gopher verdict as weak labels, scores everything
+    scan-stage, and keeps ~model_keep_fraction by percentile cutoff."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    labels = {"min_words": 56, "min_stopword_hits": 0,
+              "min_alpha_word_ratio": 0.0, "min_mean_word_len": 0.0}
+    out, report = curate_corpus(
+        docs,
+        near_dup=False,
+        quality_model=True,
+        model_keep_fraction=0.5,
+        model_train_fraction=0.5,
+        model_label_thresholds=labels,
+    )
+    assert "model_filter" in report
+    assert 0 < report["model_filter"] <= report["quality"]
+    # percentile keep: roughly half the quality survivors remain
+    assert report["model_filter"] >= int(report["quality"] * 0.4)
+    assert report["model_filter"] <= int(report["quality"] * 0.75) + 1
+    # feature/score scratch columns do not leak into the output
+    assert not [c for c in out.columns if c.startswith("__")]
+    # deterministic end to end (hash sample + fixed IRLS iterations)
+    out2, report2 = curate_corpus(
+        docs,
+        near_dup=False,
+        quality_model=True,
+        model_keep_fraction=0.5,
+        model_train_fraction=0.5,
+        model_label_thresholds=labels,
+    )
+    assert report2 == report
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
+def test_curate_quality_model_degenerate_labels_skips(spark):
+    """All-pass (or all-fail) weak labels leave nothing to distill: the
+    stage skips loudly in the report and keeps every row."""
+    rows = [(i, "z") for i in range(40)]  # every doc fails every rule
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, report = curate_corpus(
+        docs,
+        near_dup=False,
+        min_quality=0.0,
+        max_repetition=1.0,
+        min_tokens=0,
+        quality_model=True,
+        model_train_fraction=1.0,
+    )
+    assert "model_filter_skipped_degenerate_labels" in report
+    assert "model_filter" not in report
+    assert out.count() == report["quality"]
