@@ -1,5 +1,6 @@
 """Curate a document corpus for LLM training: dedup -> near-dedup
 (keep-best-quality retention) -> quality filter -> Gopher rule battery ->
+distilled logistic quality model (rules-to-model distillation) ->
 DSIR target-distribution selection -> decontamination -> token-budget
 mixture -> packing -> BPE-counted shard manifest (distributed trainer).
 
@@ -38,6 +39,12 @@ def main() -> None:
         keep_best_quality=True,
         gopher={"min_words": 5, "min_stopword_hits": 0,
                 "min_alpha_word_ratio": 0.5},
+        quality_model=True,
+        model_keep_fraction=0.8,
+        model_train_fraction=0.5,
+        model_label_thresholds={"min_words": 56, "min_stopword_hits": 0,
+                                "min_alpha_word_ratio": 0.0,
+                                "min_mean_word_len": 0.0},
         dsir_target_source="src0",
         dsir_keep_fraction=0.8,
         budgets={"src0": 2000, "src1": 1000},
