@@ -2191,6 +2191,25 @@ def q114_groupwise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groupwise_linear_fit(feats, "source", "x", "y")
 
 
+def q115_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tie-aware ROC-AUC (operators/ml.binary_auc): does the
+    heuristic quality score separate English docs? Mann-Whitney rank-sum
+    where the corpus first collapses to DISTINCT scores (one groupBy
+    emitting (score, n, n_pos)) and only that compact table runs the
+    ordered cumulative window — the corpus is never globally sorted.
+    Rank sums are integer-and-half valued → exact float64 → the oracle
+    replays the identical formula bit-for-bit, no rounding."""
+    from quackosm_spark.operators.ml import binary_auc
+    from quackosm_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score("text").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return binary_auc(scored, "score", "y")
+
+
 def q110_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (mix.curriculum_order): quality bands by
     exact percentile cutpoints (cleanest band = stage 0, trained first) +
@@ -2327,11 +2346,10 @@ _DRIVER_PRIORITY = [
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
     "q74_profile_table", "q75_interleave_sources",
     "q76_bloom_decontamination", "q77_session_window", "q78_geohash_cells",
-    "q79_near_pairs",
     "q82_winsorize", "q84_relation_union",
     "q86_repeated_spans",
-    # new this round (ADVICE r03 fixes + round-4 operators); q80/q81/q85
-    # rotated out to make window room — all driver-green in r1/r2
+    # new this round (ADVICE r03 fixes + round-4 operators); q79/q80/q81/
+    # q85 rotated out to make window room — all driver-green in r1/r2
     "q99_relation_spike_repair", "q100_union_courtyards",
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
@@ -2339,6 +2357,7 @@ _DRIVER_PRIORITY = [
     "q108_hashed_tfidf", "q109_contamination_report",
     "q110_curriculum_order", "q111_spatial_join",
     "q112_ridge_normal_eq", "q113_feature_corr", "q114_groupwise_trend",
+    "q115_quality_auc",
 ]
 
 
@@ -2464,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_ridge_normal_eq": q112_ridge_normal_eq,
         "q113_feature_corr": q113_feature_corr,
         "q114_groupwise_trend": q114_groupwise_trend,
+        "q115_quality_auc": q115_quality_auc,
     })
 
 
@@ -4192,6 +4212,29 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         )
         {q113_pairs}
+    """
+    out["q115_quality_auc"] = f"""
+        WITH scored AS (
+            SELECT {_QUALITY_SQL} AS score, (lang = 'en')::INT AS y
+            FROM documents
+        ),
+        g AS (
+            SELECT score, count(*)::DOUBLE AS n, sum(y)::DOUBLE AS n_pos
+            FROM scored GROUP BY 1
+        ),
+        r AS (
+            SELECT *, sum(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS cum
+            FROM g
+        ),
+        a AS (
+            SELECT sum(n_pos * (cum - (n - 1.0)/2.0)) AS s_pos,
+                   sum(n_pos) AS p, sum(n) AS n
+            FROM r
+        )
+        SELECT (s_pos - p*(p + 1.0)/2.0) / (p*(n - p)) AS auc,
+               p::BIGINT AS n_pos, (n - p)::BIGINT AS n_neg
+        FROM a
     """
     out["q114_groupwise_trend"] = """
         WITH f AS (

@@ -221,6 +221,53 @@ def logistic_score(model: dict, feature_cols: Sequence[str] | None = None) -> Co
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
 
 
+def binary_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """ROC-AUC of a score against a 0/1 label, tie-aware, distributed.
+
+    Mann-Whitney rank-sum form: ``AUC = (S_pos - P(P+1)/2) / (P*N_neg)``
+    where ``S_pos`` is the sum of AVERAGE ranks of the positives (ties
+    share the mean of their rank range — the standard correction).
+
+    Scale shape: the corpus aggregates by DISTINCT score first (one
+    groupBy shuffle emitting (score, n, n_pos) — bounded by score
+    cardinality, not rows), and only that compact table goes through the
+    ordered cumulative-rank window. The full corpus is never globally
+    sorted. Rank sums are integer-and-half valued, exact in float64, so
+    the result is bit-reproducible across engines evaluating the same
+    formula. Returns one row: (auc, n_pos, n_neg).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    g = df.groupBy(s.alias("score")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(y).alias("n_pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = g.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "avg_rank", F.col("cum") - (F.col("n") - F.lit(1.0)) / F.lit(2.0)
+    )
+    tot = ranked.agg(
+        F.sum(F.col("n_pos") * F.col("avg_rank")).alias("s_pos"),
+        F.sum("n_pos").alias("p"),
+        F.sum("n").alias("n"),
+    )
+    p, n, s_pos = F.col("p"), F.col("n"), F.col("s_pos")
+    return tot.select(
+        (
+            (s_pos - p * (p + F.lit(1.0)) / F.lit(2.0))
+            / (p * (n - p))
+        ).alias("auc"),
+        p.cast("bigint").alias("n_pos"),
+        (n - p).cast("bigint").alias("n_neg"),
+    )
+
+
 def correlation_matrix_suffstats(
     df: DataFrame, cols: Sequence[str]
 ) -> DataFrame:

@@ -201,6 +201,46 @@ class TestLogisticIRLS:
         assert acc > 0.8
 
 
+def _numpy_auc(scores, labels):
+    # tie-aware Mann-Whitney, independent formulation (per-pair count)
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    wins = 0.0
+    for s in pos:
+        wins += (s > neg).sum() + 0.5 * (s == neg).sum()
+    return wins / (len(pos) * len(neg))
+
+
+class TestBinaryAuc:
+    def test_matches_pairwise_definition_with_ties(self, spark):
+        rng = np.random.RandomState(5)
+        scores = rng.randint(0, 20, size=300).astype(float)  # heavy ties
+        labels = (rng.uniform(size=300) < 1 / (1 + np.exp(3 - scores / 3))).astype(int)
+        if labels.sum() in (0, 300):
+            labels[0] = 1 - labels[0]
+        df = spark.createDataFrame(
+            [(float(s), int(y)) for s, y in zip(scores, labels)],
+            "score double, y int",
+        ).repartition(4)
+        row = ml.binary_auc(df, "score", "y").collect()[0]
+        assert row["auc"] == pytest.approx(_numpy_auc(scores, labels), rel=1e-12)
+        assert row["n_pos"] == int(labels.sum())
+        assert row["n_neg"] == int(300 - labels.sum())
+
+    def test_perfect_and_inverted_classifier(self, spark):
+        rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "score double, y int")
+        assert ml.binary_auc(df, "score", "y").collect()[0]["auc"] == 1.0
+        inv = df.selectExpr("-score as score", "y")
+        assert ml.binary_auc(inv, "score", "y").collect()[0]["auc"] == 0.0
+
+    def test_constant_score_is_half(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)], "score double, y int"
+        )
+        assert ml.binary_auc(df, "score", "y").collect()[0]["auc"] == 0.5
+
+
 class TestCorrelationMatrix:
     def test_matches_numpy_corrcoef(self, xy_df, spark):
         out = ml.correlation_matrix(xy_df, ["x1", "x2", "x3", "y"]).toPandas()
