@@ -2210,6 +2210,22 @@ def q115_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_auc(scored, "score", "y")
 
 
+def q116_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/ml.calibration_report): is the
+    heuristic quality score calibrated against the is-English label?
+    Scan-stage bin arithmetic + one shuffle of 10 tiny rows — the ECE
+    inputs without ever sorting or collecting the corpus."""
+    from quackosm_spark.operators.ml import calibration_report
+    from quackosm_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score("text").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return calibration_report(scored, "score", "y", bins=10)
+
+
 def q110_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (mix.curriculum_order): quality bands by
     exact percentile cutpoints (cleanest band = stage 0, trained first) +
@@ -2346,10 +2362,10 @@ _DRIVER_PRIORITY = [
     "q71_funnel", "q72_pagerank", "q73_pq_fullshortlist",
     "q74_profile_table", "q75_interleave_sources",
     "q76_bloom_decontamination", "q77_session_window", "q78_geohash_cells",
-    "q82_winsorize", "q84_relation_union",
+    "q84_relation_union",
     "q86_repeated_spans",
     # new this round (ADVICE r03 fixes + round-4 operators); q79/q80/q81/
-    # q85 rotated out to make window room — all driver-green in r1/r2
+    # q82/q85 rotated out to make window room — all driver-green in r1/r2
     "q99_relation_spike_repair", "q100_union_courtyards",
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",
@@ -2357,7 +2373,7 @@ _DRIVER_PRIORITY = [
     "q108_hashed_tfidf", "q109_contamination_report",
     "q110_curriculum_order", "q111_spatial_join",
     "q112_ridge_normal_eq", "q113_feature_corr", "q114_groupwise_trend",
-    "q115_quality_auc",
+    "q115_quality_auc", "q116_calibration",
 ]
 
 
@@ -2484,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_feature_corr": q113_feature_corr,
         "q114_groupwise_trend": q114_groupwise_trend,
         "q115_quality_auc": q115_quality_auc,
+        "q116_calibration": q116_calibration,
     })
 
 
@@ -4235,6 +4252,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT (s_pos - p*(p + 1.0)/2.0) / (p*(n - p)) AS auc,
                p::BIGINT AS n_pos, (n - p)::BIGINT AS n_neg
         FROM a
+    """
+    out["q116_calibration"] = f"""
+        WITH scored AS (
+            SELECT {_QUALITY_SQL} AS score, (lang = 'en')::INT AS y
+            FROM documents
+        )
+        SELECT least(floor(score * 10.0)::BIGINT, 9) AS bin,
+               count(*) AS n,
+               round(avg(score), 6) AS mean_score,
+               round(avg(y), 6) AS frac_pos
+        FROM scored GROUP BY 1
     """
     out["q114_groupwise_trend"] = """
         WITH f AS (

@@ -268,6 +268,36 @@ def binary_auc(
     )
 
 
+def calibration_report(
+    df: DataFrame, score_col: str, label_col: str, bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic score in [0, 1].
+
+    One groupBy on the bin index (``floor(score*bins)``, top edge
+    clamped into the last bin): per bin the count, mean predicted score,
+    and empirical positive rate — the inputs to a reliability plot and
+    to expected calibration error (``ECE = Σ n_b/N * |frac_pos_b -
+    mean_score_b|``, computable from the returned rows). Scale shape:
+    scan-stage bin arithmetic, one shuffle of ``bins`` tiny rows.
+    Output: (bin, n, mean_score, frac_pos) sorted by bin.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    bin_idx = F.least(
+        F.floor(s * F.lit(float(bins))).cast("bigint"),
+        F.lit(bins - 1).cast("bigint"),
+    )
+    return (
+        df.groupBy(bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 6).alias("mean_score"),
+            F.round(F.avg(y), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
 def correlation_matrix_suffstats(
     df: DataFrame, cols: Sequence[str]
 ) -> DataFrame:

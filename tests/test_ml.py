@@ -241,6 +241,37 @@ class TestBinaryAuc:
         assert ml.binary_auc(df, "score", "y").collect()[0]["auc"] == 0.5
 
 
+class TestCalibrationReport:
+    def test_bins_and_rates_match_numpy(self, spark):
+        rng = np.random.RandomState(9)
+        p = rng.uniform(size=400)
+        y = (rng.uniform(size=400) < p).astype(int)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(p, y)], "p double, y int"
+        )
+        out = ml.calibration_report(df, "p", "y", bins=10).toPandas()
+        idx = np.minimum((p * 10).astype(int), 9)
+        for _, r in out.iterrows():
+            mask = idx == r["bin"]
+            assert r["n"] == mask.sum()
+            assert r["mean_score"] == pytest.approx(p[mask].mean(), abs=1e-6)
+            assert r["frac_pos"] == pytest.approx(y[mask].mean(), abs=1e-6)
+        # a well-specified generator is roughly calibrated
+        ece = (
+            out["n"] / out["n"].sum()
+            * (out["frac_pos"] - out["mean_score"]).abs()
+        ).sum()
+        assert ece < 0.15
+
+    def test_top_edge_clamped_into_last_bin(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1), (0.95, 1), (0.0, 0)], "p double, y int"
+        )
+        out = ml.calibration_report(df, "p", "y", bins=10).toPandas()
+        assert set(out["bin"]) == {0, 9}
+        assert int(out.set_index("bin").loc[9, "n"]) == 2
+
+
 class TestCorrelationMatrix:
     def test_matches_numpy_corrcoef(self, xy_df, spark):
         out = ml.correlation_matrix(xy_df, ["x1", "x2", "x3", "y"]).toPandas()
