@@ -233,3 +233,66 @@ def test_dedup_keep_best_window_partitions_by_cluster(docs):
     # partitions), never through a single-partition global sort
     assert "hashpartitioning(cluster_id" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_ridge_suffstats_single_tiny_exchange(docs):
+    """The Gram-sum aggregate must partial-combine map-side and move ONE
+    1-row partial per partition through a single Exchange — never the
+    corpus (SCALE.md sufficient-statistics ML note)."""
+    from pyspark.sql import functions as F
+    from quackosm_spark.operators.ml import regression_suffstats
+
+    feats = docs.select(
+        F.col("n_chars").cast("double").alias("x1"),
+        F.length("text").cast("double").alias("x2"),
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+    )
+    # inspect the plan of the aggregate the helper collects
+    xs = [F.col("x1"), F.col("x2")]
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(xs)],
+        F.sum(F.col("x1") * F.col("y")).alias("sxy"),
+    )
+    plan = _plan(agg)
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+    assert "Sort" not in plan and "Window" not in plan
+
+
+def test_groupwise_fit_one_grouped_exchange_no_window(docs):
+    from pyspark.sql import functions as F
+    from quackosm_spark.operators.ml import groupwise_linear_fit
+
+    feats = docs.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).alias("y"),
+    )
+    plan = _plan(groupwise_linear_fit(feats, "source", "x", "y"))
+    assert "partial_sum" in plan  # map-side combine of the 5 sums
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_binary_auc_window_runs_over_distinct_scores_only(docs):
+    """The ordered cumulative window must sit ABOVE the distinct-score
+    aggregation (corpus collapses first), so the global sort touches the
+    compact (score, n, n_pos) table, never the corpus rows."""
+    from pyspark.sql import functions as F
+    from quackosm_spark.operators.ml import binary_auc
+
+    scored = docs.select(
+        (F.col("n_chars") % 17).cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    plan = _plan(binary_auc(scored, "score", "y"))
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    # the grouped aggregate (keyed on score) appears BELOW the window
+    grouped = [
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "keys=[" in l and "score" in l
+    ]
+    assert grouped and min(grouped) > win  # deeper in the tree = later line
+    assert plan.count("Exchange") == 2  # score groupBy + single-partition
