@@ -2143,7 +2143,7 @@ def q112_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ridge_fit_normal_eq): ONE corpus scan aggregates the O(p^2) Gram sums
     (every term a map-side-combinable SUM), the (p+1)x(p+1) solve runs on
     the driver. The quality-classifier training shape: at 100 TB the
-    corpus never moves, only p(p+3)/2+2 doubles per partition do. Oracle:
+    corpus never moves, only p(p+1)/2+2p+3 doubles per partition do. Oracle:
     the same normal equations solved by Cramer's rule in pure SQL — the
     features are integer-valued so both engines' sums are exact."""
     from quackosm_spark.operators.ml import ridge_fit_normal_eq
@@ -2365,7 +2365,8 @@ _DRIVER_PRIORITY = [
     "q84_relation_union",
     "q86_repeated_spans",
     # new this round (ADVICE r03 fixes + round-4 operators); q79/q80/q81/
-    # q82/q85 rotated out to make window room — all driver-green in r1/r2
+    # q82/q85 rotated out to make window room — all driver-green in r2
+    # (CORRECTNESS_r02.json)
     "q99_relation_spike_repair", "q100_union_courtyards",
     "q101_gopher_rules", "q102_dsir_weights",
     "q103_bpe_learned_merges", "q104_dedup_keep_best",

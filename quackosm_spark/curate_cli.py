@@ -102,9 +102,12 @@ def main(argv: Optional[list[str]] = None) -> str:
         quality_model=args.quality_model,
         model_keep_fraction=args.model_keep_fraction,
         model_train_fraction=args.model_train_fraction,
+        # `is not None`: an explicit '{}' means "Gopher DEFAULT thresholds",
+        # which must not fall back to --gopher's overrides (same falsy-dict
+        # trap as the --gopher const handling above)
         model_label_thresholds=(
             json.loads(args.model_label_thresholds)
-            if args.model_label_thresholds
+            if args.model_label_thresholds is not None
             else None
         ),
         dsir_target_source=args.dsir_target_source,

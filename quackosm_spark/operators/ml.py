@@ -3,8 +3,9 @@
 The 100 TB pattern these operators encode: model fitting over a corpus
 never moves the corpus. A linear model with p features needs only the
 O(p^2) Gram-matrix sums (X'X, X'y) — each a map-side-combinable SUM, so
-one scan emits p(p+3)/2 + 2 doubles per partition, one tiny Exchange
-merges them, and the (p+1)x(p+1) solve happens on the driver in numpy.
+one scan emits p(p+1)/2 + 2p + 3 doubles per partition, one tiny
+Exchange merges them, and the (p+1)x(p+1) solve happens on the driver
+in numpy.
 Scoring the fitted model back over the corpus is pure scan-stage Column
 arithmetic (no join, no shuffle, no UDF).
 
@@ -27,18 +28,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def regression_suffstats(
+def suffstats_agg(
     df: DataFrame, feature_cols: Sequence[str], target_col: str
-) -> dict:
-    """One-pass sufficient statistics for linear regression.
-
-    Returns ``{"n": float, "sx": np.array(p), "sxx": np.array(p, p),
-    "sxy": np.array(p), "sy": float, "syy": float}`` where ``sxx`` holds
-    the raw cross-product sums ``sum(x_i * x_j)``. A single ``agg`` call
-    — every term is a plain SUM, so Spark's partial aggregation combines
-    map-side and ships one row per partition to one reducer.
-    """
+) -> DataFrame:
+    """The lazy 1-row aggregate behind `regression_suffstats` — exposed
+    so plan tests (and composers) can inspect/reuse the exact aggregate
+    the fitters execute. Rows with a NULL in ANY used column are dropped
+    first (listwise deletion): with mixed NULLs a plain count would
+    disagree with the NULL-skipping SUMs and silently bias the normal
+    equations."""
     p = len(feature_cols)
+    used = list(feature_cols) + [target_col]
+    df = df.na.drop(subset=used)
     xs = [F.col(c).cast("double") for c in feature_cols]
     y = F.col(target_col).cast("double")
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
@@ -50,7 +51,24 @@ def regression_suffstats(
     ]
     aggs += [F.sum(xs[i] * y).alias(f"sxy_{i}") for i in range(p)]
     aggs += [F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
-    row = df.agg(*aggs).collect()[0]
+    return df.agg(*aggs)
+
+
+def regression_suffstats(
+    df: DataFrame, feature_cols: Sequence[str], target_col: str
+) -> dict:
+    """One-pass sufficient statistics for linear regression.
+
+    Returns ``{"n": float, "sx": np.array(p), "sxx": np.array(p, p),
+    "sxy": np.array(p), "sy": float, "syy": float}`` where ``sxx`` holds
+    the raw cross-product sums ``sum(x_i * x_j)``. A single ``agg`` call
+    — every term is a plain SUM, so Spark's partial aggregation combines
+    map-side and ships one row per partition to one reducer. Rows with a
+    NULL in any feature or the target are excluded entirely (listwise),
+    keeping n consistent with the sums.
+    """
+    p = len(feature_cols)
+    row = suffstats_agg(df, feature_cols, target_col).collect()[0]
     sxx = np.zeros((p, p))
     for i in range(p):
         for j in range(i, p):
@@ -129,8 +147,11 @@ def groupwise_linear_fit(
     of a million tiny rows — the corpus itself never reshuffles. With
     integer-valued inputs the sums are exact in float64, so the output
     is bit-reproducible across engines evaluating the same formula.
-    Groups with zero x-variance return NULL slope/intercept (0/0).
+    Groups with zero x-variance return NULL slope/intercept (0/0). Rows
+    with NULL x or y are dropped (listwise) so each group's n matches
+    its sums.
     """
+    df = df.na.drop(subset=[x_col, y_col])
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     g = df.groupBy(F.col(group_col).alias("group")).agg(
@@ -236,10 +257,14 @@ def binary_auc(
     ordered cumulative-rank window. The full corpus is never globally
     sorted. Rank sums are integer-and-half valued, exact in float64, so
     the result is bit-reproducible across engines evaluating the same
-    formula. Returns one row: (auc, n_pos, n_neg).
+    formula. Returns one row: (auc, n_pos, n_neg). Rows with NULL score
+    or label are dropped; a single-class input (n_pos or n_neg = 0) has
+    no defined AUC and returns NULL in the auc column — check the
+    returned counts before consuming the value.
     """
     from pyspark.sql import Window
 
+    df = df.na.drop(subset=[score_col, label_col])
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     g = df.groupBy(s.alias("score")).agg(
@@ -258,10 +283,12 @@ def binary_auc(
         F.sum("n").alias("n"),
     )
     p, n, s_pos = F.col("p"), F.col("n"), F.col("s_pos")
+    # explicit single-class guard: under ANSI mode (Spark 4 default) a
+    # bare 0-denominator division would throw, not return NULL
     return tot.select(
-        (
-            (s_pos - p * (p + F.lit(1.0)) / F.lit(2.0))
-            / (p * (n - p))
+        F.when(
+            p * (n - p) != 0,
+            (s_pos - p * (p + F.lit(1.0)) / F.lit(2.0)) / (p * (n - p)),
         ).alias("auc"),
         p.cast("bigint").alias("n_pos"),
         (n - p).cast("bigint").alias("n_neg"),
@@ -279,8 +306,11 @@ def calibration_report(
     to expected calibration error (``ECE = Σ n_b/N * |frac_pos_b -
     mean_score_b|``, computable from the returned rows). Scale shape:
     scan-stage bin arithmetic, one shuffle of ``bins`` tiny rows.
-    Output: (bin, n, mean_score, frac_pos) sorted by bin.
+    Output: (bin, n, mean_score, frac_pos) sorted by bin. Rows with NULL
+    score or label are dropped (a NULL score would otherwise bin to a
+    NULL bucket while NULL labels skewed frac_pos vs n).
     """
+    df = df.na.drop(subset=[score_col, label_col])
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     bin_idx = F.least(
@@ -310,8 +340,12 @@ def correlation_matrix_suffstats(
     in Column arithmetic. With integer-valued features the sums are
     exact in float64, so the result is bit-reproducible across engines
     evaluating the same formula — which is what the contract oracle
-    pins. Output: ``(col_a, col_b, corr)`` per unordered pair.
+    pins. Output: ``(col_a, col_b, corr)`` per unordered pair. Rows with
+    a NULL in ANY of ``cols`` are dropped first (listwise, like
+    ``np.corrcoef`` over complete rows) — note this differs from
+    `correlation_matrix`, whose ``F.corr`` is pairwise-null-aware.
     """
+    df = df.na.drop(subset=list(cols))
     p = len(cols)
     xs = [F.col(c).cast("double") for c in cols]
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]

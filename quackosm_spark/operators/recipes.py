@@ -177,18 +177,23 @@ def curate_corpus(
         featured = out
         for name, expr in feats.items():
             featured = featured.withColumn(name, expr)
+        # this stage runs EAGER actions (label check, one scan per IRLS
+        # Newton step, the percentile cutoff) — persist the featured
+        # plan once so those ~8 actions read a cache instead of each
+        # replaying the whole upstream chain (dedup + LSH + filters),
+        # which is what would happen with report=False
+        featured = featured.persist()
+        label_thresholds = (
+            model_label_thresholds
+            if model_label_thresholds is not None
+            else (gopher if isinstance(gopher, dict) else {})
+        )
         train = featured.where(
             _hash_bucket(F.col(id_col))
             < int(model_train_fraction * 65536)
         ).withColumn(
             "__y",
-            T.gopher_passes(
-                text_col,
-                **(
-                    model_label_thresholds
-                    or (gopher if isinstance(gopher, dict) else {})
-                ),
-            ).cast("double"),
+            T.gopher_passes(text_col, **label_thresholds).cast("double"),
         )
         # degenerate weak labels (all pass / all fail) leave nothing to
         # distill — and would drive the unpenalized intercept to a
@@ -197,7 +202,8 @@ def curate_corpus(
             F.min("__y"), F.max("__y")
         ).collect()[0]
         if y_lo == y_hi:
-            stages["model_filter_skipped_degenerate_labels"] = 0
+            if report:
+                stages["model_filter_skipped_degenerate_labels"] = 0
             out = featured.drop(*feats)
             model = None
         else:
@@ -217,6 +223,10 @@ def curate_corpus(
                     "__p", *feats
                 ),
             )
+        # the cutoff is computed; downstream recomputes `featured` at
+        # most once more at final materialization (or reads the stage
+        # cache in report mode) — release the training cache
+        featured.unpersist()
 
     # 3d. DSIR selection toward a target source's distribution
     if dsir_target_source is not None:

@@ -95,6 +95,27 @@ class TestRidge:
         assert s["sxx"].shape == (2, 2)
         assert s["sxx"][0, 1] == s["sxx"][1, 0]
 
+    def test_null_rows_dropped_listwise(self, spark):
+        """n must stay consistent with the NULL-skipping sums: a row with
+        any NULL feature/target is excluded entirely, so the fit equals
+        the fit on the complete rows only."""
+        full = [(1.0, 2.0, 5.0), (2.0, 1.0, 7.0), (3.0, 4.0, 9.0),
+                (4.0, 2.0, 12.0), (5.0, 5.0, 14.0)]
+        withnull = full + [(None, 3.0, 8.0), (2.5, None, 6.0),
+                           (1.5, 2.5, None)]
+        df_full = spark.createDataFrame(
+            full, "x1 double, x2 double, y double"
+        )
+        df_null = spark.createDataFrame(
+            withnull, "x1 double, x2 double, y double"
+        )
+        a = ml.ridge_fit_normal_eq(df_full, ["x1", "x2"], "y")
+        b = ml.ridge_fit_normal_eq(df_null, ["x1", "x2"], "y")
+        assert b["intercept"] == pytest.approx(a["intercept"], rel=1e-12)
+        assert b["coef"] == pytest.approx(a["coef"], rel=1e-12)
+        s = ml.regression_suffstats(df_null, ["x1", "x2"], "y")
+        assert s["n"] == 5.0
+
 
 class TestGroupwiseLinearFit:
     def test_matches_per_group_polyfit(self, spark):
@@ -239,6 +260,25 @@ class TestBinaryAuc:
             [(1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)], "score double, y int"
         )
         assert ml.binary_auc(df, "score", "y").collect()[0]["auc"] == 0.5
+
+    def test_single_class_returns_null_auc(self, spark):
+        """Documented contract: no negatives (or no positives) → auc NULL,
+        counts still reported so the caller can detect it."""
+        df = spark.createDataFrame(
+            [(0.2, 1), (0.7, 1), (0.9, 1)], "score double, y int"
+        )
+        row = ml.binary_auc(df, "score", "y").collect()[0]
+        assert row["auc"] is None
+        assert row["n_pos"] == 3 and row["n_neg"] == 0
+
+    def test_null_rows_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(0.9, 1), (0.1, 0), (None, 1), (0.5, None)],
+            "score double, y int",
+        )
+        row = ml.binary_auc(df, "score", "y").collect()[0]
+        assert row["auc"] == 1.0
+        assert row["n_pos"] == 1 and row["n_neg"] == 1
 
 
 class TestCalibrationReport:

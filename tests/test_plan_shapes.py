@@ -238,23 +238,17 @@ def test_dedup_keep_best_window_partitions_by_cluster(docs):
 def test_ridge_suffstats_single_tiny_exchange(docs):
     """The Gram-sum aggregate must partial-combine map-side and move ONE
     1-row partial per partition through a single Exchange — never the
-    corpus (SCALE.md sufficient-statistics ML note)."""
+    corpus (SCALE.md sufficient-statistics ML note). Asserted on the
+    EXACT aggregate the fitters execute (ml.suffstats_agg)."""
     from pyspark.sql import functions as F
-    from quackosm_spark.operators.ml import regression_suffstats
+    from quackosm_spark.operators.ml import suffstats_agg
 
     feats = docs.select(
         F.col("n_chars").cast("double").alias("x1"),
         F.length("text").cast("double").alias("x2"),
         F.size(F.split("text", " ")).cast("double").alias("y"),
     )
-    # inspect the plan of the aggregate the helper collects
-    xs = [F.col("x1"), F.col("x2")]
-    agg = feats.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(xs)],
-        F.sum(F.col("x1") * F.col("y")).alias("sxy"),
-    )
-    plan = _plan(agg)
+    plan = _plan(suffstats_agg(feats, ["x1", "x2"], "y"))
     assert "partial_sum" in plan
     assert plan.count("Exchange") == 1 and "SinglePartition" in plan
     assert "Sort" not in plan and "Window" not in plan
