@@ -2080,17 +2080,23 @@ def q107_stream_neardup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.1 grid, so no point ever lands exactly on a boundary (keeps the
 # ray-cast refine and the SQL half-plane tests trivially agreeing).
 _Q111_RECTS = [
-    (k, round(-170.05 + 34.0 * k, 2), round(-80.05 + 16.0 * k, 2),
-     round(-130.05 + 34.0 * k, 2), round(-40.05 + 16.0 * k, 2))
+    # .005 boundary offsets: point lons sit on a 0.1 grid and lats on a
+    # 0.01 grid, so no point can land EXACTLY on an edge — which is what
+    # keeps the query clear of points_in_ring's even-odd boundary
+    # convention (bottom/left edges in, top/right out, all corners in)
+    # vs the oracle's inclusive half-plane comparisons. The invariant is
+    # asserted by tests/test_spatial_join.py::test_q111_polygons_avoid_grid.
+    (k, round(-170.005 + 34.0 * k, 3), round(-80.005 + 16.0 * k, 3),
+     round(-130.005 + 34.0 * k, 3), round(-40.005 + 16.0 * k, 3))
     for k in range(8)
 ]
 _Q111_TRIS = [
     # CCW vertex order: (x0,y0) -> (x1,y1) -> (x2,y2); corners rounded so
     # the generated SQL literals stay short (fp dust would otherwise make
     # DuckDB type them as over-wide DECIMALs)
-    (100 + k, round(-60.05 + 30.0 * k, 2), -20.05,
-     round(-20.05 + 30.0 * k, 2), -20.05,
-     round(-40.05 + 30.0 * k, 2), 30.05)
+    (100 + k, round(-60.005 + 30.0 * k, 3), -20.005,
+     round(-20.005 + 30.0 * k, 3), -20.005,
+     round(-40.005 + 30.0 * k, 3), 30.005)
     for k in range(4)
 ]
 

@@ -589,15 +589,15 @@ def _overlay(a: Ring, b: Ring, op: str) -> list[list[Ring]]:
     for f in kept:
         closed = _close(f)
         for k in range(len(closed) - 1):
-            a, b = _key(closed[k]), _key(closed[k + 1])
-            if usage[tuple(sorted((a, b)))] == 1:
-                directed.add((a, b))
+            u, v = _key(closed[k]), _key(closed[k + 1])
+            if usage[tuple(sorted((u, v)))] == 1:
+                directed.add((u, v))
     out_nbrs: dict[tuple[float, float], list[tuple[float, float]]] = {}
-    for a, b in directed:
-        out_nbrs.setdefault(a, []).append(b)
-    for a, nbrs in out_nbrs.items():
+    for u, v in directed:
+        out_nbrs.setdefault(u, []).append(v)
+    for u, nbrs in out_nbrs.items():
         nbrs.sort(
-            key=lambda b: math.atan2(pts[b][1] - pts[a][1], pts[b][0] - pts[a][0])
+            key=lambda v: math.atan2(pts[v][1] - pts[u][1], pts[v][0] - pts[u][0])
         )
     visited: set = set()
     closed_cycles: list[Ring] = []
@@ -608,13 +608,16 @@ def _overlay(a: Ring, b: Ring, op: str) -> list[list[Ring]]:
         cur = e0
         while cur not in visited:
             visited.add(cur)
-            a, b = cur
-            cyc.append(pts[a])
-            nbrs = out_nbrs.get(b, [])
+            # u/v, NOT a/b: the function parameters a/b are the input
+            # rings — shadowing them here would hand coordinate-key
+            # tuples to any later code that touches the rings
+            u, v = cur
+            cyc.append(pts[u])
+            nbrs = out_nbrs.get(v, [])
             if not nbrs:
                 raise ValueError("overlay boundary did not close")
             if len(nbrs) == 1:
-                cur = (b, nbrs[0])
+                cur = (v, nbrs[0])
             else:
                 # clockwise-next outgoing direction after the incoming
                 # reverse (a as seen from b) — the _faces_from_segments
@@ -622,17 +625,17 @@ def _overlay(a: Ring, b: Ring, op: str) -> list[list[Ring]]:
                 # deterministic, so directed boundary edges partition
                 # into cycles and the walk must return to its start
                 ang_in = math.atan2(
-                    pts[a][1] - pts[b][1], pts[a][0] - pts[b][0]
+                    pts[u][1] - pts[v][1], pts[u][0] - pts[v][0]
                 )
                 cur = (
-                    b,
+                    v,
                     min(
                         nbrs,
                         key=lambda c: (
                             ang_in
                             - math.atan2(
-                                pts[c][1] - pts[b][1],
-                                pts[c][0] - pts[b][0],
+                                pts[c][1] - pts[v][1],
+                                pts[c][0] - pts[v][0],
                             )
                         )
                         % (2 * math.pi)

@@ -1081,8 +1081,6 @@ def dedup_keep_best(
     pointer-jumping CC rounds + ONE window over (cluster, quality desc,
     id) — the window partitions by cluster so no global sort. Returns
     (doc_id, cluster_id, quality, keep)."""
-    from pyspark.sql import Window
-
     from quackosm_spark.operators.text import quality_score
 
     q = quality if quality is not None else quality_score(text_col)
@@ -1092,6 +1090,24 @@ def dedup_keep_best(
     base = docs.select(
         F.col(id_col).alias("doc_id"), q.alias("quality")
     )
+    return keep_best_assignments(base, clusters)
+
+
+def keep_best_assignments(
+    base: DataFrame, clusters: DataFrame
+) -> DataFrame:
+    """THE retention policy, factored so `dedup_keep_best` and
+    `recipes.curate_corpus(keep_best_quality=True)` share one definition
+    (a silent divergence in the tie-break between two copies is exactly
+    the bug class this prevents; q104's oracle pins this code path for
+    both callers). ``base`` = (doc_id, quality); ``clusters`` =
+    (doc_id, cluster_id). Docs absent from ``clusters`` are their own
+    singleton cluster and always kept; within a cluster the highest
+    quality wins, ties to the smaller doc_id. One window partitioned by
+    cluster — no global sort. Returns (doc_id, cluster_id, quality,
+    keep)."""
+    from pyspark.sql import Window
+
     labeled = base.join(clusters, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),

@@ -112,20 +112,17 @@ def curate_corpus(
         clusters = D.neardup_clusters(pairs, "doc_a", "doc_b")
         if keep_best_quality:
             # retention policy: highest quality_score per cluster (ties →
-            # smaller id) instead of the arbitrary min-id — one window
-            # partitioned by cluster, no extra shuffle beyond it
-            from pyspark.sql import Window
-
-            q = out.select(
+            # smaller id) instead of the arbitrary min-id — the ONE shared
+            # definition in dedup.keep_best_assignments (q104 pins it);
+            # singleton docs come back keep=True so only true cluster
+            # losers are dropped
+            base = out.select(
                 F.col(id_col).alias("doc_id"),
-                T.quality_score(text_col).alias("__q"),
-            ).join(clusters, "doc_id")
-            w = Window.partitionBy("cluster_id").orderBy(
-                F.col("__q").desc(), F.col("doc_id").asc()
+                T.quality_score(text_col).alias("quality"),
             )
             losers = (
-                q.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") > 1)
+                D.keep_best_assignments(base, clusters)
+                .where(~F.col("keep"))
                 .select(F.col("doc_id").alias(id_col))
             )
         else:

@@ -51,7 +51,11 @@ def points_in_polygons_join(
 ) -> DataFrame:
     """Join ``points`` (id, lon, lat) against ``polygons`` (id, ring:
     array<struct<x,y>>): returns (point_id, poly_id) for every point
-    strictly or boundary-contained in a polygon ring (even-odd)."""
+    contained in a polygon ring under the even-odd ray cast. Boundary
+    points follow the ray cast's crossing convention (e.g. for an
+    axis-aligned box: bottom/left edges and all corners count as inside,
+    top/right edges as outside) — don't rely on exact-boundary behavior;
+    keep data off polygon edges if edge points matter."""
     pts = points.select(
         F.col(point_id).alias("point_id"),
         F.col(lon_col).alias("x"),
@@ -75,18 +79,31 @@ def points_in_polygons_join(
     n_cells = (F.col("cx1") - F.col("cx0") + 1) * (
         F.col("cy1") - F.col("cy0") + 1
     )
-    overflow = polys.where(n_cells > max_cells_per_polygon).limit(1).collect()
-    if overflow:
-        raise ValueError(
-            f"points_in_polygons_join: polygon {overflow[0]['poly_id']!r} "
-            f"covers more than {max_cells_per_polygon} tiles at zoom "
-            f"{zoom}; lower the zoom or raise max_cells_per_polygon"
-        )
+    # lazy fail-loud guard: assert_true rides the scan that the join
+    # itself executes, so the polygon table is read ONCE, at action time
+    # (an eager .collect() probe here would double the polygon-side I/O
+    # and fire even when the result is never acted on). Wrapping cx0
+    # keeps the assertion alive through column pruning.
+    guarded_cx0 = F.when(
+        F.assert_true(
+            n_cells <= max_cells_per_polygon,
+            F.concat(
+                F.lit("points_in_polygons_join: polygon "),
+                F.col("poly_id").cast("string"),
+                F.lit(
+                    f" covers more than {max_cells_per_polygon} tiles at "
+                    f"zoom {zoom}; lower the zoom or raise "
+                    f"max_cells_per_polygon"
+                ),
+            ),
+        ).isNull(),
+        F.col("cx0"),
+    )
     covered = (
         polys.select(
             "poly_id",
             "ring",
-            F.explode(F.sequence(F.col("cx0"), F.col("cx1"))).alias("cx"),
+            F.explode(F.sequence(guarded_cx0, F.col("cx1"))).alias("cx"),
             F.col("cy0"),
             F.col("cy1"),
         )
@@ -107,23 +124,31 @@ def points_in_polygons_join(
     )
 
     @F.pandas_udf("boolean")
-    def _contains(x: pd.Series, y: pd.Series, rings: pd.Series) -> pd.Series:
+    def _contains(
+        x: pd.Series, y: pd.Series, poly: pd.Series, rings: pd.Series
+    ) -> pd.Series:
         from quackosm_spark.geometry.ops import points_in_ring
 
         out = np.zeros(len(x), dtype=bool)
         xv = x.to_numpy(dtype=np.float64)
         yv = y.to_numpy(dtype=np.float64)
-        for i, r in enumerate(rings):
+        # group the Arrow batch by polygon: build each ring ndarray ONCE
+        # and ray-cast all of that polygon's candidate points in one
+        # vectorized call (a dense tile would otherwise rebuild the
+        # K-vertex ring and test point-by-point, O(N*K) Python per batch)
+        for _, idx in (
+            pd.Series(range(len(poly))).groupby(poly.to_numpy()).groups.items()
+        ):
+            ii = np.asarray(idx, dtype=np.int64)
+            r = rings.iloc[ii[0]]
             arr = np.asarray(
                 [[p["x"], p["y"]] for p in r], dtype=np.float64
             )
             if arr.shape[0] < 3:
                 continue
-            out[i] = bool(
-                points_in_ring(xv[i : i + 1], yv[i : i + 1], arr)[0]
-            )
+            out[ii] = points_in_ring(xv[ii], yv[ii], arr)
         return pd.Series(out)
 
     return candidates.where(
-        _contains(F.col("x"), F.col("y"), F.col("ring"))
+        _contains(F.col("x"), F.col("y"), F.col("poly_id"), F.col("ring"))
     ).select("point_id", "poly_id")

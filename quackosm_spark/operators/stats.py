@@ -273,16 +273,25 @@ def quality_psi(
         ref_source = counts.agg(F.min("source")).collect()[0][0]
     else:
         # a typo'd reference source would otherwise empty the inner join
-        # below and read as "no drift anywhere" (ADVICE r03) — fail loud,
-        # naming what WAS available
-        present = [
-            r[0]
-            for r in counts.select("source").distinct().limit(101).collect()
-        ]
-        if ref_source not in present:
+        # below and read as "no drift anywhere" (ADVICE r03) — fail loud.
+        # Membership probe, NOT a distinct().limit() sample: with more
+        # distinct sources than the sample size a valid ref_source could
+        # spuriously (and nondeterministically) raise
+        hit = (
+            counts.where(F.col("source") == ref_source).limit(1).collect()
+        )
+        if not hit:
+            seen = [
+                str(r[0])
+                for r in counts.select("source")
+                .distinct()
+                .orderBy("source")
+                .limit(20)
+                .collect()
+            ]
             raise ValueError(
                 f"quality_psi: ref_source {ref_source!r} not present in "
-                f"{source_col!r} (saw: {sorted(map(str, present))[:20]})"
+                f"{source_col!r} (first sources seen: {seen})"
             )
     # densify to all bins per source so smoothing covers empty buckets
     sources = counts.select("source").distinct()

@@ -940,9 +940,11 @@ def gopher_rules_sql(
     )
     n_words = f"len({words})"
     denom_w = f"greatest({n_words}, 1)::DOUBLE"
+    # coalesce: DuckDB list_sum([]) is NULL (Spark's F.aggregate seeds 0),
+    # so an empty/whitespace-only doc must not turn the flag NULL
     mean_len = (
-        f"(list_sum(list_transform({words}, w -> length(w)::BIGINT))"
-        f" / {denom_w})"
+        f"(coalesce(list_sum(list_transform({words},"
+        f" w -> length(w)::BIGINT)), 0) / {denom_w})"
     )
     n = f"length({text_expr})"
     sym = (

@@ -420,3 +420,42 @@ def test_dedup_keep_best_retains_highest_quality(spark):
     assert out[1].cluster_id == out[2].cluster_id == 1
     assert out[2].keep and not out[1].keep  # cleaner copy wins despite id
     assert out[3].keep and out[3].cluster_id == 3
+
+
+def test_gopher_rules_sql_empty_doc_flags_not_null(spark):
+    """DuckDB list_sum([]) is NULL — the SQL fragment must coalesce it so
+    empty/whitespace-only docs yield the SAME deterministic (non-NULL)
+    flags as the Spark side, per the documented empty-doc contract."""
+    import duckdb
+
+    from quackosm_spark.operators.text import gopher_rules, gopher_rules_sql
+
+    rows = [(1, ""), (2, "   "), (3, "\n\n"), (4, "a solid normal doc here")]
+    frag = gopher_rules_sql("text")
+    con = duckdb.connect()
+    con.sql(
+        "create view d as select * from (values "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    sql_out = {
+        r[0]: r[1:]
+        for r in con.sql(
+            f"select doc_id, {frag} from d order by doc_id"
+        ).fetchall()
+    }
+    for doc_id, vals in sql_out.items():
+        assert all(v is not None for v in vals), (doc_id, vals)
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_out = {r["doc_id"]: r for r in gopher_rules(d).collect()}
+    cols = [
+        "n_words", "rule_word_count", "rule_word_length",
+        "rule_symbol_ratio", "rule_bullets", "rule_ellipsis",
+        "rule_alpha", "rule_stopwords", "passes",
+    ]
+    # positional compare: the fragment emits n_words, the rule flags, and
+    # passes in the same order as gopher_rules' output columns
+    for doc_id, vals in sql_out.items():
+        srow = spark_out[doc_id]
+        for name, v in zip(cols, vals):
+            assert bool(srow[name]) == bool(v), (doc_id, name, srow[name], v)

@@ -59,7 +59,64 @@ def test_cell_overflow_raises(spark, pts):
         [(1, _rect(-179.9, -84.9, 179.9, 84.9))],
         "poly_id LONG, ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
     )
-    with pytest.raises(ValueError, match="max_cells_per_polygon"):
-        points_in_polygons_join(pts, world, zoom=12)
+    # the guard is LAZY (assert_true riding the one polygon scan — no
+    # eager probe doubling the polygon-side I/O): building the plan is
+    # fine, the first action fails loud with the named polygon
+    overflowing = points_in_polygons_join(pts, world, zoom=12)
+    with pytest.raises(Exception, match="max_cells_per_polygon"):
+        overflowing.count()
     # same polygon passes at a coarse zoom
     assert points_in_polygons_join(pts, world, zoom=3).count() == 6
+
+
+def test_q111_polygons_avoid_grid(spark):
+    """Invariant behind q111's oracle agreement: no derived point may sit
+    EXACTLY on a polygon edge at any shipped SF, because points_in_ring's
+    even-odd boundary convention (bottom/left in, top/right out) differs
+    from the oracle's inclusive half-planes. The .005 boundary offsets
+    guarantee it against the 0.1-grid lons / 0.01-grid lats; this test
+    catches a regenerated dataset or edited polygon constants breaking it."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_q111", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            f"create view events as select * from "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        con.sql(
+            "create view pts as select event_id, "
+            "((event_id/13) % 3600)/10.0 - 180.0 as lon, "
+            "(value % 180.0) - 90.0 as lat "
+            "from events where event_id % 13 = 0"
+        )
+        for pid, x1, y1, x2, y2 in entry._Q111_RECTS:
+            c = con.sql(
+                f"select count(*) from pts where "
+                f"(lat in ({y1},{y2}) and lon >= {x1} and lon <= {x2}) or "
+                f"(lon in ({x1},{x2}) and lat >= {y1} and lat <= {y2})"
+            ).fetchone()[0]
+            assert c == 0, f"{sf} rect {pid}: {c} points on boundary"
+        for pid, x0, y0, x1, y1, x2, y2 in entry._Q111_TRIS:
+            conds = []
+            for ax, ay, bx, by in [
+                (x0, y0, x1, y1), (x1, y1, x2, y2), (x2, y2, x0, y0)
+            ]:
+                conds.append(
+                    f"((({bx})-({ax}))*(lat-({ay})) - "
+                    f"(({by})-({ay}))*(lon-({ax})) = 0 and "
+                    f"lon between least({ax},{bx}) and greatest({ax},{bx}) "
+                    f"and lat between least({ay},{by}) and "
+                    f"greatest({ay},{by}))"
+                )
+            c = con.sql(
+                "select count(*) from pts where " + " or ".join(conds)
+            ).fetchone()[0]
+            assert c == 0, f"{sf} tri {pid}: {c} points on an edge"
