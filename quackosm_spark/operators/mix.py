@@ -203,22 +203,60 @@ def interleave_sources(
     source₁,source₂,… per round, degrading gracefully as smaller sources
     run dry. Returns (input columns…, rn, global_pos).
 
-    The global position is computed ARITHMETICALLY, not with a global
+    Scale shape — NO per-source window (a 20 TB source would serialize
+    through one task's sort): the md5 sort key is range-bucketed on its
+    own first two hex chars (order-preserving — the bucket IS the high
+    bits of the key), so ``rn`` is a window partitioned by (source,
+    bucket) — 256-way parallel per source — plus an exclusive per-(source,
+    bucket) offset from a tiny collected count table (the
+    `assign_token_shards` two-pass bucketed prefix-sum pattern). The
+    global position is then computed ARITHMETICALLY, not with a global
     window: ``pos = Σ_{s'} min(size_{s'}, rn−1) + #{s' < s : size_{s'} ≥
-    rn}`` from the tiny per-source size table (collected to the driver and
-    folded into a Column expression). Per-source windows parallelize
-    across sources and hash-streams; nothing ever funnels through a
-    single-partition ORDER BY — the 100 TB version of `row_number() OVER
+    rn}`` from the per-source sizes (derived from the same count table —
+    one collect total). Nothing ever funnels through a single-partition
+    ORDER BY — this is the 100 TB version of `row_number() OVER
     (ORDER BY …)`.
     """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     order_key = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(source_col).orderBy(order_key, F.col(id_col))
-    d = docs.withColumn("rn", F.row_number().over(w))
-    sizes = sorted(
-        (r["src"], r["n"])
-        for r in d.groupBy(F.col(source_col).alias("src"))
+    d = docs.withColumn("_ok", order_key).withColumn(
+        "_bkt", F.conv(F.substring("_ok", 1, 2), 16, 10).cast("int")
+    )
+    # one tiny collect: (source, bucket) counts → exclusive offsets within
+    # each source (bucket-ascending ≡ md5-ascending) + per-source sizes
+    counts = sorted(
+        ((r["src"], r["b"]), r["n"])
+        for r in d.groupBy(
+            F.col(source_col).alias("src"), F.col("_bkt").alias("b")
+        )
         .agg(F.count("*").alias("n"))
         .collect()
+    )
+    offset_rows = []
+    sizes_map: dict = {}
+    for (src, b), n in counts:
+        off = sizes_map.get(src, 0)
+        offset_rows.append((src, int(b), int(off)))
+        sizes_map[src] = off + int(n)
+    sizes = sorted(sizes_map.items())
+    offsets_df = docs.sparkSession.createDataFrame(
+        offset_rows,
+        StructType(
+            [
+                docs.schema[source_col],
+                StructField("_bkt", IntegerType()),
+                StructField("_off", LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy(source_col, "_bkt").orderBy("_ok", F.col(id_col))
+    d = (
+        d.join(F.broadcast(offsets_df), [source_col, "_bkt"])
+        .withColumn(
+            "rn", (F.col("_off") + F.row_number().over(w)).cast("int")
+        )
+        .select(*docs.columns, "rn")
     )
     rn1 = F.col("rn") - 1
     pos = F.lit(0).cast("long")

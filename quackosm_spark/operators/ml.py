@@ -243,7 +243,7 @@ def logistic_score(model: dict, feature_cols: Sequence[str] | None = None) -> Co
 
 
 def binary_auc(
-    df: DataFrame, score_col: str, label_col: str
+    df: DataFrame, score_col: str, label_col: str, num_buckets: int = 1024
 ) -> DataFrame:
     """ROC-AUC of a score against a 0/1 label, tie-aware, distributed.
 
@@ -252,29 +252,72 @@ def binary_auc(
     share the mean of their rank range — the standard correction).
 
     Scale shape: the corpus aggregates by DISTINCT score first (one
-    groupBy shuffle emitting (score, n, n_pos) — bounded by score
-    cardinality, not rows), and only that compact table goes through the
-    ordered cumulative-rank window. The full corpus is never globally
-    sorted. Rank sums are integer-and-half valued, exact in float64, so
-    the result is bit-reproducible across engines evaluating the same
-    formula. Returns one row: (auc, n_pos, n_neg). Rows with NULL score
-    or label are dropped; a single-class input (n_pos or n_neg = 0) has
-    no defined AUC and returns NULL in the auc column — check the
-    returned counts before consuming the value.
+    groupBy shuffle emitting (score, n, n_pos)), and the cumulative rank
+    runs as a two-pass parallel prefix sum, NEVER a single-partition
+    ordered window (for continuous scores the distinct-score table is
+    corpus-sized, so `Window.orderBy(score)` alone would serialize it):
+    scores are range-bucketed on ``floor((s-min)/width)`` (order-
+    preserving), per-bucket row counts are collected (≤ ``num_buckets``
+    rows) and exclusive-prefix-summed on the driver, and the within-
+    bucket cumsum is a window PARTITIONED by bucket. Rank sums are
+    integer-and-half valued, exact in float64, so the result is
+    bit-identical to the serial formulation. Returns one row:
+    (auc, n_pos, n_neg). Rows with NULL score or label are dropped; a
+    single-class input (n_pos or n_neg = 0) has no defined AUC and
+    returns NULL in the auc column — check the returned counts before
+    consuming the value.
     """
     from pyspark.sql import Window
 
     df = df.na.drop(subset=[score_col, label_col])
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
+
+    # pass 0: score range (one map-reduce scalar pair, no shuffle of rows)
+    bounds = df.agg(F.min(s).alias("mn"), F.max(s).alias("mx")).collect()[0]
+    mn, mx = bounds["mn"], bounds["mx"]
+    if mn is None:  # empty input: emit the single NULL/0/0 row cheaply
+        width = 1.0
+    else:
+        width = (mx - mn) / float(num_buckets) or 1.0
+    bucket_of = lambda c: F.least(  # noqa: E731 — reused on df and g
+        F.floor((c - F.lit(mn if mn is not None else 0.0)) / F.lit(width)),
+        F.lit(num_buckets - 1),
+    ).cast("int")
+
+    # pass 1: tiny per-bucket row counts → exclusive prefix on the driver
+    # (cum rank at score x = #rows below x's bucket + within-bucket cumsum)
+    bucket_counts = {
+        r["b"]: r["n"]
+        for r in df.groupBy(bucket_of(s).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    running = 0
+    offsets = []
+    for b in sorted(bucket_counts):
+        offsets.append((int(b), float(running)))
+        running += int(bucket_counts[b])
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0.0)], "_bkt int, _off double"
+    )
+
+    # pass 2: distinct-score aggregate + bucket-partitioned cumulative window
     g = df.groupBy(s.alias("score")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(y).alias("n_pos"),
     )
-    w = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    g = g.withColumn("_bkt", bucket_of(F.col("score"))).join(
+        F.broadcast(offsets_df), "_bkt"
     )
-    ranked = g.withColumn("cum", F.sum("n").over(w)).withColumn(
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = g.withColumn(
+        "cum", F.col("_off") + F.sum("n").over(w)
+    ).withColumn(
         "avg_rank", F.col("cum") - (F.col("n") - F.lit(1.0)) / F.lit(2.0)
     )
     tot = ranked.agg(

@@ -186,6 +186,20 @@ def test_ngram_jaccard_guarded_pins_candidate_parallelism(docs):
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan
 
 
+def test_interleave_sources_window_is_bucketed_not_per_source(docs):
+    """r06: the per-source rn must come from a (source, md5-bucket)
+    window + collected offsets — a window partitioned by source ALONE
+    serializes a 20 TB source through one task's sort."""
+    import re
+
+    from quackosm_spark.operators.mix import interleave_sources
+
+    plan = _plan(interleave_sources(docs))
+    assert re.search(r"windowspecdefinition\(source#\d+, _bkt#\d+", plan)
+    assert not re.search(r"windowspecdefinition\(source#\d+, _ok", plan)
+    assert "global=true" not in plan  # no global sort anywhere
+
+
 def test_assign_token_shards_no_global_sort(docs):
     """r03: the shard manifest's running sum must be the two-pass parallel
     prefix sum — one hash exchange on the range bucket and a PARTITIONED
@@ -289,4 +303,14 @@ def test_binary_auc_window_runs_over_distinct_scores_only(docs):
         if "HashAggregate" in l and "keys=[" in l and "score" in l
     ]
     assert grouped and min(grouped) > win  # deeper in the tree = later line
-    assert plan.count("Exchange") == 2  # score groupBy + single-partition
+    # r06: the cumulative-rank window must be PARTITIONED by the range
+    # bucket (two-pass prefix sum) — an unpartitioned Window.orderBy
+    # serializes a continuous-score table through one task
+    import re
+
+    assert re.search(r"windowspecdefinition\(_bkt#\d+, score#\d+", plan)
+    assert not re.search(r"windowspecdefinition\(score#\d+ ASC", plan)
+    # score groupBy + bucket repartition + single-partition final agg;
+    # the bucket-offset table rides a BroadcastExchange
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange SinglePartition") == 1
