@@ -3862,7 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         dfreq AS (
             SELECT bucket, count(*)::DOUBLE AS df FROM counts GROUP BY 1
         ),
-        nd AS (SELECT count(*)::DOUBLE AS n FROM d)
+        nd AS (SELECT count(*)::DOUBLE AS n FROM dl)
         SELECT doc_id, bucket,
                round((tf_raw / dl) * ln(nd.n / (1.0 + df)), 6) AS tfidf
         FROM counts JOIN dl USING (doc_id) JOIN dfreq USING (bucket), nd

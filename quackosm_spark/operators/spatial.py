@@ -102,26 +102,35 @@ def points_in_polygons_join(
     covered = (
         polys.select(
             "poly_id",
-            "ring",
             F.explode(F.sequence(guarded_cx0, F.col("cx1"))).alias("cx"),
             F.col("cy0"),
             F.col("cy1"),
         )
         .select(
             "poly_id",
-            "ring",
             "cx",
             F.explode(F.sequence(F.col("cy0"), F.col("cy1"))).alias("cy"),
         )
         .select(
             "poly_id",
-            "ring",
             _cell(F.col("cx"), F.col("cy"), zoom).alias("cell"),
         )
     )
+    # candidates stay RING-FREE through the cell equi-join: the coverage
+    # explode fans a polygon out to up to max_cells_per_polygon rows, and
+    # a dense tile fans each cell row out to its point count — shipping
+    # the K-vertex ring on every one of those rows inflates the candidate
+    # shuffle by O(K) for data the refine stage can re-attach from the
+    # (tiny, one-row-per-polygon) ring table keyed on poly_id. The ring
+    # join happens AFTER the big shuffle, so each ring moves once per
+    # polygon (broadcast/co-keyed), not once per candidate.
     candidates = pts.join(covered, "cell").select(
-        "point_id", "x", "y", "poly_id", "ring"
+        "point_id", "x", "y", "poly_id"
     )
+    ring_tbl = polygons.select(
+        F.col(poly_id).alias("poly_id"), ring.alias("ring")
+    )
+    refine_in = candidates.join(ring_tbl, "poly_id")
 
     @F.pandas_udf("boolean")
     def _contains(
@@ -149,6 +158,6 @@ def points_in_polygons_join(
             out[ii] = points_in_ring(xv[ii], yv[ii], arr)
         return pd.Series(out)
 
-    return candidates.where(
+    return refine_in.where(
         _contains(F.col("x"), F.col("y"), F.col("poly_id"), F.col("ring"))
     ).select("point_id", "poly_id")

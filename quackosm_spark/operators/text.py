@@ -620,11 +620,13 @@ def bigram_logprob(
 
     Scale shape: tokenization + bigram construction are scan-stage Column
     ops (``slice``+``arrays_zip`` — no Python); C(a,b) and C(a·) are two
-    count shuffles over the bigram stream; the score join is co-keyed on
-    the bigram, so nothing funnels through the driver except the two
-    scalar totals (V). Bigram tables of natural corpora are sublinear in
-    corpus size; at web scale the same plan works with the broadcast hint
-    dropped (plain shuffle join).
+    count shuffles over the bigram stream; the score joins are co-keyed
+    on the bigram / its prefix word, so nothing funnels through the
+    driver except the scalar total (V). Neither count table carries a
+    broadcast hint: web-scale vocabularies reach 10⁸+ distinct words, and
+    a forced vocabulary-sized broadcast is an executor OOM that AQE
+    cannot undo — the joins stay plain equi-joins and AQE localizes them
+    only when the runtime size actually fits.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
@@ -664,7 +666,7 @@ def bigram_logprob(
     )
     return (
         bigrams.join(pair_counts, ["a", "b"])
-        .join(F.broadcast(prefix_counts), "a")
+        .join(prefix_counts, "a")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -1200,9 +1202,14 @@ def hashed_tfidf(
     md5-derived buckets keep the DuckDB oracle exact. Scale shape: one
     word-explode scan → (doc, bucket) counts (ONE shuffle); document
     frequencies aggregate from those counts (map-side combinable); the
-    idf table is ≤ ``dim`` rows, broadcast back. Sparse output on purpose
-    — densifying 100 TB × dim doubles the shuffle for zero information.
-    Empty docs emit no row."""
+    idf table is ≤ ``dim`` rows, broadcast back. N (the idf numerator)
+    is the count of docs WITH at least one token — standard TF-IDF
+    corpus size, identical to ``doc_len``'s row count — computed as a
+    map-only ``count_if`` branch (no explode, no shuffle) folded into
+    the SAME plan as a 1-row broadcast, so the whole featurization is
+    ONE job with no separate driver-side count action. Sparse output on
+    purpose — densifying 100 TB × dim doubles the shuffle for zero
+    information. Empty docs emit no row."""
     w = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -1212,7 +1219,6 @@ def hashed_tfidf(
             )
         ).alias("w"),
     )
-    n_docs = float(docs.count())
     bucketed = w.select(
         "doc_id",
         (
@@ -1227,15 +1233,25 @@ def hashed_tfidf(
     dfreq = counts.groupBy("bucket").agg(
         F.count("*").cast("double").alias("df")
     )
+    has_tok = F.exists(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    n_df = docs.agg(
+        F.sum(F.when(has_tok, F.lit(1)).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("_n_docs")
+    )
     return (
         counts.join(doc_len, "doc_id")
         .join(F.broadcast(dfreq), "bucket")
+        .join(F.broadcast(n_df))
         .select(
             "doc_id",
             "bucket",
             F.round(
                 (F.col("tf_raw") / F.col("dl"))
-                * F.log(F.lit(n_docs) / (1.0 + F.col("df"))),
+                * F.log(F.col("_n_docs") / (1.0 + F.col("df"))),
                 6,
             ).alias("tfidf"),
         )

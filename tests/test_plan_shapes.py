@@ -314,3 +314,35 @@ def test_binary_auc_window_runs_over_distinct_scores_only(docs):
     # the bucket-offset table rides a BroadcastExchange
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_spatial_candidates_are_ring_free(spark, events):
+    """r06: the big cell equi-join must ship (point, poly_id) candidates
+    WITHOUT the K-vertex ring; the ring re-attaches at refine keyed on
+    poly_id. Old shape had a Project carrying both ring and cell — no
+    plan line may mention both columns anymore."""
+    from pyspark.sql import functions as F
+    from quackosm_spark.operators.spatial import points_in_polygons_join
+
+    pts = events.select(
+        F.col("event_id").alias("point_id"),
+        (F.col("value") % 90).alias("lon"),
+        (F.col("value") % 45).alias("lat"),
+    )
+    # data-dependent vertices — a pure-literal ring constant-folds out of
+    # the plan and the assertion below would vacuously pass
+    off = F.col("event_id") % 3
+    ring = F.array(
+        *[
+            F.struct((F.lit(x) + off).alias("x"), (F.lit(y) + off).alias("y"))
+            for x, y in [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+        ]
+    )
+    polys = events.limit(3).select(
+        F.col("event_id").alias("poly_id"), ring.alias("ring")
+    )
+    plan = _plan(points_in_polygons_join(pts, polys, zoom=4))
+    assert "ring#" in plan and "cell#" in plan
+    assert not any(
+        "ring#" in line and "cell#" in line for line in plan.splitlines()
+    )
