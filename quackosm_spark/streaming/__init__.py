@@ -90,11 +90,43 @@ _SESSION_OUTPUT_SCHEMA = StructType(
 
 _SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("session_id", LongType()),
+        StructField("session_start_us", LongType()),
         StructField("last_ts_us", LongType()),
         StructField("n_events", LongType()),
     ]
 )
+
+
+class _BatchNoState:
+    """State shim for running a stateful kernel via plain ``applyInPandas``
+    on a batch DataFrame (which has no state store): never exists, never
+    times out, timeout registration is a no-op."""
+
+    exists = False
+    get = None
+    hasTimedOut = False
+
+    def update(self, _v) -> None:
+        pass
+
+    def remove(self) -> None:
+        pass
+
+    def getCurrentWatermarkMs(self) -> int:
+        return 0
+
+    def setTimeoutTimestamp(self, _ms: int) -> None:
+        pass
+
+
+def _empty_session_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "session_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+        }
+    )
 
 
 def _sessionize_group(
@@ -106,28 +138,52 @@ def _sessionize_group(
     """Per-user stateful kernel: continue the open session from state, split
     on inactivity gaps, emit every session touched in this batch (closed ones
     final; the still-open one carried in state and re-emitted when updated —
-    standard update-mode semantics)."""
+    standard update-mode semantics).
+
+    ``session_id`` is the session's START time in epoch MICROSECONDS — not a
+    per-user counter — so it stays globally unique per user across state
+    eviction: when the event-time timeout fires (watermark passed
+    ``last_ts + gap``) the state row is removed, and any event the watermark
+    still admits has ``ts ≥ watermark > last_ts + gap``, i.e. it would have
+    opened a NEW session even with the state present. Eviction therefore
+    loses nothing but the dead state row."""
     (user_id,) = key
+    if state.hasTimedOut:
+        # the closed session was already emitted with its final count when
+        # its last event arrived; only the state row is dropped here
+        state.remove()
+        yield _empty_session_pdf()
+        return
+
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
     ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
 
     if state.exists:
-        session_id, last_ts_us, n_events = state.get
+        start_us, last_ts_us, n_events = state.get
     else:
-        session_id, last_ts_us, n_events = 0, None, 0
+        start_us, last_ts_us, n_events = None, None, 0
 
     gap_us = gap_seconds * 1_000_000
     touched: dict[int, int] = {}
     for t in ts_us:
-        if last_ts_us is not None and t - last_ts_us > gap_us:
-            session_id += 1
-            n_events = 0
+        if last_ts_us is None or t - last_ts_us > gap_us:
+            start_us, n_events = int(t), 0
         n_events += 1
         last_ts_us = int(t)
-        touched[session_id] = n_events
+        touched[start_us] = n_events
 
-    state.update((session_id, last_ts_us, n_events))
+    state.update((start_us, last_ts_us, n_events))
+    # expire this user's state once the watermark passes the inactivity
+    # horizon — the timestamp must be strictly ahead of the current
+    # watermark or Spark rejects it (a very late in-watermark batch can
+    # otherwise compute last_ts + gap in the past)
+    state.setTimeoutTimestamp(
+        max(
+            last_ts_us // 1000 + gap_seconds * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+    )
     yield pd.DataFrame(
         {
             "user_id": [user_id] * len(touched),
@@ -137,36 +193,47 @@ def _sessionize_group(
     )
 
 
-def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
     """Custom stateful sessionization (30-min inactivity default).
+    Output: (user_id, session_id, n_events) where ``session_id`` is the
+    session's start time in epoch microseconds.
 
-    Streaming: ``applyInPandasWithState`` with one state row per user.
+    Streaming: ``applyInPandasWithState`` with one state row per user and
+    EVENT-TIME TIMEOUT — state expires once the watermark passes
+    ``last_ts + gap``, so state size is bounded by the number of users
+    active inside one (gap + watermark-delay) horizon, not by the stream's
+    lifetime user count (``NoTimeout`` state grows forever on an unbounded
+    stream). Re-anchoring after expiry is lossless: the watermark already
+    guarantees any admissible event starts a new session.
+
     Batch: the same kernel runs via ``applyInPandas`` (a batch DataFrame has
-    no state store) with an inline no-state shim — identical outputs, so the
-    batch analogue (q25's lag+running-sum) oracles the streaming kernel.
+    no state store) with a no-state shim — identical outputs, so the batch
+    analogue (q25's lag+running-sum, keyed on min-ts-per-session) oracles
+    the streaming kernel.
     """
     from functools import partial
 
     if events.isStreaming:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        return events.groupBy("user_id").applyInPandasWithState(
-            partial(_sessionize_group, gap_seconds=gap_seconds),
-            outputStructType=_SESSION_OUTPUT_SCHEMA,
-            stateStructType=_SESSION_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+        return (
+            events.withWatermark("ts", watermark_delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                partial(_sessionize_group, gap_seconds=gap_seconds),
+                outputStructType=_SESSION_OUTPUT_SCHEMA,
+                stateStructType=_SESSION_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
         )
 
-    class _NoState:
-        exists = False
-        get = None
-
-        def update(self, _v) -> None:
-            pass
-
     def _batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        return next(_sessionize_group(key, [pdf], _NoState(), gap_seconds))
+        return next(_sessionize_group(key, [pdf], _BatchNoState(), gap_seconds))
 
     return events.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
         lambda key, pdf: _batch_fn(key, pdf), schema=_SESSION_OUTPUT_SCHEMA
@@ -406,12 +473,30 @@ _NEARDUP_OUTPUT_SCHEMA = (
 _NEARDUP_STATE_SCHEMA = "anchor LONG"
 
 
-def _band_anchor_group(key, pdfs, state):
+def _band_anchor_group(key, pdfs, state, ttl_seconds: int):
     """Per-band-bucket stateful kernel: the FIRST doc ever seen in this
     LSH bucket becomes its anchor (carried in state); every later doc
     emits a (anchor, doc, band) candidate pair. Within a batch, rows are
     processed in (ts, doc_id) order so the anchor choice is deterministic
-    regardless of arrival partitioning."""
+    regardless of arrival partitioning.
+
+    Anchor state expires via EVENT-TIME TIMEOUT once the watermark passes
+    ``last_seen + ttl`` — on an unbounded stream the number of non-empty
+    buckets grows without bound, and ``NoTimeout`` state with it.
+    Re-anchoring after expiry is safe under the candidates-as-evidence
+    contract: a band collision is EVIDENCE verified exactly downstream,
+    so an evicted anchor only means near-dups straddling more than the
+    TTL window are caught by the batch backfill instead of the stream."""
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "band": pd.Series([], dtype="int64"),
+            }
+        )
+        return
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
     if state.exists:
@@ -427,6 +512,10 @@ def _band_anchor_group(key, pdfs, state):
             out_b.append(int(doc_id))
             out_band.append(int(band))
     state.update((anchor,))
+    last_ms = int(rows["ts"].astype("int64").max()) // 1_000_000  # ns → ms
+    state.setTimeoutTimestamp(
+        max(last_ms + ttl_seconds * 1000, state.getCurrentWatermarkMs() + 1)
+    )
     yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "band": out_band})
 
 
@@ -439,6 +528,7 @@ def neardup_candidates_stream(
     num_hashes: int = 16,
     bands: int = 4,
     shingle: int = 5,
+    anchor_ttl_seconds: int = 86400,
 ) -> DataFrame:
     """STREAMING near-duplicate candidate detection — the streaming twin
     of the batch MinHash-LSH pipeline (q18): each arriving doc is hashed
@@ -452,7 +542,11 @@ def neardup_candidates_stream(
     foreachBatch against the stored corpus) before dropping anything.
 
     State: ONE bigint per non-empty bucket (not per doc), the minimum
-    possible for anchor-based detection. Batch: the same kernel runs via
+    possible for anchor-based detection — and it EXPIRES: event-time
+    timeout drops a bucket's anchor once the watermark passes its last
+    activity plus ``anchor_ttl_seconds`` (default 24 h), so state is
+    bounded by the buckets active in one TTL window, not the stream's
+    lifetime bucket count. Batch: the same kernel runs via
     ``applyInPandas`` (no state) so the batch analogue — min-(ts, id)
     anchor per bucket joined back — oracles the streaming kernel."""
     from quackosm_spark.operators.dedup import (
@@ -468,6 +562,9 @@ def neardup_candidates_stream(
             minhash_band_array(sig, num_hashes, bands)
         ).alias("band", "band_key"),
     )
+    from functools import partial
+
+    kernel = partial(_band_anchor_group, ttl_seconds=anchor_ttl_seconds)
     if docs.isStreaming:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -475,22 +572,15 @@ def neardup_candidates_stream(
             banded.withWatermark("ts", watermark_delay)
             .groupBy("band_key")
             .applyInPandasWithState(
-                _band_anchor_group,
+                kernel,
                 outputStructType=_NEARDUP_OUTPUT_SCHEMA,
                 stateStructType=_NEARDUP_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout,
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )
         )
 
-    class _NoState:
-        exists = False
-        get = None
-
-        def update(self, _v) -> None:
-            pass
-
     return banded.groupBy("band_key").applyInPandas(
-        lambda key, pdf: next(_band_anchor_group(key, [pdf], _NoState())),
+        lambda key, pdf: next(kernel(key, [pdf], _BatchNoState())),
         schema=_NEARDUP_OUTPUT_SCHEMA,
     )

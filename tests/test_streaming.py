@@ -65,7 +65,8 @@ def test_sessionize_stream_matches_batch_analog(spark, events_batch, events_dir)
     stream = read_events_stream(spark, events_dir)
     got = _run_stream(spark, sessionize_stream(stream, 1800), "sessions").collect()
     # single availableNow batch → every session emitted exactly once per
-    # final count; compare against the lag+running-sum batch analogue (q25)
+    # final count; compare against the lag+running-sum batch analogue (q25),
+    # keyed by the session's start time (= the kernel's session_id, µs)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_gap = events_batch.withColumn(
         "new_session",
@@ -75,11 +76,14 @@ def test_sessionize_stream_matches_batch_analog(spark, events_batch, events_dir)
     )
     analog = (
         with_gap.withColumn(
-            "session_id",
+            "session_ctr",
             F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id", "session_ctr")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_id"),
+            F.count("*").alias("n_events"),
+        )
         .collect()
     )
     expect = {(r["user_id"], r["session_id"]): r["n_events"] for r in analog}
@@ -440,3 +444,115 @@ def test_neardup_candidates_stream_matches_batch(spark, tmp_path):
     assert planted <= seen_docs
     for a, b, _ in got:
         assert (a in planted) == (b in planted)
+
+
+def _timed_batches(spark, base, batches):
+    """Write each row-list as one parquet dir with increasing mtimes so
+    maxFilesPerTrigger=1 replays them as ordered micro-batches."""
+    import os
+    import time
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        d = f"{base}/p{i}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (now + i * 10, now + i * 10))
+
+
+def test_sessionize_state_evicts_on_watermark(spark, tmp_path):
+    """r06: EventTimeTimeout — a user idle past (gap + watermark delay)
+    gets its state row REMOVED from the store, and a later return opens a
+    fresh session keyed by its own start time (no id collision with the
+    evicted session)."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    def ev(eid, uid, ts_str):
+        return Row(
+            event_id=eid, user_id=uid,
+            ts=datetime.fromisoformat(ts_str), event_type="click", value=1.0,
+        )
+
+    base = str(tmp_path / "evict_sessions")
+    _timed_batches(spark, base, [
+        [ev(1, 1, "2025-01-01 00:00:00"), ev(2, 1, "2025-01-01 00:10:00")],
+        [ev(3, 2, "2025-01-03 00:00:00")],   # wm → Jan-2 23:00 ≫ u1 timeout
+        [ev(4, 2, "2025-01-03 00:05:00")],   # u1 has no data → timeout fires
+        [ev(5, 1, "2025-01-03 01:00:00")],   # u1 returns after eviction
+    ])
+    stream = read_events_stream(spark, base + "/p*", max_files_per_trigger=1)
+    q = (
+        sessionize_stream(stream, 1800)
+        .writeStream.format("memory").queryName("evict_sessions")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert removed >= 1, "idle state must be evicted by the watermark"
+
+    rows = spark.sql(
+        "SELECT * FROM evict_sessions WHERE user_id = 1"
+    ).collect()
+    ids = {r["session_id"] for r in rows}
+    assert len(ids) == 2  # pre- and post-eviction sessions, distinct keys
+    us = lambda s: int(datetime.fromisoformat(s).timestamp() * 1_000_000)  # noqa: E731
+    assert us("2025-01-01 00:00:00") in ids
+    assert us("2025-01-03 01:00:00") in ids
+    # final counts per session survive eviction untouched
+    final = {r["session_id"]: r["n_events"] for r in rows}
+    assert final[us("2025-01-01 00:00:00")] == 2
+    assert final[us("2025-01-03 01:00:00")] == 1
+
+
+def test_neardup_anchor_state_evicts_after_ttl(spark, tmp_path):
+    """r06: LSH bucket anchors expire once the watermark passes
+    last-activity + anchor_ttl — state is bounded by the active window,
+    and pairs emitted before eviction are unaffected."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+    from quackosm_spark.streaming import neardup_candidates_stream
+
+    base_text = ("the quick brown fox jumps over the lazy dog while the "
+                 "distributed query engine shuffles partitions")
+
+    def doc(i, text, ts_str):
+        return Row(doc_id=i, text=text, ts=datetime.fromisoformat(ts_str))
+
+    base = str(tmp_path / "evict_neardup")
+    _timed_batches(spark, base, [
+        [doc(0, base_text + " tail0", "2025-01-01 00:00:00"),
+         doc(1, base_text + " tail0", "2025-01-01 00:00:01")],
+        [doc(2, "completely unrelated content alpha beta " * 3,
+             "2025-01-04 00:00:00")],     # wm → Jan-3 23:00 > t0 + 24h TTL
+        [doc(3, "another disjoint document gamma delta " * 3,
+             "2025-01-04 00:01:00")],     # batch-1 buckets idle → evicted
+    ])
+    schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(base + "/p*")
+    )
+    q = (
+        neardup_candidates_stream(stream)
+        .writeStream.format("memory").queryName("evict_neardup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert removed >= 1, "idle bucket anchors must be evicted"
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.sql("SELECT * FROM evict_neardup").collect()
+    }
+    assert (0, 1) in pairs  # planted near-dup detected before eviction
