@@ -241,12 +241,19 @@ def hybrid_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_id: str = "vec_id",
+    mapping: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid keyword+dense retrieval: BM25 top-k over ``docs`` fused
     with exact cosine top-k around ``query_vec_id``'s embedding, by RRF.
-    Ids are fused across the two spaces (vec_id ≡ doc_id by corpus
-    construction). Each ranker is its own map-side corpus pass; the
-    fusion is candidate-list-sized."""
+
+    When the vector store keys rows differently from the document store
+    (separate ingestion pipelines, re-embedded snapshots), pass
+    ``mapping`` — a (``vec_id``, ``id_col``) DataFrame — and the dense
+    candidate list is translated into the document id space before
+    fusion. Without it, vec_id ≡ doc_id is assumed. The translation
+    join BROADCASTS the k-row candidate list into the (corpus-sized)
+    mapping, never the reverse. Each ranker is its own map-side corpus
+    pass; the fusion is candidate-list-sized."""
     from quackosm_spark.operators.similarity import brute_force_topk
 
     bm25 = with_rank(
@@ -254,14 +261,18 @@ def hybrid_search(
                   text_col=text_col),
         [F.desc("score"), F.asc(id_col)],
     ).select(F.col(id_col), "rank")
-    ann = (
-        brute_force_topk(
-            embeddings,
-            embeddings.where(F.col(vec_id) == query_vec_id),
-            k=k_candidates,
-            corpus_id=vec_id,
-            query_id=vec_id,
+    ann = brute_force_topk(
+        embeddings,
+        embeddings.where(F.col(vec_id) == query_vec_id),
+        k=k_candidates,
+        corpus_id=vec_id,
+        query_id=vec_id,
+    ).select("match_id", "rank")
+    if mapping is not None:
+        m = mapping.select(F.col(vec_id).alias("match_id"), F.col(id_col))
+        ann = m.join(F.broadcast(ann), "match_id").select(
+            F.col(id_col), "rank"
         )
-        .select(F.col("match_id").alias(id_col), "rank")
-    )
+    else:
+        ann = ann.select(F.col("match_id").alias(id_col), "rank")
     return rrf_fuse([bm25, ann], id_col=id_col, k=rrf_k)

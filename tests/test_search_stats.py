@@ -339,6 +339,31 @@ def test_hybrid_search_end_to_end(spark):
     )
 
 
+def test_hybrid_search_mapping_joins_disjoint_id_spaces(spark):
+    """r06: the optional doc↔embedding mapping translates dense candidates
+    into the document id space before fusion — the shifted id space plus
+    mapping must reproduce the vec_id≡doc_id result exactly."""
+    from pyspark.sql import functions as F
+    from quackosm_spark.operators.search import hybrid_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = hybrid_search(docs, emb, ["spark", "window"], query_vec_id=3,
+                         k_candidates=20).collect()
+
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 50000)
+    mapping = emb.select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.col("vec_id").alias("doc_id"),
+    )
+    mapped = hybrid_search(docs, shifted, ["spark", "window"],
+                           query_vec_id=50003, k_candidates=20,
+                           mapping=mapping).collect()
+    assert sorted((r.doc_id, r.rrf_score, r.n_lists) for r in base) == sorted(
+        (r.doc_id, r.rrf_score, r.n_lists) for r in mapped
+    )
+
+
 def test_logprob_band_filter_band_membership(spark):
     from quackosm_spark.operators.text import logprob_band_filter
 
