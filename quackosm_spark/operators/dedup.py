@@ -838,8 +838,10 @@ def prefix_jaccard_pairs(
     Scale shape: the inverted index holds only prefix tokens (≈(1-t) of
     all tokens), and prefix tokens are by construction the RAREST — the
     high-frequency tokens that explode a naive token self-join never enter
-    the index. The vocabulary-frequency table is sublinear in corpus size
-    and broadcasts; swap for a shuffle join at web-scale vocabularies.
+    the index. The document-frequency join is co-keyed on the token with
+    NO broadcast hint (r06): a web-scale vocabulary is 10⁸+ rows, and a
+    forced broadcast is an executor OOM AQE cannot undo — AQE localizes
+    the join only when the runtime vocab size fits.
     Returns (doc_a, doc_b, jaccard).
     """
     from pyspark import StorageLevel
@@ -859,7 +861,7 @@ def prefix_jaccard_pairs(
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ordered = (
-        toks.join(F.broadcast(freq), "tok")
+        toks.join(freq, "tok")
         .groupBy("doc_id")
         .agg(
             F.transform(

@@ -255,23 +255,27 @@ def unigram_logprob(
     distribution (degenerate/outlier docs score low). Returns
     (doc_id, avg_logprob); empty docs emit no row.
 
-    Two passes: (1) vocabulary term counts, (2) broadcast-join the counts
-    back and average ln(cnt/total) per doc. The vocabulary of a natural-
-    language corpus is sublinear in corpus size, so the broadcast holds far
-    up the scale curve; for web-scale vocabularies swap the broadcast for a
-    shuffle join or apply a frequency cutoff to the vocab table first.
+    Two passes: (1) vocabulary term counts, (2) join the counts back and
+    average ln(cnt/total) per doc. The score join is co-keyed on the word
+    with NO broadcast hint (r06, same reasoning as `bigram_logprob`): a
+    web-scale vocabulary reaches 10⁸+ distinct words and a forced
+    broadcast is an executor OOM AQE cannot undo — AQE localizes the join
+    only when the runtime vocab size actually fits. The corpus total
+    rides along as a 1-row broadcast computed in the SAME plan (no
+    separate driver action).
     """
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
     vocab = words.groupBy("w").agg(F.count("*").cast("double").alias("cnt"))
-    total = vocab.agg(F.sum("cnt")).collect()[0][0]
+    total_df = vocab.agg(F.sum("cnt").alias("_total"))
     return (
-        words.join(F.broadcast(vocab), "w")
+        words.join(vocab, "w")
+        .join(F.broadcast(total_df))
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 4).alias(
+            F.round(F.avg(F.log(F.col("cnt") / F.col("_total"))), 4).alias(
                 "avg_logprob"
             )
         )

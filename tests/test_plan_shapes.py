@@ -346,3 +346,16 @@ def test_spatial_candidates_are_ring_free(spark, events):
     assert not any(
         "ring#" in line and "cell#" in line for line in plan.splitlines()
     )
+
+
+def test_bigram_logprob_has_no_forced_broadcast(docs):
+    """r06: the per-word prefix-count table must NOT carry a broadcast
+    hint — web-scale vocabularies (1e8+ distinct words) make a forced
+    broadcast an executor OOM AQE cannot undo. AQE may still *choose* to
+    localize the join at small scale; the contract is that nothing
+    mandates it."""
+    from quackosm_spark.operators.text import bigram_logprob
+
+    out = bigram_logprob(docs)
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in logical  # no ResolvedHint/UnresolvedHint anywhere
