@@ -623,15 +623,19 @@ def bigram_logprob(
     with fewer than 2 tokens emit no row.
 
     Scale shape: tokenization + bigram construction are scan-stage Column
-    ops (``slice``+``arrays_zip`` — no Python); C(a,b) and C(a·) are two
-    count shuffles over the bigram stream; the score joins are co-keyed
-    on the bigram / its prefix word, so nothing funnels through the
-    driver except the scalar total (V). Neither count table carries a
-    broadcast hint: web-scale vocabularies reach 10⁸+ distinct words, and
-    a forced vocabulary-sized broadcast is an executor OOM that AQE
-    cannot undo — the joins stay plain equi-joins and AQE localizes them
-    only when the runtime size actually fits.
+    ops (``slice``+``arrays_zip`` — no Python); C(a,b) is ONE count
+    shuffle over the bigram stream, and C(a·) derives from it as a window
+    sum PARTITIONED on the prefix word over the (much smaller) distinct-
+    pair table — r06 dropped the second corpus-sized shuffle and its join
+    (a window partition holds one word's distinct successors, bounded by
+    vocabulary, not corpus). The score join is co-keyed on the bigram
+    with no broadcast hint: web-scale vocabularies reach 10⁸+ distinct
+    words, and a forced vocabulary-sized broadcast is an executor OOM
+    that AQE cannot undo. V (vocabulary size) is a 1-row countDistinct
+    branch folded into the SAME plan as a broadcast — no separate driver
+    action.
     """
+    from pyspark.sql import Window
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "",
@@ -652,10 +656,12 @@ def bigram_logprob(
     pair_counts = bigrams.groupBy("a", "b").agg(
         F.count("*").cast("double").alias("c_ab")
     )
-    prefix_counts = bigrams.groupBy("a").agg(
-        F.count("*").cast("double").alias("c_a")
+    # C(a·) = Σ_b C(a,b): a prefix-partitioned window over the distinct-
+    # pair table, NOT a second groupBy over the raw bigram stream
+    pair_counts = pair_counts.withColumn(
+        "c_a", F.sum("c_ab").over(Window.partitionBy("a"))
     )
-    vocab_size = float(
+    vocab_df = (
         docs.select(
             F.explode(
                 F.filter(
@@ -664,13 +670,11 @@ def bigram_logprob(
                 )
             ).alias("w")
         )
-        .agg(F.countDistinct("w"))
-        .collect()[0][0]
-        or 0
+        .agg(F.countDistinct("w").cast("double").alias("_v"))
     )
     return (
         bigrams.join(pair_counts, ["a", "b"])
-        .join(prefix_counts, "a")
+        .join(F.broadcast(vocab_df))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -678,7 +682,7 @@ def bigram_logprob(
                 F.avg(
                     F.log(
                         (F.col("c_ab") + F.lit(k))
-                        / (F.col("c_a") + F.lit(k) * F.lit(vocab_size))
+                        / (F.col("c_a") + F.lit(k) * F.col("_v"))
                     )
                 ),
                 4,
@@ -1204,9 +1208,16 @@ def hashed_tfidf(
     tf = bucket count / doc length and idf = ln(N / (1 + df_bucket)).
 
     md5-derived buckets keep the DuckDB oracle exact. Scale shape: one
-    word-explode scan → (doc, bucket) counts (ONE shuffle); document
-    frequencies aggregate from those counts (map-side combinable); the
-    idf table is ≤ ``dim`` rows, broadcast back. N (the idf numerator)
+    word-explode scan → (doc, bucket) counts (ONE shuffle); the per-doc
+    length is a window sum PARTITIONED by doc over those counts (a doc's
+    partition holds ≤ ``dim`` rows — r06 dropped the separate
+    doc_len aggregate+join, whose branch re-ran the corpus explode since
+    Catalyst's per-branch pruning defeats exchange reuse); document
+    frequencies stay a groupBy branch on purpose — as a window they
+    would cap parallelism at ``dim`` partitions and buffer
+    corpus-scale bucket groups, while the branch is a partial-
+    aggregating scan whose output is ≤ ``dim`` rows, broadcast back.
+    N (the idf numerator)
     is the count of docs WITH at least one token — standard TF-IDF
     corpus size, identical to ``doc_len``'s row count — computed as a
     map-only ``count_if`` branch (no explode, no shuffle) folded into
@@ -1230,10 +1241,12 @@ def hashed_tfidf(
             .cast("bigint") % dim
         ).alias("bucket"),
     )
+    from pyspark.sql import Window
+
     counts = bucketed.groupBy("doc_id", "bucket").agg(
         F.count("*").alias("tf_raw")
     )
-    doc_len = counts.groupBy("doc_id").agg(F.sum("tf_raw").alias("dl"))
+    dl = F.sum("tf_raw").over(Window.partitionBy("doc_id"))
     dfreq = counts.groupBy("bucket").agg(
         F.count("*").cast("double").alias("df")
     )
@@ -1247,7 +1260,7 @@ def hashed_tfidf(
         .alias("_n_docs")
     )
     return (
-        counts.join(doc_len, "doc_id")
+        counts.withColumn("dl", dl)
         .join(F.broadcast(dfreq), "bucket")
         .join(F.broadcast(n_df))
         .select(

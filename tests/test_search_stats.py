@@ -394,15 +394,19 @@ def test_hashed_tfidf_sparse_semantics(spark):
         by_doc.setdefault(r.doc_id, {})[r.bucket] = r.tfidf
     assert 3 not in by_doc  # empty doc emits nothing
     import math
-    # 'aa' appears in 2 of 3 docs, so its bucket idf = ln(3/(1+2)) = 0
-    # (assuming no bucket collision at dim=64 for 3 distinct words)
+    # r06: N counts docs WITH >= 1 token (standard TF-IDF corpus size) —
+    # the empty doc is outside the corpus, so N = 2 here.
+    # 'aa' appears in both, idf = ln(2/(1+2)) (assuming no bucket
+    # collision at dim=64 for 3 distinct words)
     assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
     tf_aa_doc1 = 2 / 3
     vals1 = sorted(by_doc[1].values())
-    assert any(abs(v - round(tf_aa_doc1 * 0.0, 6)) < 1e-9 for v in vals1)
-    # 'bb' df=1: tfidf = (1/3)*ln(3/2)
     assert any(
-        abs(v - round((1 / 3) * math.log(3 / 2), 6)) < 1e-9 for v in vals1
+        abs(v - round(tf_aa_doc1 * math.log(2 / 3), 6)) < 1e-9 for v in vals1
+    )
+    # 'bb' df=1: tfidf = (1/3)*ln(2/2) = 0
+    assert any(
+        abs(v - round((1 / 3) * math.log(2 / 2), 6)) < 1e-9 for v in vals1
     )
 
 
