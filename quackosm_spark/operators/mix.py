@@ -174,21 +174,48 @@ def weighted_sample(
     engines all select the SAME rows (the DuckDB oracle replays the exact
     formula). Rows with non-positive weight are excluded.
 
-    Scale shape: priority is a scan-stage Column; selection is one row_number
-    window per group — top-k never leaves the executors and no global sort
-    exists when grouped. For the ungrouped case prefer a group column
-    anyway (or accept a single-reducer top-k, which is fine for small k).
+    Scale shape: priority is a scan-stage Column; grouped selection is
+    one row_number window per group, which Catalyst rewrites to a
+    map-side partial top-k (`WindowGroupLimit` partial+final — each map
+    task forwards at most k rows per group, so the shuffle moves
+    tasks×k rows, never the corpus). The UNGROUPED case gets no such
+    rewrite for a constant partition key (verified empirically), so it
+    runs as an explicit two-phase top-k instead (r06): top-k within 1024
+    deterministic md5 salt buckets (each phase-1 window group-limited
+    the same way), then a final top-k over the ≤ 1024·k survivors — the
+    only single-partition sort touches a candidate table bounded by k,
+    not the corpus. Both phases break ties by id, so the result is
+    bit-identical to the serial top-k.
     """
     u = (_hash_bucket(F.col(id_col)) + F.lit(1)) / F.lit(65536.0)
     priority = F.log(u) / F.col(weight_col)
-    w = Window.partitionBy(
-        F.col(group_col) if group_col else F.lit(1)
-    ).orderBy(priority.desc(), F.col(id_col))
+    positive = docs.where(F.col(weight_col) > 0)
+    if group_col:
+        w = Window.partitionBy(F.col(group_col)).orderBy(
+            priority.desc(), F.col(id_col)
+        )
+        return (
+            positive.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    # ungrouped: salt → per-salt top-k → top-k of the tiny candidate set
+    salt = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 5, 3), 16, 10
+    ).cast("bigint") % F.lit(1024)
+    w1 = Window.partitionBy(F.col("_salt")).orderBy(
+        priority.desc(), F.col(id_col)
+    )
+    cand = (
+        positive.withColumn("_salt", salt)
+        .withColumn("_prn", F.row_number().over(w1))
+        .where(F.col("_prn") <= k)
+    )
+    w2 = Window.partitionBy(F.lit(1)).orderBy(priority.desc(), F.col(id_col))
     return (
-        docs.where(F.col(weight_col) > 0)
-        .withColumn("_rn", F.row_number().over(w))
+        cand.withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") <= k)
-        .drop("_rn")
+        .drop("_rn", "_prn", "_salt")
     )
 
 

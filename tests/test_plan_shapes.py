@@ -359,3 +359,18 @@ def test_bigram_logprob_has_no_forced_broadcast(docs):
     out = bigram_logprob(docs)
     logical = out._jdf.queryExecution().analyzed().toString()
     assert "Hint" not in logical  # no ResolvedHint/UnresolvedHint anywhere
+
+
+def test_weighted_sample_ungrouped_is_two_phase_topk(docs):
+    """r06: the ungrouped weighted sample must not funnel the corpus
+    through one constant-key window partition (Catalyst's
+    WindowGroupLimit rewrite does not fire for a constant partition
+    key). Phase 1 is salt-partitioned and group-limited map-side; the
+    only constant-key window runs over the ≤1024·k candidates."""
+    import re
+
+    from quackosm_spark.operators.mix import weighted_sample
+
+    plan = _plan(weighted_sample(docs, k=5, weight_col="n_chars"))
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final on salt
+    assert re.search(r"windowspecdefinition\(_salt#\d+", plan)
