@@ -248,6 +248,25 @@ class TestBinaryAuc:
         assert row["n_pos"] == int(labels.sum())
         assert row["n_neg"] == int(300 - labels.sum())
 
+    def test_bucketed_prefix_handles_sparse_and_boundary_scores(self, spark):
+        """r06 two-pass prefix machinery: clustered continuous scores far
+        apart (most of the 1024 range buckets empty), values landing
+        exactly on bucket edges (min, max, negatives), heavy ties at the
+        extremes — must still match the pairwise definition exactly."""
+        rng = np.random.RandomState(11)
+        a = rng.normal(-1e6, 1.0, size=150)   # far-left cluster
+        b = rng.normal(1e6, 1.0, size=150)    # far-right cluster
+        edges = np.array([-1e6, 1e6, -1e6, 1e6, 0.0])  # exact-boundary ties
+        scores = np.concatenate([a, b, edges])
+        labels = (scores > 0).astype(int)
+        labels[::7] = 1 - labels[::7]  # noise so AUC is non-degenerate
+        df = spark.createDataFrame(
+            [(float(s), int(y)) for s, y in zip(scores, labels)],
+            "score double, y int",
+        ).repartition(8)
+        row = ml.binary_auc(df, "score", "y").collect()[0]
+        assert row["auc"] == pytest.approx(_numpy_auc(scores, labels), rel=1e-12)
+
     def test_perfect_and_inverted_classifier(self, spark):
         rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
         df = spark.createDataFrame(rows, "score double, y int")

@@ -623,6 +623,32 @@ def test_interleave_sources_round_robin_with_uneven_sizes(spark):
     assert [rn for _, _, rn in got] == [1, 1, 1, 2, 2, 3, 4]
 
 
+def test_interleave_sources_skewed_matches_serial_window(spark):
+    """r06 bucketed two-pass rn: a heavily skewed source mix (one source
+    50x the others) must still reproduce the serial per-source
+    (md5, id)-ordered numbering and a 0..N-1 global position."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from quackosm_spark.operators.mix import interleave_sources
+
+    rows = (
+        [(i, "big") for i in range(500)]
+        + [(1000 + i, "s1") for i in range(10)]
+        + [(2000 + i, "s2") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    got = {(r.doc_id): (r.rn, r.global_pos) for r in interleave_sources(df).collect()}
+
+    ok = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(ok, F.col("doc_id"))
+    serial = {
+        r.doc_id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert {d: rn for d, (rn, _) in got.items()} == serial
+    assert sorted(gp for _, gp in got.values()) == list(range(517))
+
+
 def test_profile_table_counts(spark):
     from quackosm_spark.operators.stats import profile_table
 
