@@ -2277,6 +2277,34 @@ def q117_hybrid_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_weighted_sample_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGROUPED Efraimidis-Spirakis top-k (mix.weighted_sample without a
+    group column) — exercises the r06 two-phase salt-bucketed selection:
+    Catalyst's WindowGroupLimit rewrite does not fire for a constant
+    partition key, so the ungrouped path takes per-salt top-k over 1024
+    md5 buckets and finishes over the ≤1024·k candidates. The oracle
+    replays the exact serial formula (one global row_number), proving the
+    two-phase construction selects identical rows."""
+    from quackosm_spark.operators import mix as M
+
+    docs = _t(spark, sf_dir, "documents")
+    return M.weighted_sample(docs, k=25, weight_col="n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q119_sessionize_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful sessionization KERNEL itself (streaming twin's batch
+    shim via applyInPandas) — not q25's lag+cumsum analog. Session ids
+    are the session's START time in epoch microseconds (r06: eviction-
+    safe keying — counters would collide after watermark-expired state is
+    re-anchored). The oracle rebuilds sessions with the analog and keys
+    them by min(epoch_us(ts))."""
+    from quackosm_spark.streaming import sessionize_stream
+
+    return sessionize_stream(_events(spark, sf_dir), 1800)
+
+
 def q110_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (mix.curriculum_order): quality bands by
     exact percentile cutpoints (cleanest band = stage 0, trained first) +
@@ -2403,7 +2431,8 @@ _DRIVER_PRIORITY = [
     "q80_incremental_dedup", "q81_novelty_score", "q82_winsorize",
     "q85_slippy_tiles",
     # (b) kernels changed in r6 / new contract queries
-    "q117_hybrid_mapped", "q32_ivf_ann", "q75_interleave_sources",
+    "q117_hybrid_mapped", "q118_weighted_sample_global",
+    "q119_sessionize_kernel", "q32_ivf_ann", "q75_interleave_sources",
     "q115_quality_auc", "q93_bigram_logprob", "q108_hashed_tfidf",
     "q111_spatial_join", "q105_hybrid_rrf",
     # (c) r3-stale fill, complex kernels first
@@ -2416,8 +2445,12 @@ _DRIVER_PRIORITY = [
     "q23_fingerprint", "q24_events_window",
     "q38_pii_scan", "q39_repetition_ratio", "q40_pack_sequences",
     "q41_deterministic_sample", "q43_unigram_logprob",
-    "q45_event_quantiles", "q46_interval_join", "q48_salted_join",
+    "q45_event_quantiles",
     "q49_ivf_fullprobe",  # pins the q32 recall gate's exact side
+    # q46_interval_join / q48_salted_join yield their slots to q118/q119
+    # (new queries need first driver evidence; both are stable r3-green
+    # join shapes untouched since r1 — they lead r7 with the other
+    # r3-stale rows)
 ]
 
 
@@ -2546,6 +2579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_quality_auc": q115_quality_auc,
         "q116_calibration": q116_calibration,
         "q117_hybrid_mapped": q117_hybrid_mapped,
+        "q118_weighted_sample_global": q118_weighted_sample_global,
+        "q119_sessionize_kernel": q119_sessionize_kernel,
     })
 
 
@@ -3997,6 +4032,42 @@ def oracle_sql() -> dict[str, str]:
     # space + mapping join — the translation must be invisible, so it
     # shares q105's oracle verbatim.
     out["q117_hybrid_mapped"] = out["q105_hybrid_rrf"]
+    # q118: the serial (single global row_number) form of the exact
+    # Efraimidis-Spirakis formula — the two-phase salted selection must
+    # reproduce it row-for-row.
+    out["q118_weighted_sample_global"] = """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (
+                   ORDER BY ln((('0x' || substr(md5(doc_id::VARCHAR),
+                                                1, 4))::BIGINT + 1)
+                               / 65536.0) / n_chars DESC,
+                            doc_id
+                 ) AS rn
+          FROM documents WHERE n_chars > 0
+        ) WHERE rn <= 25
+    """
+    # q119: rebuild sessions with the lag+cumsum analog, key each by its
+    # start time in epoch microseconds (the kernel's session_id).
+    out["q119_sessionize_kernel"] = """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   (sum(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)) AS ctr
+            FROM gaps
+        )
+        SELECT user_id, min(epoch_us(ts))::BIGINT AS session_id,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, ctr
+    """
     out["q104_dedup_keep_best"] = f"""
         WITH RECURSIVE docs AS (
             SELECT doc_id, {_hashed_shingles_sql('text')} AS sh,
