@@ -358,7 +358,16 @@ def test_bigram_logprob_has_no_forced_broadcast(docs):
 
     out = bigram_logprob(docs)
     logical = out._jdf.queryExecution().analyzed().toString()
-    assert "Hint" not in logical  # no ResolvedHint/UnresolvedHint anywhere
+    # the ONLY permitted hint is the 1-row vocabulary-size scalar (_v):
+    # every ResolvedHint must sit directly on a global (no-grouping-key)
+    # Aggregate producing _v — never on the per-word count tables
+    lines = logical.splitlines()
+    for i, line in enumerate(lines):
+        if "Hint" in line:
+            child = lines[i + 1]
+            assert "Aggregate [cast(count(distinct" in child and "_v#" in child, (
+                f"unexpected broadcast hint above: {child}"
+            )
 
 
 def test_weighted_sample_ungrouped_is_two_phase_topk(docs):
