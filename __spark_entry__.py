@@ -2420,7 +2420,7 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fills from the r3-stale set, complex kernels first (geometry relation/
 # repair family q83+q87–q98, then ANN/text shapes). Left at r3 rows until
 # r7 — all plain, code-untouched-since-r1 shapes re-verified green by the
-# local 117-query harness every round: q02–q13, q15, q16, q26–q28, q30,
+# local 119-query harness every round: q02–q13, q15, q16, q26–q28, q30,
 # q34–q36, q49, q50 — they lead r7's window.
 _DRIVER_PRIORITY = [
     # (a) last driver row is r2 — re-verify this round
