@@ -2416,12 +2416,13 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fresh driver evidence even though their r4/r5 rows are green (q75
 # interleave two-pass prefix, q115 bucketed AUC window, q93 broadcast
 # drop, q108 in-plan N, q111 ring-free candidates, q105 hybrid signature,
-# q32 rewritten as a recall-floor gate) plus the new q117; (c) the rest
-# fills from the r3-stale set, complex kernels first (geometry relation/
-# repair family q83+q87–q98, then ANN/text shapes). Left at r3 rows until
-# r7 — all plain, code-untouched-since-r1 shapes re-verified green by the
-# local 119-query harness every round: q02–q13, q15, q16, q26–q28, q30,
-# q34–q36, q49, q50 — they lead r7's window.
+# q32 rewritten as a recall-floor gate) plus the new q117/q118/q119;
+# (c) the rest fills from the r3-stale set, complex kernels first
+# (geometry relation/repair family q83+q87–q98, then ANN/text shapes).
+# Left at r3 rows until r7 — all plain, code-untouched-since-r1 shapes
+# re-verified green by the local 119-query harness every round: q02–q13,
+# q15, q16, q26–q28, q30, q34–q36, q46, q48, q50 — they lead r7's window
+# (q46/q48 yielded their r6 slots to q118/q119).
 _DRIVER_PRIORITY = [
     # (a) last driver row is r2 — re-verify this round
     "q54_event_deltas", "q55_revenue_by_nation", "q57_stratified_fixed_n",
