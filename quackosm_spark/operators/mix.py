@@ -211,6 +211,8 @@ def weighted_sample(
         .withColumn("_prn", F.row_number().over(w1))
         .where(F.col("_prn") <= k)
     )
+    # constant-key window is INTENTIONAL here: its input is the phase-1
+    # survivors (≤ 1024·k rows), never the corpus
     w2 = Window.partitionBy(F.lit(1)).orderBy(priority.desc(), F.col(id_col))
     return (
         cand.withColumn("_rn", F.row_number().over(w2))
@@ -243,6 +245,13 @@ def interleave_sources(
     one collect total). Nothing ever funnels through a single-partition
     ORDER BY — this is the 100 TB version of `row_number() OVER
     (ORDER BY …)`.
+
+    Cardinality contract: sources are TRAINING-MIX sources (dozens to a
+    few hundred) — the collected count table is sources×256 rows and the
+    global-position fold is an O(sources) Column expression, both trivial
+    at that cardinality. For "sources" that are really a high-cardinality
+    grouping key, this is the wrong operator (use `assign_token_shards`
+    per group instead).
     """
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
