@@ -45,25 +45,81 @@ def quality_deciles(
     buckets: int = 10,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-group quality bucketing: decile (``ntile``) and exact
+    """Per-group quality bucketing: decile (``ntile`` semantics) and exact
     ``percent_rank`` of each document's quality score WITHIN its group —
     the standard "train on the top-N% per language" selection signal.
 
-    The window is PARTITIONED by ``group_col`` (parallel across groups —
-    never the single-partition global-ntile anti-pattern); for a corpus
-    where one group dwarfs the cluster, switch to threshold bucketing via
-    ``temporal.exact_quantiles`` + a scan-stage comparison instead."""
+    Scale shape — NO window partitioned by the group alone (one dominant
+    group — "en" is half of most web corpora — would serialize through a
+    single task's sort): the quality score is range-bucketed on
+    ``floor(quality · 256)`` (order-preserving — quality_score is already
+    rounded to 6 decimals in [0, 1], so the bucket IS the high bits of the
+    sort key), the in-group rank is a window PARTITIONED by
+    ``(group, bucket)`` plus an exclusive per-bucket offset, and the
+    offset/total table is a window over the AGGREGATED per-bucket counts
+    (≤ 256 rows per group) — the `binary_auc` / `interleave_sources`
+    two-pass parallel-prefix pattern. ``ntile`` and ``percent_rank`` are
+    then plain arithmetic on (rank, N): the ordering key (quality, id) is
+    unique per row, so rank == row_number and both functions have closed
+    forms — bit-identical to the single-window formulation (asserted in
+    tests/test_search_stats.py)."""
+    from quackosm_spark.operators.quantiles import _nsjoin
     from quackosm_spark.operators.text import quality_score
 
-    w = Window.partitionBy(group_col).orderBy(
-        quality_score(text_col), F.col(id_col)
+    n_range = 256  # md5-style high-bits bucketing of the [0,1] score
+    d = docs.select(
+        F.col(id_col), F.col(group_col), quality_score(text_col).alias("quality")
+    ).withColumn(
+        "_bkt",
+        F.least(
+            F.floor(F.col("quality") * n_range), F.lit(n_range - 1)
+        ).cast("int"),
     )
-    return docs.select(
+    bcounts = d.groupBy(group_col, "_bkt").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        group_col,
+        "_bkt",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__bn").over(Window.partitionBy(group_col)).alias("__N"),
+    )
+    w_rn = Window.partitionBy(group_col, "_bkt").orderBy("quality", id_col)
+    ranked = _nsjoin(d, offsets, [group_col, "_bkt"]).withColumn(
+        "rn", F.col("__off") + F.row_number().over(w_rn)
+    )
+    rn, N = F.col("rn"), F.col("__N")
+    b = F.lit(buckets)
+    # ntile(b) closed form: base = N div b rows per tile, the first
+    # N mod b tiles take one extra. The otherwise-branch denominator is
+    # guarded with greatest(·, 1): when base == 0 the first branch always
+    # matches (rn ≤ rem = N), but ANSI mode would still reject a literal
+    # divide-by-zero if the branch were ever codegen-evaluated.
+    base = F.floor(N / b)
+    rem = N % b
+    decile = (
+        F.when(
+            rn <= rem * (base + 1), F.floor((rn - 1) / (base + 1)) + 1
+        )
+        .otherwise(
+            rem
+            + F.floor((rn - rem * (base + 1) - 1) / F.greatest(base, F.lit(1)))
+            + 1
+        )
+        .cast("int")
+    )
+    pct = F.when(N == 1, F.lit(0.0)).otherwise(
+        F.round((rn - 1).cast("double") / (N - 1).cast("double"), 6)
+    )
+    return ranked.select(
         id_col,
         F.col(group_col),
-        quality_score(text_col).alias("quality"),
-        F.ntile(buckets).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.col("quality"),
+        decile.alias("decile"),
+        pct.alias("pct_rank"),
     )
 
 
@@ -214,14 +270,19 @@ def winsorize(
     group's exact [lower_q, upper_q] quantiles. The outlier treatment a
     numeric training signal gets before normalization.
 
-    The quantile bounds are one JVM-side ``percentile`` partial aggregate
-    per group (tiny result, broadcast back); the clip itself is a
-    scan-stage Column expression. APPENDS ``{value_col}_w`` with the
-    clipped value rounded for engine portability."""
-    bounds = df.groupBy(F.col(group_col).alias("__g")).agg(
-        F.percentile(value_col, lower_q).alias("__lo"),
-        F.percentile(value_col, upper_q).alias("__hi"),
-    )
+    The quantile bounds come from the bucketed two-pass exact-quantile
+    kernel (`quantiles.exact_group_quantiles`) — bit-identical to Spark's
+    ``percentile()`` but with bounded per-task state on raw continuous
+    columns, where the built-in exact percentile would buffer the whole
+    group's distinct values in one merging task. The bounds table is one
+    tiny row per group (broadcast back); the clip itself is a scan-stage
+    Column expression. APPENDS ``{value_col}_w`` with the clipped value
+    rounded for engine portability."""
+    from quackosm_spark.operators.quantiles import exact_group_quantiles
+
+    bounds = exact_group_quantiles(
+        df, value_col, [group_col], [lower_q, upper_q], ["__lo", "__hi"]
+    ).select(F.col(group_col).alias("__g"), "__lo", "__hi")
     return (
         df.join(
             F.broadcast(bounds), F.col(group_col) == F.col("__g")

@@ -143,20 +143,30 @@ def exact_quantiles(
     decimals: int = 6,
 ) -> DataFrame:
     """Exact (not approximate) per-group quantiles with linear
-    interpolation — ``percentile()`` runs JVM-side as a proper partial
-    aggregate (map-side combine into a sorted digest per partition), so it
-    scales like any hash aggregate; use ``approx_percentile`` instead when
-    a bounded-memory sketch is acceptable. Results are rounded to
-    ``decimals`` to make them engine-portable (bit-identical across DuckDB
-    / Spark float summation orders).
+    interpolation, bit-identical to Spark's ``percentile()`` but with
+    BOUNDED per-task state: the built-in exact percentile buffers every
+    distinct value of the group in one merging task, which on a raw
+    continuous column (distinct ≈ group size) is the moral equivalent of
+    collecting the column. This routes through the bucketed two-pass
+    order-statistic kernel (`quantiles.exact_group_quantiles`) instead —
+    distinct-value aggregation, range-bucketed partitioned windows, two
+    order statistics per quantile; see that module's docstring. Use
+    ``approx_percentile`` when a bounded-memory sketch is acceptable.
+    Results are rounded to ``decimals`` to make them engine-portable
+    (bit-identical across DuckDB / Spark float summation orders).
     """
-    aggs = [
-        F.round(F.percentile(value_col, q), decimals).alias(
-            f"p{str(q).replace('0.', '').ljust(2, '0')}"
-        )
-        for q in quantiles
+    from quackosm_spark.operators.quantiles import exact_group_quantiles
+
+    names = [
+        f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in quantiles
     ]
-    return df.groupBy(*group_cols).agg(*aggs)
+    raw = exact_group_quantiles(df, value_col, group_cols, quantiles, names)
+    # backtick-quoted, not bare F.col(n): a q like 1.0 names its column
+    # "p1.0" and an unquoted reference parses the dot as field access
+    return raw.select(
+        *group_cols,
+        *[F.round(F.col(f"`{n}`"), decimals).alias(n) for n in names],
+    )
 
 
 def lag_deltas(

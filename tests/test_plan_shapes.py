@@ -383,3 +383,51 @@ def test_weighted_sample_ungrouped_is_two_phase_topk(docs):
     plan = _plan(weighted_sample(docs, k=5, weight_col="n_chars"))
     assert plan.count("WindowGroupLimit") >= 2  # partial + final on salt
     assert re.search(r"windowspecdefinition\(_salt#\d+", plan)
+
+
+def test_quality_deciles_no_group_only_ranking_window(docs):
+    """r07: ntile/percent_rank over Window.partitionBy(group) alone
+    serializes a dominant group ("en" is half of most web corpora) through
+    one task's sort. The rank must come from a (group, quality-bucket)
+    window + aggregated offsets; ntile/percent_rank become arithmetic."""
+    import re
+
+    from quackosm_spark.operators.stats import quality_deciles
+
+    plan = _plan(quality_deciles(docs))
+    assert "ntile(" not in plan and "percent_rank(" not in plan
+    # the only window ordered by the quality score is bucket-partitioned
+    assert re.search(r"windowspecdefinition\(lang#\d+, _bkt#\d+, quality#\d+", plan)
+    assert not re.search(r"windowspecdefinition\(lang#\d+, quality#\d+", plan)
+    assert "global=true" not in plan
+
+
+def test_winsorize_no_exact_percentile_aggregate(events):
+    """r07: F.percentile buffers every distinct group value in one merging
+    task — on a raw continuous column that is the moral equivalent of
+    collecting the column. The bounds must come from the bucketed two-pass
+    order-statistic kernel instead."""
+    import re
+
+    from quackosm_spark.operators.stats import winsorize
+
+    plan = _plan(winsorize(events, "value", "event_type"))
+    assert "percentile(" not in plan
+    # any window ordered by the raw value is partitioned by the range bucket
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)__val#\d+ ASC", plan):
+        assert "_bkt#" in m.group(1)
+    assert "global=true" not in plan
+
+
+def test_exact_quantiles_no_exact_percentile_aggregate(events):
+    """r07: same property for temporal.exact_quantiles (q45 runs it on raw
+    continuous event values)."""
+    import re
+
+    from quackosm_spark.operators.temporal import exact_quantiles
+
+    plan = _plan(exact_quantiles(events, "value", ["event_type"], [0.25, 0.5, 0.95]))
+    assert "percentile(" not in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)__val#\d+ ASC", plan):
+        assert "_bkt#" in m.group(1)
+    assert "global=true" not in plan

@@ -430,3 +430,71 @@ def test_contamination_overlap_report_degrees(spark):
     assert 0.0 < out[2].overlap_frac < 1.0
     assert out[3].overlap_frac == 0.0
     assert out[2].n_contaminated == 1  # only "one two three four five"
+
+
+def test_quality_deciles_bit_equal_to_single_window_formulation(spark):
+    """r07: the two-pass bucketed rank must reproduce the ntile /
+    percent_rank window EXACTLY — incl. a group smaller than `buckets`
+    (base = 0 tile sizes), heavy quality ties, and a dominant group."""
+    import random
+
+    from pyspark.sql import Window
+    from quackosm_spark.operators.stats import quality_deciles
+    from quackosm_spark.operators.text import quality_score
+
+    random.seed(11)
+    words = ["alpha", "beta", "gamma", "delta,!", "x9"]
+    rows = []
+    for i in range(400):  # dominant group
+        rows.append((i, " ".join(random.choices(words, k=random.randint(1, 40))), "en"))
+    for i in range(400, 407):  # group smaller than buckets=10
+        rows.append((i, "tiny doc", "fr"))
+    for i in range(407, 500):  # heavy ties: identical text → identical quality
+        rows.append((i, "same same same", "de"))
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+
+    w = Window.partitionBy("lang").orderBy(quality_score("text"), F.col("doc_id"))
+    ref = {
+        r.doc_id: (r.lang, r.quality, r.decile, r.pct_rank)
+        for r in d.select(
+            "doc_id",
+            "lang",
+            quality_score("text").alias("quality"),
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.lang, r.quality, r.decile, r.pct_rank)
+        for r in quality_deciles(d).collect()
+    }
+    assert got == ref
+
+
+def test_winsorize_bit_equal_to_builtin_percentile(spark):
+    """r07: the bucketed two-pass quantile bounds must match F.percentile
+    bit-for-bit on raw continuous values (and on all-null groups)."""
+    import random
+
+    from quackosm_spark.operators.stats import winsorize
+
+    random.seed(23)
+    rows = [(i, "a", random.uniform(-1e3, 1e3)) for i in range(4000)]
+    rows += [(i, "b", float(random.randint(0, 3))) for i in range(4000, 5000)]
+    rows += [(5000, "c", 42.0)]
+    df = spark.createDataFrame(rows, "event_id LONG, event_type STRING, value DOUBLE")
+
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in df.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.05).alias("lo"),
+            F.percentile("value", 0.95).alias("hi"),
+        )
+        .collect()
+    }
+    got = winsorize(df, "value", "event_type").collect()
+    assert len(got) == len(rows)
+    for r in got:
+        lo, hi = bounds[r.event_type]
+        assert r.value_w == round(min(max(r.value, lo), hi), 6), (r, lo, hi)

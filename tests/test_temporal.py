@@ -283,3 +283,34 @@ def test_cohort_retention_counts(spark):
     assert got == {
         ("2024-01-01", 0): 2, ("2024-01-01", 2): 1, ("2024-01-03", 0): 1,
     }
+
+
+def test_exact_quantiles_bit_equal_to_builtin_percentile(spark):
+    """r07: the bucketed two-pass kernel must match F.percentile
+    bit-for-bit on raw continuous values, heavy ties, single-row and
+    all-NULL groups — at full float64 precision (decimals=12 keeps the
+    rounding out of the comparison's way)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(5)
+    rows = [("a", random.uniform(-500.0, 500.0)) for _ in range(5000)]
+    rows += [("b", float(random.randint(0, 4))) for _ in range(2000)]
+    rows += [("c", 3.25), ("d", None), ("d", None)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    qs = [0.0, 0.05, 0.25, 0.5, 0.77, 0.95, 1.0]
+    # names as exact_quantiles derives them (q=0.0 → "p00", q=1.0 → "p1.0")
+    names = ["p00", "p05", "p25", "p50", "p77", "p95", "p1.0"]
+
+    ref = {
+        r.g: [r[n] for n in names]
+        for r in df.groupBy("g")
+        .agg(*[F.round(F.percentile("v", q), 12).alias(n) for q, n in zip(qs, names)])
+        .collect()
+    }
+    got = {
+        r.g: [r[n] for n in names]
+        for r in exact_quantiles(df, "v", ["g"], qs, decimals=12).collect()
+    }
+    assert got == ref
