@@ -509,11 +509,17 @@ def q32_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse now hash-mismatches red instead of staying rows-only green.
     Measured recall@5 for this seed/cells/nprobe: 0.8–1.0 at
     sf0.001/0.01/0.1; a query missing entirely (0 hits) drops its row
-    and fails the row-count gate."""
+    and fails the row-count gate. Both probe depths come from ONE
+    `ivf_topk_sweep` call — one centroid training (driver Lloyd) and one
+    corpus cell assignment shared, instead of running the full ivf_topk
+    pipeline twice for the same cell model."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 3)
-    approx = S.ivf_topk(emb, queries_df, k=5, num_cells=8, nprobe=4)
-    exact = S.ivf_topk(emb, queries_df, k=5, num_cells=8, nprobe=8)
+    sweep = S.ivf_topk_sweep(
+        emb, queries_df, k=5, num_cells=8, nprobes=(4, 8)
+    )
+    approx = sweep.where(F.col("nprobe") == 4)
+    exact = sweep.where(F.col("nprobe") == 8)
     hits = (
         approx.select("query_id", "match_id")
         .join(exact.select("query_id", "match_id"), ["query_id", "match_id"])

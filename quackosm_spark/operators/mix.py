@@ -290,7 +290,11 @@ def interleave_sources(
     d = (
         d.join(F.broadcast(offsets_df), [source_col, "_bkt"])
         .withColumn(
-            "rn", (F.col("_off") + F.row_number().over(w)).cast("int")
+            # LONG, not int: a source past 2^31 rows would silently
+            # overflow a cast("int") to negative rn — at odds with the
+            # 20 TB-per-source claim above (the long _off already carries
+            # the range; row_number's int only counts within one bucket)
+            "rn", F.col("_off") + F.row_number().over(w)
         )
         .select(*docs.columns, "rn")
     )

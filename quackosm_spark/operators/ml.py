@@ -266,10 +266,23 @@ def binary_auc(
     single-class input (n_pos or n_neg = 0) has no defined AUC and
     returns NULL in the auc column — check the returned counts before
     consuming the value.
+
+    The projected (score, label) input is PERSISTED across the three
+    internal actions (bounds, bucket counts, final aggregate): without it
+    the lineage would scan the input 3×, and a non-deterministic input
+    (e.g. a sampled or shuffled upstream) could hand pass 2 bucket
+    offsets inconsistent with pass 3 — a silently wrong AUC. The cache
+    (2 small columns per row) stays for the caller's action and is
+    evicted LRU, or explicitly via ``spark.catalog.clearCache()``.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    df = df.na.drop(subset=[score_col, label_col])
+    df = (
+        df.na.drop(subset=[score_col, label_col])
+        .select(score_col, label_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
 

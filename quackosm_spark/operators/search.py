@@ -252,7 +252,12 @@ def hybrid_search(
     candidate list is translated into the document id space before
     fusion. Without it, vec_id ≡ doc_id is assumed. The translation
     join BROADCASTS the k-row candidate list into the (corpus-sized)
-    mapping, never the reverse. Each ranker is its own map-side corpus
+    mapping, never the reverse. The mapping must be TOTAL over the
+    candidate vec_ids (a dense candidate with no mapping row cannot be
+    fused and is dropped from the dense list) and is de-duplicated on
+    vec_id before the join — duplicate mapping rows would otherwise fan
+    one candidate into several equal-rank RRF contributions, silently
+    inflating rrf_score/n_lists. Each ranker is its own map-side corpus
     pass; the fusion is candidate-list-sized."""
     from quackosm_spark.operators.similarity import brute_force_topk
 
@@ -269,7 +274,9 @@ def hybrid_search(
         query_id=vec_id,
     ).select("match_id", "rank")
     if mapping is not None:
-        m = mapping.select(F.col(vec_id).alias("match_id"), F.col(id_col))
+        m = mapping.select(
+            F.col(vec_id).alias("match_id"), F.col(id_col)
+        ).dropDuplicates(["match_id"])
         ann = m.join(F.broadcast(ann), "match_id").select(
             F.col(id_col), "rank"
         )

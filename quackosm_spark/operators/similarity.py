@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -222,6 +224,121 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobes: Sequence[int] = (4,),
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_topk` at SEVERAL probe depths from ONE cell model and ONE
+    corpus pass — the recall-vs-cost sweep (e.g. q32's nprobe=4 approx
+    side against its nprobe=num_cells exact side) without re-training
+    centroids or re-assigning corpus cells per depth.
+
+    Per (nprobe, query, match) the output is bit-identical to calling
+    `ivf_topk(..., nprobe=n)` (asserted in tests/test_differential_new_ops
+    .py): candidates carry the 1-based position of their cell in the
+    query's nearest-cell list (``probe_pos``), so "rank within the first
+    n probed cells" is a conditional running count over ONE window
+    ordered exactly as ivf_topk's — ranks for every requested depth come
+    out of a single window pass, and the depth fan-out is a row-local
+    explode of an in-row struct array (no union re-executing the corpus
+    lineage per depth). Returns (nprobe, query_id, match_id, cosine,
+    rank) with rank ≤ k inside each (nprobe, query)."""
+    depths = sorted(set(int(n) for n in nprobes))
+    max_probe = depths[-1]
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    centroids = list(
+        enumerate(
+            train_ivf_centroids(
+                corpus, num_cells, corpus_id=corpus_id, vec_col=vec_col
+            )
+        )
+    )
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine_similarity(vec, F.array(*[F.lit(x) for x in cv]))).alias("neg"),
+                    F.lit(cid).alias("cell"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+        return F.slice(
+            F.transform(F.sort_array(scored), lambda s: s["cell"]), 1, n
+        )
+
+    c_cells = c.withColumn("cell", nearest_cells(F.col("cv"), 1)[0])
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.posexplode(nearest_cells(F.col("qv"), max_probe)).alias(
+                "__p0", "cell"
+            ),
+        )
+        .withColumn("probe_pos", F.col("__p0") + 1)
+        .drop("__p0")
+    )
+    scored = c_cells.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("match_id")
+    ).select(
+        "query_id",
+        "match_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        "probe_pos",
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("cosine"), F.asc("match_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored
+    for n in depths:
+        ranked = ranked.withColumn(
+            f"__rank_{n}",
+            F.sum(F.when(F.col("probe_pos") <= n, 1).otherwise(0)).over(w),
+        )
+    variants = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("nprobe"),
+                F.col(f"__rank_{n}").cast("int").alias("rank"),
+                (F.col("probe_pos") <= n).alias("__in"),
+            )
+            for n in depths
+        ]
+    )
+    v = F.col("__v")
+    return (
+        ranked.select(
+            "query_id", "match_id", "cosine", F.explode(variants).alias("__v")
+        )
+        .where(v["__in"] & (v["rank"] <= k))
+        .select(
+            v["nprobe"].alias("nprobe"),
+            "query_id",
+            "match_id",
+            "cosine",
+            v["rank"].alias("rank"),
+        )
+    )
+
 
 def brute_force_topk_vectorized(
     corpus: DataFrame,

@@ -1180,9 +1180,19 @@ def logprob_band_filter(
 
     Scale shape: the LM is the `unigram_logprob` broadcast vocabulary;
     the band cutoffs are ONE exact-percentile aggregate (two scalars to
-    the driver); the verdict is a scan-stage comparison. Nothing here
-    grows with corpus size except the vocab table."""
-    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    the driver — bounded state, because avg_logprob rounds to 4 decimals
+    so its distinct-value count is capped); the verdict is a scan-stage
+    comparison. Nothing here grows with corpus size except the vocab
+    table. The scored frame (2 small columns per doc) is PERSISTED before
+    the cutoff aggregate so the unigram-LM lineage executes once, not
+    once for the cutoffs and again for the returned projection; it stays
+    cached for the caller's action and is evicted LRU (or explicitly via
+    ``spark.catalog.clearCache()``)."""
+    from pyspark import StorageLevel
+
+    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lo, hi = scored.agg(
         F.percentile("avg_logprob", lower_q),
         F.percentile("avg_logprob", upper_q),

@@ -170,7 +170,14 @@ def _sessionize_group(
         if last_ts_us is None or t - last_ts_us > gap_us:
             start_us, n_events = int(t), 0
         n_events += 1
-        last_ts_us = int(t)
+        # session horizon is the MAX event time seen, never moved backward:
+        # an in-watermark but out-of-order event (t < last_ts_us) joins the
+        # open session without rewinding it — otherwise the event-time
+        # timeout below would register at a stale last+gap and could evict
+        # state while the session is still live, breaking the lossless-
+        # eviction argument (watermark-admitted ts > TRUE max + gap is the
+        # property that makes re-anchoring safe)
+        last_ts_us = max(last_ts_us, int(t)) if last_ts_us is not None else int(t)
         touched[start_us] = n_events
 
     state.update((start_us, last_ts_us, n_events))

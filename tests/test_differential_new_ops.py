@@ -459,3 +459,35 @@ def test_gopher_rules_sql_empty_doc_flags_not_null(spark):
         srow = spark_out[doc_id]
         for name, v in zip(cols, vals):
             assert bool(srow[name]) == bool(v), (doc_id, name, srow[name], v)
+
+
+def test_ivf_topk_sweep_matches_per_depth_ivf_topk(spark):
+    """r07: ivf_topk_sweep must be bit-identical to ivf_topk at every
+    requested depth — same centroids (deterministic trainer), same
+    candidate set, same (cosine desc, match_id) tie-break — while
+    training/assigning the cell model once."""
+    import random
+
+    from quackosm_spark.operators.similarity import ivf_topk, ivf_topk_sweep
+
+    random.seed(31)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    qs = emb.where("vec_id < 4")
+
+    sweep = ivf_topk_sweep(emb, qs, k=5, num_cells=8, nprobes=(2, 5, 8))
+    got = {
+        n: sorted(
+            (r.query_id, r.match_id, r.cosine, r.rank)
+            for r in sweep.where(f"nprobe = {n}").collect()
+        )
+        for n in (2, 5, 8)
+    }
+    for n in (2, 5, 8):
+        ref = sorted(
+            (r.query_id, r.match_id, r.cosine, r.rank)
+            for r in ivf_topk(emb, qs, k=5, num_cells=8, nprobe=n).collect()
+        )
+        assert got[n] == ref, f"nprobe={n}"

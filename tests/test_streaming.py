@@ -556,3 +556,44 @@ def test_neardup_anchor_state_evicts_after_ttl(spark, tmp_path):
         for r in spark.sql("SELECT * FROM evict_neardup").collect()
     }
     assert (0, 1) in pairs  # planted near-dup detected before eviction
+
+
+def test_sessionize_out_of_order_event_does_not_rewind_horizon(spark, tmp_path):
+    """r07 (ADVICE): an in-watermark but OUT-OF-ORDER event must not move
+    the session's last-activity horizon backward — otherwise a later
+    event within `gap` of the TRUE max is spuriously split into a new
+    session (and the event-time timeout registers at a stale last+gap,
+    allowing eviction while the session is live)."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    def ev(eid, uid, ts_str):
+        return Row(
+            event_id=eid, user_id=uid,
+            ts=datetime.fromisoformat(ts_str), event_type="click", value=1.0,
+        )
+
+    base = str(tmp_path / "ooo_sessions")
+    # gap = 600 s. Batch 2's event is 35 min OLDER than the open session's
+    # horizon (admitted: watermark after batch 1 is 00:00). Batch 3 lands
+    # 8 min after the TRUE max (01:00) but 43 min after the stale rewound
+    # horizon (00:25) — a horizon rewind would wrongly open a new session.
+    _timed_batches(spark, base, [
+        [ev(1, 1, "2025-01-01 01:00:00")],
+        [ev(2, 1, "2025-01-01 00:25:00")],
+        [ev(3, 1, "2025-01-01 01:08:00")],
+    ])
+    stream = read_events_stream(spark, base + "/p*", max_files_per_trigger=1)
+    q = (
+        sessionize_stream(stream, 600)
+        .writeStream.format("memory").queryName("ooo_sessions")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ooo_sessions").collect()
+    final = {}
+    for r in rows:  # update mode re-emits; keep the latest count per id
+        final[r["session_id"]] = max(final.get(r["session_id"], 0), r["n_events"])
+    assert len(final) == 1, f"horizon rewind split the session: {final}"
+    assert list(final.values()) == [3]
