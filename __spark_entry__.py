@@ -2430,34 +2430,32 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q15, q16, q26–q28, q30, q34–q36, q46, q48, q50 — they lead r7's window
 # (q46/q48 yielded their r6 slots to q118/q119).
 _DRIVER_PRIORITY = [
-    # (a) last driver row is r2 — re-verify this round
-    "q54_event_deltas", "q55_revenue_by_nation", "q57_stratified_fixed_n",
-    "q58_latest_event_per_user", "q59_value_spikes", "q60_quality_deciles",
-    "q61_pivot_counts", "q62_event_history", "q64_event_paths",
-    "q68_resample_ffill", "q70_cohort_retention", "q79_near_pairs",
-    "q80_incremental_dedup", "q81_novelty_score", "q82_winsorize",
-    "q85_slippy_tiles",
-    # (b) kernels changed in r6 / new contract queries
-    "q117_hybrid_mapped", "q118_weighted_sample_global",
-    "q119_sessionize_kernel", "q32_ivf_ann", "q75_interleave_sources",
-    "q115_quality_auc", "q93_bigram_logprob", "q108_hashed_tfidf",
-    "q111_spatial_join", "q105_hybrid_rrf",
-    # (c) r3-stale fill, complex kernels first
-    "q83_makevalid", "q87_relation_makevalid", "q88_relation_union_holes",
-    "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
-    "q92_oov_rate", "q94_embedding_neardup_blocked",
-    "q95_relation_inner_union", "q96_relation_shared_edge",
-    "q97_relation_geometrycollection", "q98_quality_psi",
-    "q19_embedding_neardup", "q21_text_analysis", "q22_langid",
-    "q23_fingerprint", "q24_events_window",
-    "q38_pii_scan", "q39_repetition_ratio", "q40_pack_sequences",
-    "q41_deterministic_sample", "q43_unigram_logprob",
-    "q45_event_quantiles",
-    "q49_ivf_fullprobe",  # pins the q32 recall gate's exact side
-    # q46_interval_join / q48_salted_join yield their slots to q118/q119
-    # (new queries need first driver evidence; both are stable r3-green
-    # join shapes untouched since r1 — they lead r7 with the other
-    # r3-stale rows)
+    # (a) last driver row is r3 — three rounds driver-stale (VERDICT r6
+    # "Next round" #4): every one of these 24 leads the r7 window
+    "q02_semi_join", "q03_anti_join", "q04_ref_validity",
+    "q05_ordered_collect", "q06_window_dedup", "q07_window_rank",
+    "q08_union_distinct", "q09_bool_agg", "q10_map_tags_filter",
+    "q11_distinct_tokens", "q12_bbox_filter", "q13_strip_metadata",
+    "q15_pip_triangle", "q16_exact_dedup", "q26_topk_orders",
+    "q27_simhash", "q28_lsh_ann", "q30_relation_validity",
+    "q34_stream_windowed_counts", "q35_ann_topk_vectorized",
+    "q36_boilerplate_ngrams", "q46_interval_join", "q48_salted_join",
+    "q50_bm25_search",
+    # (b) kernels changed in r7 (bucketed exact-order-statistic family +
+    # advisory fixes) — need fresh driver evidence on the new code
+    "q60_quality_deciles", "q82_winsorize", "q45_event_quantiles",
+    "q106_logprob_band", "q115_quality_auc", "q32_ivf_ann",
+    "q75_interleave_sources", "q117_hybrid_mapped", "q105_hybrid_rrf",
+    "q119_sessionize_kernel", "q107_stream_neardup_kernel",
+    "q25_sessionize",
+    # (c) fill: oldest of the r5 window (complex kernels first); the
+    # remainder of the r5 cohort rotates in next round
+    "q01_pricing_summary", "q100_union_courtyards", "q84_relation_union",
+    "q99_relation_spike_repair", "q103_bpe_learned_merges",
+    "q104_dedup_keep_best", "q73_pq_fullshortlist",
+    "q76_bloom_decontamination", "q72_pagerank", "q53_semantic_dedup",
+    "q63_verified_neardup", "q37_neardup_clusters", "q47_budget_mixture",
+    "q86_repeated_spans",
 ]
 
 
