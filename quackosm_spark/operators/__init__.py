@@ -17,6 +17,9 @@
                    shard manifests (two-pass parallel prefix sum)
 - ``temporal``   — as-of join, interval join, exact quantiles, lag/lead deltas,
                    latest-per-key, SCD-2 history, spike detection
+- ``quantiles``  — bucketed two-pass EXACT per-group quantiles (bit-equal to
+                   ``percentile()`` with bounded per-task state; backs
+                   exact_quantiles / winsorize / the recipe cutoffs)
 - ``skew``       — salted join / salted count-distinct
 - ``multimodal`` — opaque-binary media columns: decode/feature/resize/frame ops
 - ``osm``        — OSM corpus statistics (taginfo-style histograms)
@@ -39,6 +42,7 @@ from quackosm_spark.operators import (
     ml,
     multimodal,
     osm,
+    quantiles,
     recipes,
     search,
     similarity,
@@ -56,6 +60,7 @@ __all__ = [
     "ml",
     "multimodal",
     "osm",
+    "quantiles",
     "recipes",
     "search",
     "similarity",

@@ -68,12 +68,22 @@ def exact_group_quantiles(
     Returns one row per distinct group (NULL group keys included, like any
     groupBy) with columns ``(*group_cols, *out_cols)``; a group whose
     values are all NULL yields NULL quantiles, matching ``F.percentile``.
-    NULL values are ignored inside a group, also matching.
+    NULL values are ignored inside a group, also matching. An EMPTY
+    ``group_cols`` computes GLOBAL quantiles (one output row, like a
+    grand aggregate — the 1-row stats/result tables ride broadcasts and
+    the only unpartitioned window is over the ≤num_buckets-row aggregated
+    bucket-count table).
     """
     if len(quantiles) != len(out_cols):
         raise ValueError("quantiles and out_cols must have the same length")
     groups = list(group_cols)
     v = F.col(value_col).cast("double")
+
+    def _attach(left: DataFrame, right: DataFrame, keys: Sequence[str], how="inner"):
+        # grand-aggregate right sides are single-row: broadcast-cross
+        if keys:
+            return _nsjoin(left, right, keys, how)
+        return left.crossJoin(F.broadcast(right))
 
     # distinct-value table: ties collapse map-side; NULL values kept long
     # enough to preserve the group universe (all-NULL groups must still
@@ -89,7 +99,7 @@ def exact_group_quantiles(
         ).alias("__N"),
     )
 
-    gg = _nsjoin(g.where(F.col("__val").isNotNull()), stats, groups)
+    gg = _attach(g.where(F.col("__val").isNotNull()), stats, groups)
     width = F.when(
         F.col("__mx") > F.col("__mn"),
         (F.col("__mx") - F.col("__mn")) / F.lit(float(num_buckets)),
@@ -147,7 +157,7 @@ def exact_group_quantiles(
 
     # interpolate exactly as Spark's Percentile.getPercentile does:
     # (higher − position)·lower_val + (position − lower)·higher_val
-    out = _nsjoin(stats, got, groups, "left")
+    out = _attach(stats, got, groups, "left")
     final = []
     for j, q in enumerate(quantiles):
         pos = (F.col("__N") - F.lit(1)) * F.lit(float(q))

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from quackosm_spark.operators import dedup as D
 from quackosm_spark.operators import mix as X
 from quackosm_spark.operators import text as T
+from quackosm_spark.operators.quantiles import exact_group_quantiles
 
 
 def curate_corpus(
@@ -211,9 +212,12 @@ def curate_corpus(
             scored = featured.withColumn(
                 "__p", M.logistic_score(model, list(feats))
             )
-            cutoff = scored.agg(
-                F.percentile("__p", 1.0 - model_keep_fraction)
-            ).collect()[0][0]
+            # bucketed two-pass kernel, NOT F.percentile: __p is a raw
+            # continuous sigmoid score, so the exact-percentile aggregate
+            # would buffer ~one distinct value per doc in a single task
+            cutoff = exact_group_quantiles(
+                scored.select("__p"), "__p", [], [1.0 - model_keep_fraction], ["c"]
+            ).collect()[0]["c"]
             out = _note(
                 "model_filter",
                 scored.where(F.col("__p") >= cutoff).drop(
@@ -230,9 +234,14 @@ def curate_corpus(
         weights = T.dsir_logweights(
             out, dsir_target_source, id_col=id_col, text_col=text_col
         ).select(F.col("doc_id").alias(id_col), "logweight")
-        cutoff = weights.agg(
-            F.percentile("logweight", 1.0 - dsir_keep_fraction)
-        ).collect()[0][0]
+        # same continuous-value reasoning as the model cutoff above
+        cutoff = exact_group_quantiles(
+            weights.select("logweight"),
+            "logweight",
+            [],
+            [1.0 - dsir_keep_fraction],
+            ["c"],
+        ).collect()[0]["c"]
         keep = weights.where(F.col("logweight") >= cutoff).select(id_col)
         out = _note("dsir", out.join(keep, id_col, "left_semi"))
 

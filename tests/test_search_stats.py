@@ -498,3 +498,28 @@ def test_winsorize_bit_equal_to_builtin_percentile(spark):
     for r in got:
         lo, hi = bounds[r.event_type]
         assert r.value_w == round(min(max(r.value, lo), hi), 6), (r, lo, hi)
+
+
+def test_exact_group_quantiles_global_mode_matches_builtin(spark):
+    """r07: empty group_cols = grand-aggregate quantiles, bit-equal to the
+    global F.percentile (used by the recipe cutoffs on raw continuous
+    scores, where the built-in would buffer corpus-distinct values)."""
+    import random
+
+    from quackosm_spark.operators.quantiles import exact_group_quantiles
+
+    random.seed(41)
+    df = spark.createDataFrame(
+        [(random.uniform(-10, 10),) for _ in range(4000)], "v DOUBLE"
+    )
+    ref = df.agg(
+        F.percentile("v", 0.1), F.percentile("v", 0.9)
+    ).collect()[0]
+    got = exact_group_quantiles(df, "v", [], [0.1, 0.9], ["a", "b"]).collect()
+    assert len(got) == 1
+    assert (got[0]["a"], got[0]["b"]) == (ref[0], ref[1])
+    # empty input still yields one NULL row (matching a grand aggregate)
+    empty = exact_group_quantiles(
+        df.where("v > 1e9"), "v", [], [0.5], ["m"]
+    ).collect()
+    assert len(empty) == 1 and empty[0]["m"] is None

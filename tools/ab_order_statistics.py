@@ -1,0 +1,174 @@
+"""A/B micro-bench for the bucketed two-pass order-statistic kernels.
+
+Usage: python tools/ab_order_statistics.py <op> <variant> <n_rows>
+
+  op      ∈ {interleave, auc, winsorize, deciles}
+  variant ∈ {old, new}   (old = the serial single-window / exact-percentile
+                          formulation each operator had before its fix)
+  n_rows  = synthetic input size
+
+Prints ONE JSON line {"op", "variant", "n", "sec", "checksum"}; the
+checksum is a value-sensitive aggregate so old/new comparability is
+checked, not assumed. Inputs are deterministic Column expressions over
+spark.range (no files, no RNG) so any two processes generate identical
+data. Run each measurement in its OWN process for a clean JVM.
+
+Shapes are adversarial on purpose: 97% of rows in one group (the shape
+that serializes group-partitioned windows) and continuous value columns
+(the shape that blows up exact-percentile buffers / distinct-score
+tables). SCALE.md §13 records the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _docs_skewed(spark, n):
+    """97% of docs in one source, 3 small sources."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 < 97, F.lit("big"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 3).cast("string")))
+        .alias("source"),
+    )
+
+
+def _scored(spark, n):
+    """Continuous scores (distinct ≈ n), 1/3 positive labels."""
+    return spark.range(n).select(
+        (F.xxhash64("id").cast("double") / F.lit(2.0**63)).alias("score"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+
+
+def _values_skewed(spark, n):
+    """Continuous values, 97% in one group."""
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 100 < 97, F.lit("en")).otherwise(F.lit("fr")).alias("g"),
+        (F.xxhash64("id", F.lit(7)).cast("double") / F.lit(2.0**63)).alias("value"),
+    )
+
+
+def _texts_skewed(spark, n):
+    """Docs with id-derived text, 97% in one lang."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 < 97, F.lit("en")).otherwise(F.lit("fr")).alias("lang"),
+        F.expr("repeat('ab cd! ', cast(id % 40 as int) + 1)").alias("text"),
+    )
+
+
+def run(op, variant, n, spark):
+    if op == "interleave":
+        from quackosm_spark.operators.mix import interleave_sources
+
+        d = _docs_skewed(spark, n)
+        if variant == "new":
+            out = interleave_sources(d)
+        else:  # the pre-r6 per-source single window
+            ok = F.md5(F.col("doc_id").cast("string"))
+            w = Window.partitionBy("source").orderBy(ok, "doc_id")
+            out = d.withColumn("rn", F.row_number().over(w))
+        chk = out.agg(
+            F.sum(F.col("rn") * (F.col("doc_id") % 997)).alias("c")
+        )
+        return chk.collect()[0]["c"]
+
+    if op == "auc":
+        from quackosm_spark.operators.ml import binary_auc
+
+        d = _scored(spark, n)
+        if variant == "new":
+            row = binary_auc(d, "score", "y").collect()[0]
+            return row["auc"]
+        # pre-r6: unpartitioned cumulative window over the distinct-score table
+        g = d.groupBy(F.col("score")).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("y").cast("double")).alias("n_pos"),
+        )
+        w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked = g.withColumn("cum", F.sum("n").over(w)).withColumn(
+            "avg_rank", F.col("cum") - (F.col("n") - 1.0) / 2.0
+        )
+        tot = ranked.agg(
+            F.sum(F.col("n_pos") * F.col("avg_rank")).alias("s_pos"),
+            F.sum("n_pos").alias("p"),
+            F.sum("n").alias("nn"),
+        ).collect()[0]
+        p, nn, s_pos = tot["p"], tot["nn"], tot["s_pos"]
+        return (s_pos - p * (p + 1.0) / 2.0) / (p * (nn - p))
+
+    if op == "winsorize":
+        from quackosm_spark.operators.stats import winsorize
+
+        d = _values_skewed(spark, n)
+        if variant == "new":
+            out = winsorize(d, "value", "g")
+        else:  # pre-r7: exact-percentile aggregate bounds
+            bounds = d.groupBy(F.col("g").alias("__g")).agg(
+                F.percentile("value", 0.05).alias("__lo"),
+                F.percentile("value", 0.95).alias("__hi"),
+            )
+            out = (
+                d.join(F.broadcast(bounds), F.col("g") == F.col("__g"))
+                .withColumn(
+                    "value_w",
+                    F.round(
+                        F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")),
+                        6,
+                    ),
+                )
+            )
+        chk = out.agg(F.round(F.sum("value_w"), 4).alias("c"))
+        return chk.collect()[0]["c"]
+
+    if op == "deciles":
+        from quackosm_spark.operators.stats import quality_deciles
+        from quackosm_spark.operators.text import quality_score
+
+        d = _texts_skewed(spark, n)
+        if variant == "new":
+            out = quality_deciles(d, group_col="lang")
+        else:  # pre-r7: ntile/percent_rank window partitioned by group alone
+            w = Window.partitionBy("lang").orderBy(quality_score("text"), F.col("doc_id"))
+            out = d.select(
+                "doc_id",
+                F.col("lang"),
+                quality_score("text").alias("quality"),
+                F.ntile(10).over(w).alias("decile"),
+                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            )
+        chk = out.agg(
+            F.sum(F.col("decile") * (F.col("doc_id") % 997)).alias("c1"),
+            F.round(F.sum("pct_rank"), 2).alias("c2"),
+        ).collect()[0]
+        return [chk["c1"], float(chk["c2"])]
+
+    raise SystemExit(f"unknown op {op}")
+
+
+def main():
+    op, variant, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    from quackosm_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen path on a tiny run so the timed run measures the plan
+    run(op, variant, 10_000, spark)
+    t0 = time.time()
+    chk = run(op, variant, n, spark)
+    sec = time.time() - t0
+    print(json.dumps({"op": op, "variant": variant, "n": n, "sec": round(sec, 2), "checksum": chk}))
+
+
+if __name__ == "__main__":
+    main()
