@@ -2311,6 +2311,22 @@ def q119_sessionize_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(_events(spark, sf_dir), 1800)
 
 
+def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
+    the shape behind the recipe cutoffs (r7): grand-aggregate exact
+    quantiles over a raw continuous column with bounded per-task state,
+    bit-equal to ``F.percentile`` / DuckDB ``quantile_cont``."""
+    from quackosm_spark.operators.quantiles import exact_group_quantiles
+
+    raw = exact_group_quantiles(
+        _events(spark, sf_dir), "value", [], [0.01, 0.5, 0.99],
+        ["p01", "p50", "p99"],
+    )
+    return raw.select(
+        *[F.round(F.col(c), 6).alias(c) for c in ("p01", "p50", "p99")]
+    )
+
+
 def q110_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (mix.curriculum_order): quality bands by
     exact percentile cutpoints (cleanest band = stage 0, trained first) +
@@ -2447,7 +2463,7 @@ _DRIVER_PRIORITY = [
     "q106_logprob_band", "q115_quality_auc", "q32_ivf_ann",
     "q75_interleave_sources", "q117_hybrid_mapped", "q105_hybrid_rrf",
     "q119_sessionize_kernel", "q107_stream_neardup_kernel",
-    "q25_sessionize",
+    "q25_sessionize", "q120_global_quantiles",
     # (c) fill: oldest of the r5 window (complex kernels first); the
     # remainder of the r5 cohort rotates in next round
     "q01_pricing_summary", "q100_union_courtyards", "q84_relation_union",
@@ -2455,7 +2471,6 @@ _DRIVER_PRIORITY = [
     "q104_dedup_keep_best", "q73_pq_fullshortlist",
     "q76_bloom_decontamination", "q72_pagerank", "q53_semantic_dedup",
     "q63_verified_neardup", "q37_neardup_clusters", "q47_budget_mixture",
-    "q86_repeated_spans",
 ]
 
 
@@ -2586,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_hybrid_mapped": q117_hybrid_mapped,
         "q118_weighted_sample_global": q118_weighted_sample_global,
         "q119_sessionize_kernel": q119_sessionize_kernel,
+        "q120_global_quantiles": q120_global_quantiles,
     })
 
 
@@ -4054,6 +4070,12 @@ def oracle_sql() -> dict[str, str]:
     """
     # q119: rebuild sessions with the lag+cumsum analog, key each by its
     # start time in epoch microseconds (the kernel's session_id).
+    out["q120_global_quantiles"] = """
+        SELECT round(quantile_cont(value, 0.01), 6) AS p01,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+    """
     out["q119_sessionize_kernel"] = """
         WITH gaps AS (
             SELECT user_id, event_id, ts,
