@@ -91,9 +91,14 @@ def exact_group_quantiles(
     g = df.groupBy(*groups, v.alias("__val")).agg(
         F.count(F.lit(1)).alias("__n")
     )
+    # range bounds over the FINITE values only: Spark orders NaN greater
+    # than everything (so F.max alone would return NaN and poison the
+    # bucket width); NaN rows are pinned to the top bucket below, which
+    # preserves the percentile()-compatible ordering (NaN sorts last)
+    notnan = ~F.isnan(F.col("__val"))
     stats = g.groupBy(*groups).agg(
-        F.min("__val").alias("__mn"),
-        F.max("__val").alias("__mx"),
+        F.min(F.when(notnan, F.col("__val"))).alias("__mn"),
+        F.max(F.when(notnan, F.col("__val"))).alias("__mx"),
         F.sum(
             F.when(F.col("__val").isNotNull(), F.col("__n")).otherwise(F.lit(0))
         ).alias("__N"),
@@ -106,10 +111,17 @@ def exact_group_quantiles(
     ).otherwise(F.lit(1.0))
     gg = gg.withColumn(
         "_bkt",
-        F.least(
-            F.floor((F.col("__val") - F.col("__mn")) / width),
-            F.lit(num_buckets - 1),
-        ).cast("int"),
+        F.when(F.isnan(F.col("__val")), F.lit(num_buckets - 1))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__val") - F.coalesce(F.col("__mn"), F.lit(0.0)))
+                    / width
+                ),
+                F.lit(num_buckets - 1),
+            )
+        )
+        .cast("int"),
     )
 
     # exclusive per-(group, bucket) offsets: a window over the AGGREGATED

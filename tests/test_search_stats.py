@@ -523,3 +523,36 @@ def test_exact_group_quantiles_global_mode_matches_builtin(spark):
         df.where("v > 1e9"), "v", [], [0.5], ["m"]
     ).collect()
     assert len(empty) == 1 and empty[0]["m"] is None
+
+
+def test_exact_group_quantiles_nan_matches_builtin(spark):
+    """r07: Spark orders NaN greater than any value and percentile()
+    includes it; the bucketed kernel must agree (NaN pins to the top
+    range bucket, where the within-bucket sort also puts it last)."""
+    import math
+
+    from quackosm_spark.operators.quantiles import exact_group_quantiles
+
+    nan = float("nan")
+    rows = (
+        [("a", float(i)) for i in range(20)] + [("a", nan), ("a", nan)]
+        + [("b", nan)]                      # all-NaN group
+        + [("c", 5.0), ("c", nan)]
+    )
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    qs = [0.25, 0.5, 0.95, 1.0]
+    names = ["a1", "a2", "a3", "a4"]
+    ref = {
+        r.g: [r[n] for n in names]
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", q).alias(n) for q, n in zip(qs, names)])
+        .collect()
+    }
+    got = {
+        r.g: [r[n] for n in names]
+        for r in exact_group_quantiles(df, "v", ["g"], qs, names).collect()
+    }
+    assert set(ref) == set(got)
+    for k in ref:
+        for a, b in zip(ref[k], got[k]):
+            assert (math.isnan(a) and math.isnan(b)) or a == b, (k, a, b)
