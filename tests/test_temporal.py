@@ -314,3 +314,32 @@ def test_exact_quantiles_bit_equal_to_builtin_percentile(spark):
         for r in exact_quantiles(df, "v", ["g"], qs, decimals=12).collect()
     }
     assert got == ref
+
+
+def test_exact_quantiles_multi_group_cols(spark):
+    """r07: the kernel's group handling is a LIST — verify two grouping
+    columns (incl. a NULL key in one of them) against F.percentile."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", 1, float(v)) for v in range(10)
+    ] + [
+        ("a", 2, float(v * 3)) for v in range(7)
+    ] + [
+        (None, 1, 42.0), (None, 1, 44.5),
+    ]
+    df = spark.createDataFrame(rows, "g1 STRING, g2 INT, v DOUBLE")
+    ref = {
+        (r.g1, r.g2): (r.p50, r.p90)
+        for r in df.groupBy("g1", "g2")
+        .agg(
+            F.round(F.percentile("v", 0.5), 6).alias("p50"),
+            F.round(F.percentile("v", 0.9), 6).alias("p90"),
+        )
+        .collect()
+    }
+    got = {
+        (r.g1, r.g2): (r.p50, r.p90)
+        for r in exact_quantiles(df, "v", ["g1", "g2"], [0.5, 0.9]).collect()
+    }
+    assert got == ref
