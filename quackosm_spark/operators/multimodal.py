@@ -76,22 +76,80 @@ def _pil_decode(payload: bytes) -> "np.ndarray | None":
         return np.asarray(img.convert("RGB"), dtype=np.float32).ravel()
 
 
+def _decode_ppm(payload: bytes) -> "np.ndarray | None":
+    """Real pure-numpy decode of binary PPM (P6) — no library needed.
+    Returns interleaved RGB float32 (the PIL path's layout), or None when
+    the payload is not P6."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace-separated with
+    # optional '#' comments; pixel data starts after the single whitespace
+    # byte that terminates maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:  # 16-bit PPM: out of scope for the numpy fast path
+        return None
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.astype(np.float32)
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray | None":
+    """Real pure-numpy decode of uncompressed 24-bit BMP. Returns
+    interleaved RGB float32 (rows top-down, BGR swapped), or None when
+    the payload is not a plain 24-bit BI_RGB bitmap."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = [
+        np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off + r * stride)
+        .reshape(w, 3)[:, ::-1]  # BGR → RGB
+        for r in range(h)
+    ]
+    img = np.stack(rows[::-1] if bottom_up else rows)
+    return img.astype(np.float32).ravel()
+
+
 def _decode_stub(payload: bytes, strict: bool) -> np.ndarray:
     """payload bytes → pixel array.
 
-    ``strict=True`` is the REAL-decode path: PIL if importable, else
+    ``strict=True`` is the REAL-decode path: uncompressed formats (binary
+    PPM/P6, 24-bit BI_RGB BMP) decode in pure numpy with no library at
+    all; anything else goes to PIL if importable, else
     ``NotImplementedError`` (explicit production wiring, never a silent
     fake). ``strict=False`` is the deterministic fake keyed on the payload
     bytes so Spark-side plumbing tests can assert end-to-end values
     without any codec present.
     """
     if strict:
-        pixels = _pil_decode(payload)
-        if pixels is not None:
-            return pixels
+        for decode in (_decode_ppm, _decode_bmp, _pil_decode):
+            pixels = decode(payload)
+            if pixels is not None:
+                return pixels
         raise NotImplementedError(
-            "Media codecs are not available in this environment; "
-            "install PIL (pillow) or run with strict=False."
+            "Compressed-format media codecs are not available in this "
+            "environment; supply PPM/BMP payloads, install PIL (pillow), "
+            "or run with strict=False."
         )
     arr = np.frombuffer(payload[:256], dtype=np.uint8).astype(np.float32)
     if arr.size == 0:

@@ -1047,3 +1047,60 @@ def test_curriculum_order_bands_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curriculum_order(docs, stages=1)
+
+
+def _tiny_ppm() -> bytes:
+    """2x2 P6 with a comment line: RGBW, top-down interleaved RGB."""
+    pix = bytes([255, 0, 0,  0, 255, 0,
+                 0, 0, 255,  255, 255, 255])
+    return b"P6\n# test comment\n2 2\n255\n" + pix
+
+
+def _tiny_bmp() -> bytes:
+    """2x2 uncompressed 24-bit BMP (bottom-up rows, BGR, 4-byte padded)
+    encoding the SAME image as _tiny_ppm()."""
+    # top row: red, green | bottom row: blue, white
+    bottom = bytes([255, 0, 0,  255, 255, 255]) + b"\x00\x00"  # BGR blue, white
+    top = bytes([0, 0, 255,  0, 255, 0]) + b"\x00\x00"         # BGR red, green
+    pixel_data = bottom + top  # bottom-up storage
+    info = (
+        (40).to_bytes(4, "little") + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little") + b"\x00" * 16
+    )
+    off = 14 + len(info)
+    hdr = b"BM" + (off + len(pixel_data)).to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+    return hdr + info + pixel_data
+
+
+def test_strict_decode_ppm_bmp_pure_numpy(spark):
+    """r07: the strict decode path is REAL with no codec library at all
+    for uncompressed formats — P6 PPM and 24-bit BMP parse in pure numpy
+    and must yield identical interleaved-RGB pixels."""
+    import numpy as np
+
+    from quackosm_spark.operators.multimodal import _decode_stub
+
+    expected = np.array(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255], dtype=np.float32
+    )
+    assert np.array_equal(_decode_stub(_tiny_ppm(), strict=True), expected)
+    assert np.array_equal(_decode_stub(_tiny_bmp(), strict=True), expected)
+
+
+def test_extract_image_features_strict_real_decode(spark):
+    """End-to-end strict=True through mapInPandas with PPM payloads — the
+    histogram features come from REAL pixel values, no PIL needed."""
+    rows = [(1, "image", _tiny_ppm(), "image/x-portable-pixmap", 2, 2, None),
+            (2, "image", _tiny_bmp(), "image/bmp", 2, 2, None)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           M.extract_image_features(media, feature_dim=4, strict=True).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.width == 12  # 2x2x3 interleaved samples
+        # pixels: six 0s (bin 0), six 255s (top bin) of 12 samples
+        assert abs(r.features[0] - 6 / 12) < 1e-6
+        assert abs(r.features[3] - 6 / 12) < 1e-6
+    assert out[1].features == out[2].features  # same image, two containers
