@@ -143,7 +143,12 @@ def _decode_stub(payload: bytes, strict: bool) -> np.ndarray:
     """
     if strict:
         for decode in (_decode_ppm, _decode_bmp, _pil_decode):
-            pixels = decode(payload)
+            try:
+                pixels = decode(payload)
+            except (ValueError, IndexError):
+                # malformed/truncated container: not this format — fall
+                # through to the next decoder (PIL raises its own errors)
+                pixels = None
             if pixels is not None:
                 return pixels
         raise NotImplementedError(

@@ -1104,3 +1104,17 @@ def test_extract_image_features_strict_real_decode(spark):
         assert abs(r.features[0] - 6 / 12) < 1e-6
         assert abs(r.features[3] - 6 / 12) < 1e-6
     assert out[1].features == out[2].features  # same image, two containers
+
+
+def test_strict_decode_malformed_uncompressed_falls_through(spark):
+    """Truncated PPM/BMP payloads must not leak numpy parse errors — they
+    fall through the decoder chain to the explicit NotImplementedError."""
+    import pytest as _pytest
+
+    from quackosm_spark.operators.multimodal import _decode_stub
+
+    for bad in (b"P6\n2 2\n255\n\x00\x01",      # truncated pixel data
+                b"P6\n2 2",                      # truncated header
+                _tiny_bmp()[:30]):               # truncated BMP header
+        with _pytest.raises(NotImplementedError):
+            _decode_stub(bad, strict=True)
