@@ -243,7 +243,11 @@ def logistic_score(model: dict, feature_cols: Sequence[str] | None = None) -> Co
 
 
 def binary_auc(
-    df: DataFrame, score_col: str, label_col: str, num_buckets: int = 1024
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_buckets: int = 1024,
+    small_distinct_threshold: int = 65536,
 ) -> DataFrame:
     """ROC-AUC of a score against a 0/1 label, tie-aware, distributed.
 
@@ -253,27 +257,38 @@ def binary_auc(
 
     Scale shape: the corpus aggregates by DISTINCT score first (one
     groupBy shuffle emitting (score, n, n_pos)), and the cumulative rank
-    runs as a two-pass parallel prefix sum, NEVER a single-partition
-    ordered window (for continuous scores the distinct-score table is
-    corpus-sized, so `Window.orderBy(score)` alone would serialize it):
-    scores are range-bucketed on ``floor((s-min)/width)`` (order-
-    preserving), per-bucket row counts are collected (≤ ``num_buckets``
-    rows) and exclusive-prefix-summed on the driver, and the within-
-    bucket cumsum is a window PARTITIONED by bucket. Rank sums are
-    integer-and-half valued, exact in float64, so the result is
-    bit-identical to the serial formulation. Returns one row:
-    (auc, n_pos, n_neg). Rows with NULL score or label are dropped; a
-    single-class input (n_pos or n_neg = 0) has no defined AUC and
-    returns NULL in the auc column — check the returned counts before
-    consuming the value.
+    NEVER sorts a corpus-sized table in one partition. Which prefix
+    strategy runs is decided at runtime from the distinct-score
+    cardinality (an ``approx_count_distinct`` riding the same pass-0
+    aggregate as the range bounds):
 
-    The projected (score, label) input is PERSISTED across the three
-    internal actions (bounds, bucket counts, final aggregate): without it
-    the lineage would scan the input 3×, and a non-deterministic input
-    (e.g. a sampled or shuffled upstream) could hand pass 2 bucket
-    offsets inconsistent with pass 3 — a silently wrong AUC. The cache
-    (2 small columns per row) stays for the caller's action and is
-    evicted LRU, or explicitly via ``spark.catalog.clearCache()``.
+    - distinct ≤ ``small_distinct_threshold`` (discrete scores — model
+      probabilities rounded to N decimals, integer grades): the
+      cumulative rank is a plain ordered window over the DISTINCT-score
+      table, whose size is bounded by the score domain, not the corpus —
+      safe at any corpus size, and two internal jobs cheaper than
+      bucketing (SCALE.md §13 has the A/B).
+    - otherwise (continuous scores — distinct ≈ corpus): the two-pass
+      parallel prefix: range-bucket on ``floor((s-min)/width)``
+      (order-preserving), per-bucket counts collected (≤ ``num_buckets``
+      rows) and exclusive-prefix-summed on the driver, within-bucket
+      cumsum as a window PARTITIONED by bucket.
+
+    Both strategies produce rank sums that are integer-and-half valued,
+    exact in float64, so the result is bit-identical to the serial
+    formulation either way. Returns one row: (auc, n_pos, n_neg). Rows
+    with NULL score or label are dropped; a single-class input (n_pos or
+    n_neg = 0) has no defined AUC and returns NULL in the auc column —
+    check the returned counts before consuming the value.
+
+    The projected (score, label) input is PERSISTED across the internal
+    actions (bounds+cardinality, bucket counts, final aggregate): without
+    it the lineage would scan the input per action, and a
+    non-deterministic input (e.g. a sampled or shuffled upstream) could
+    hand the bucket pass offsets inconsistent with the final pass — a
+    silently wrong AUC. The cache (2 small columns per row) stays for
+    the caller's action and is evicted LRU, or explicitly via
+    ``spark.catalog.clearCache()``.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -286,9 +301,16 @@ def binary_auc(
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
 
-    # pass 0: score range (one map-reduce scalar pair, no shuffle of rows)
-    bounds = df.agg(F.min(s).alias("mn"), F.max(s).alias("mx")).collect()[0]
-    mn, mx = bounds["mn"], bounds["mx"]
+    # pass 0: score range + distinct cardinality (one map-reduce scalar
+    # row, no shuffle of raw rows). approx_count_distinct's ~2% rsd is
+    # fine for a strategy switch: the threshold is a safety margin, not a
+    # correctness boundary — both strategies are bit-identical.
+    bounds = df.agg(
+        F.min(s).alias("mn"),
+        F.max(s).alias("mx"),
+        F.approx_count_distinct(s).alias("nd"),
+    ).collect()[0]
+    mn, mx, approx_nd = bounds["mn"], bounds["mx"], bounds["nd"]
     if mn is None:  # empty input: emit the single NULL/0/0 row cheaply
         width = 1.0
     else:
@@ -297,6 +319,22 @@ def binary_auc(
         F.floor((c - F.lit(mn if mn is not None else 0.0)) / F.lit(width)),
         F.lit(num_buckets - 1),
     ).cast("int")
+
+    if approx_nd <= small_distinct_threshold:
+        # discrete-score fast path: the ordered window runs over the
+        # distinct-score table (bounded by the score domain) — one
+        # partition of ≤ ~threshold rows, corpus-size-independent
+        g = df.groupBy(s.alias("score")).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(y).alias("n_pos"),
+        )
+        w = Window.orderBy("score").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = g.withColumn("cum", F.sum("n").over(w)).withColumn(
+            "avg_rank", F.col("cum") - (F.col("n") - F.lit(1.0)) / F.lit(2.0)
+        )
+        return _auc_from_ranked(ranked)
 
     # pass 1: tiny per-bucket row counts → exclusive prefix on the driver
     # (cum rank at score x = #rows below x's bucket + within-bucket cumsum)
@@ -333,6 +371,12 @@ def binary_auc(
     ).withColumn(
         "avg_rank", F.col("cum") - (F.col("n") - F.lit(1.0)) / F.lit(2.0)
     )
+    return _auc_from_ranked(ranked)
+
+
+def _auc_from_ranked(ranked: DataFrame) -> DataFrame:
+    """Shared tail of `binary_auc`: fold the (n, n_pos, avg_rank) distinct-
+    score table into the Mann-Whitney statistic — one tiny aggregate."""
     tot = ranked.agg(
         F.sum(F.col("n_pos") * F.col("avg_rank")).alias("s_pos"),
         F.sum("n_pos").alias("p"),

@@ -359,3 +359,32 @@ class TestCorrelationMatrix:
         assert set(a) == set(b) and len(a) == 6
         for k in a:
             assert b[k] == pytest.approx(a[k], rel=1e-9)
+
+
+def test_binary_auc_strategies_bit_identical(spark):
+    """r07: the discrete fast path and the bucketed continuous path must
+    produce the SAME bits on the same data (the runtime switch is a cost
+    decision, never a semantics one) — swept over continuous, heavily
+    tied, and skewed score shapes."""
+    import random
+
+    from quackosm_spark.operators import ml
+
+    random.seed(17)
+    shapes = {
+        "continuous": [(random.uniform(-5, 5), random.randint(0, 1)) for _ in range(3000)],
+        "ties": [(float(random.randint(0, 9)), random.randint(0, 1)) for _ in range(3000)],
+        "skewed": [(0.0, 1) for _ in range(2500)]
+        + [(random.uniform(0, 1), random.randint(0, 1)) for _ in range(500)],
+    }
+    for name, rows in shapes.items():
+        df = spark.createDataFrame(rows, "score DOUBLE, y INT")
+        fast = ml.binary_auc(
+            df, "score", "y", small_distinct_threshold=10**9
+        ).collect()[0]
+        bucketed = ml.binary_auc(
+            df, "score", "y", small_distinct_threshold=0
+        ).collect()[0]
+        assert (fast["auc"], fast["n_pos"], fast["n_neg"]) == (
+            bucketed["auc"], bucketed["n_pos"], bucketed["n_neg"]
+        ), name

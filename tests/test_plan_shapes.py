@@ -284,9 +284,11 @@ def test_groupwise_fit_one_grouped_exchange_no_window(docs):
 
 
 def test_binary_auc_window_runs_over_distinct_scores_only(docs):
-    """The ordered cumulative window must sit ABOVE the distinct-score
-    aggregation (corpus collapses first), so the global sort touches the
-    compact (score, n, n_pos) table, never the corpus rows."""
+    """CONTINUOUS-score strategy (forced via threshold=0): the ordered
+    cumulative window must sit ABOVE the distinct-score aggregation
+    (corpus collapses first) AND be PARTITIONED by the range bucket
+    (two-pass prefix sum) — an unpartitioned Window.orderBy serializes a
+    continuous-score table through one task."""
     from pyspark.sql import functions as F
     from quackosm_spark.operators.ml import binary_auc
 
@@ -294,7 +296,7 @@ def test_binary_auc_window_runs_over_distinct_scores_only(docs):
         (F.col("n_chars") % 17).cast("double").alias("score"),
         (F.col("lang") == "en").cast("int").alias("y"),
     )
-    plan = _plan(binary_auc(scored, "score", "y"))
+    plan = _plan(binary_auc(scored, "score", "y", small_distinct_threshold=0))
     lines = plan.splitlines()
     win = next(i for i, l in enumerate(lines) if "Window" in l)
     # the grouped aggregate (keyed on score) appears BELOW the window
@@ -303,9 +305,6 @@ def test_binary_auc_window_runs_over_distinct_scores_only(docs):
         if "HashAggregate" in l and "keys=[" in l and "score" in l
     ]
     assert grouped and min(grouped) > win  # deeper in the tree = later line
-    # r06: the cumulative-rank window must be PARTITIONED by the range
-    # bucket (two-pass prefix sum) — an unpartitioned Window.orderBy
-    # serializes a continuous-score table through one task
     import re
 
     assert re.search(r"windowspecdefinition\(_bkt#\d+, score#\d+", plan)
@@ -314,6 +313,29 @@ def test_binary_auc_window_runs_over_distinct_scores_only(docs):
     # the bucket-offset table rides a BroadcastExchange
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_binary_auc_discrete_path_windows_distinct_table_only(docs):
+    """DISCRETE-score strategy (r7 runtime switch): the plain ordered
+    window is allowed ONLY because it runs over the distinct-score
+    aggregate (bounded by the score domain) — the plan must still show
+    the corpus collapsing below the window, and no bucket machinery."""
+    from pyspark.sql import functions as F
+    from quackosm_spark.operators.ml import binary_auc
+
+    scored = docs.select(
+        (F.col("n_chars") % 17).cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    plan = _plan(binary_auc(scored, "score", "y"))  # 17 distinct → fast path
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    grouped = [
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "keys=[" in l and "score" in l
+    ]
+    assert grouped and min(grouped) > win  # distinct-first invariant holds
+    assert "_bkt" not in plan  # no bucket join/exchange on this path
 
 
 def test_spatial_candidates_are_ring_free(spark, events):

@@ -83,6 +83,20 @@ def run(op, variant, n, spark):
         )
         return chk.collect()[0]["c"]
 
+    if op == "auc_discrete":
+        # 1000-distinct integer scores: 'new' = the r7 runtime fast path
+        # (ordered window over the bounded distinct table), 'old' = the
+        # bucketed strategy forced on the same data
+        from quackosm_spark.operators.ml import binary_auc
+
+        d = spark.range(n).select(
+            (F.col("id") % 1000).cast("double").alias("score"),
+            (F.col("id") % 3 == 0).cast("int").alias("y"),
+        )
+        thr = 65536 if variant == "new" else 0
+        row = binary_auc(d, "score", "y", small_distinct_threshold=thr).collect()[0]
+        return row["auc"]
+
     if op == "auc":
         from quackosm_spark.operators.ml import binary_auc
 
