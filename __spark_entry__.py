@@ -518,13 +518,15 @@ def q32_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = S.ivf_topk_sweep(
         emb, queries_df, k=5, num_cells=8, nprobes=(4, 8)
     )
-    approx = sweep.where(F.col("nprobe") == 4)
-    exact = sweep.where(F.col("nprobe") == 8)
+    # intersection without a self-join (which would re-execute the corpus
+    # lineage on both sides): a (query, match) pair in BOTH top-5 sets
+    # appears in the sweep once per probe depth
     hits = (
-        approx.select("query_id", "match_id")
-        .join(exact.select("query_id", "match_id"), ["query_id", "match_id"])
+        sweep.groupBy("query_id", "match_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 2)
         .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return hits.select(
         "query_id", (F.col("n_hits") >= F.lit(4)).alias("recall_ok")
