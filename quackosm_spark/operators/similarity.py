@@ -251,6 +251,8 @@ def ivf_topk_sweep(
     explode of an in-row struct array (no union re-executing the corpus
     lineage per depth). Returns (nprobe, query_id, match_id, cosine,
     rank) with rank ≤ k inside each (nprobe, query)."""
+    if not nprobes:
+        raise ValueError("ivf_topk_sweep: nprobes must be non-empty")
     depths = sorted(set(int(n) for n in nprobes))
     max_probe = depths[-1]
     c = corpus.select(
