@@ -2313,6 +2313,18 @@ def q119_sessionize_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(_events(spark, sf_dir), 1800)
 
 
+def q121_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION batch sessionizer (r7): `sessionize_batch`'s window
+    formulation with the streaming kernel's output contract (start-time
+    session keys) — a window sort spills a dominant user to disk where
+    the kernel's batch shim would buffer the whole user as one pandas
+    group. Shares q119's oracle: same semantics, independent
+    implementation (lag+cumsum vs the stateful kernel)."""
+    from quackosm_spark.streaming import sessionize_batch
+
+    return sessionize_batch(_events(spark, sf_dir), 1800)
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2465,14 +2477,16 @@ _DRIVER_PRIORITY = [
     "q106_logprob_band", "q115_quality_auc", "q32_ivf_ann",
     "q75_interleave_sources", "q117_hybrid_mapped", "q105_hybrid_rrf",
     "q119_sessionize_kernel", "q107_stream_neardup_kernel",
-    "q25_sessionize", "q120_global_quantiles",
+    "q25_sessionize", "q120_global_quantiles", "q121_sessionize_batch",
     # (c) fill: oldest of the r5 window (complex kernels first); the
     # remainder of the r5 cohort rotates in next round
     "q01_pricing_summary", "q100_union_courtyards", "q84_relation_union",
     "q99_relation_spike_repair", "q103_bpe_learned_merges",
     "q104_dedup_keep_best", "q73_pq_fullshortlist",
     "q76_bloom_decontamination", "q72_pagerank", "q53_semantic_dedup",
-    "q63_verified_neardup", "q37_neardup_clusters", "q47_budget_mixture",
+    "q63_verified_neardup", "q37_neardup_clusters",
+    # q47_budget_mixture yields its slot to q121 (new query, first
+    # driver evidence); it rotates with the r5-cohort remainder next round
 ]
 
 
@@ -2604,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_weighted_sample_global": q118_weighted_sample_global,
         "q119_sessionize_kernel": q119_sessionize_kernel,
         "q120_global_quantiles": q120_global_quantiles,
+        "q121_sessionize_batch": q121_sessionize_batch,
     })
 
 
@@ -4097,6 +4112,9 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events
         FROM sessions GROUP BY user_id, ctr
     """
+    # q121 = the production batch sessionizer: same semantics as the
+    # kernel, independent implementation — it shares q119's replica
+    out["q121_sessionize_batch"] = out["q119_sessionize_kernel"]
     out["q104_dedup_keep_best"] = f"""
         WITH RECURSIVE docs AS (
             SELECT doc_id, {_hashed_shingles_sql('text')} AS sh,

@@ -220,7 +220,11 @@ def sessionize_stream(
     Batch: the same kernel runs via ``applyInPandas`` (a batch DataFrame has
     no state store) with a no-state shim — identical outputs, so the batch
     analogue (q25's lag+running-sum, keyed on min-ts-per-session) oracles
-    the streaming kernel.
+    the streaming kernel. The shim materializes one user's WHOLE history
+    as a pandas group, which is exactly what makes it the right parity
+    vehicle and the wrong production batch path — for large batch inputs
+    use `sessionize_batch` (the window formulation: identical output,
+    sort-spills instead of buffering the group).
     """
     from functools import partial
 
@@ -244,6 +248,41 @@ def sessionize_stream(
 
     return events.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandas(
         lambda key, pdf: _batch_fn(key, pdf), schema=_SESSION_OUTPUT_SCHEMA
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Batch sessionization with `sessionize_stream`'s OUTPUT CONTRACT
+    ((user_id, session_id=start epoch µs, n_events)) in the
+    spill-friendly window formulation: lag + running sum per user, then
+    min-start per (user, session-counter). A window sort SPILLS a huge
+    user to disk; the kernel's batch shim instead materializes the whole
+    user as one in-memory pandas group — fine for parity tests, not for
+    a dominant-key production batch. Bit-identical to the kernel shim on
+    any input (events in a batch sort globally per user, so the kernel's
+    max-horizon gap logic reduces to plain lag gaps — asserted in
+    tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        us - F.lag(us).over(w) > gap_seconds * 1_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    ctr = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withColumn("__ctr", ctr)
+        .groupBy("user_id", "__ctr")
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("session_id"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_id", "n_events")
     )
 
 

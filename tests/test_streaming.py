@@ -597,3 +597,40 @@ def test_sessionize_out_of_order_event_does_not_rewind_horizon(spark, tmp_path):
         final[r["session_id"]] = max(final.get(r["session_id"], 0), r["n_events"])
     assert len(final) == 1, f"horizon rewind split the session: {final}"
     assert list(final.values()) == [3]
+
+
+def test_sessionize_batch_matches_kernel_shim(spark):
+    """r07: the spill-friendly window formulation must be bit-identical
+    to the kernel's batch shim (same start-time session keys, same
+    counts) on random multi-user event data with duplicate timestamps."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+    from quackosm_spark.streaming import sessionize_batch
+
+    random.seed(13)
+    base = datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    for uid in range(8):
+        t = base
+        for _ in range(random.randint(1, 60)):
+            t = t + timedelta(seconds=random.choice([5, 30, 1800, 1801, 7200]))
+            rows.append(Row(event_id=eid, user_id=uid, ts=t,
+                            event_type="e", value=1.0))
+            eid += 1
+            if random.random() < 0.2:  # duplicate timestamp, distinct event
+                rows.append(Row(event_id=eid, user_id=uid, ts=t,
+                                event_type="e", value=1.0))
+                eid += 1
+    ev = spark.createDataFrame(rows)
+    kernel = {
+        (r.user_id, r.session_id): r.n_events
+        for r in sessionize_stream(ev, 1800).collect()
+    }
+    window = {
+        (r.user_id, r.session_id): r.n_events
+        for r in sessionize_batch(ev, 1800).collect()
+    }
+    assert window == kernel
