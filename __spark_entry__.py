@@ -2325,6 +2325,18 @@ def q121_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(_events(spark, sf_dir), 1800)
 
 
+def q122_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (mix.split_assign):
+    md5-bucket interval membership, a pure scan-stage Column — rerun- and
+    engine-stable, which is what keeps eval sets uncontaminated across
+    corpus re-snapshots. Row-level oracle (every doc's split must
+    match)."""
+    from quackosm_spark.operators.mix import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "split")
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2478,15 +2490,17 @@ _DRIVER_PRIORITY = [
     "q75_interleave_sources", "q117_hybrid_mapped", "q105_hybrid_rrf",
     "q119_sessionize_kernel", "q107_stream_neardup_kernel",
     "q25_sessionize", "q120_global_quantiles", "q121_sessionize_batch",
+    "q122_split_assign",
     # (c) fill: oldest of the r5 window (complex kernels first); the
     # remainder of the r5 cohort rotates in next round
     "q01_pricing_summary", "q100_union_courtyards", "q84_relation_union",
     "q99_relation_spike_repair", "q103_bpe_learned_merges",
     "q104_dedup_keep_best", "q73_pq_fullshortlist",
     "q76_bloom_decontamination", "q72_pagerank", "q53_semantic_dedup",
-    "q63_verified_neardup", "q37_neardup_clusters",
-    # q47_budget_mixture yields its slot to q121 (new query, first
-    # driver evidence); it rotates with the r5-cohort remainder next round
+    "q63_verified_neardup",
+    # q37_neardup_clusters / q47_budget_mixture yield their slots to
+    # q121/q122 (new queries need first driver evidence); both are
+    # r5-green and rotate with the r5-cohort remainder next round
 ]
 
 
@@ -2619,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_sessionize_kernel": q119_sessionize_kernel,
         "q120_global_quantiles": q120_global_quantiles,
         "q121_sessionize_batch": q121_sessionize_batch,
+        "q122_split_assign": q122_split_assign,
     })
 
 
@@ -4087,6 +4102,15 @@ def oracle_sql() -> dict[str, str]:
     """
     # q119: rebuild sessions with the lag+cumsum analog, key each by its
     # start time in epoch microseconds (the kernel's session_id).
+    out["q122_split_assign"] = f"""
+        SELECT doc_id,
+               CASE WHEN b < {int(0.98 * 65536)} THEN 'train'
+                    WHEN b < {int(0.99 * 65536)} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS b
+              FROM documents)
+    """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,
                round(quantile_cont(value, 0.5), 6) AS p50,

@@ -87,6 +87,48 @@ def deterministic_sample(
     return docs.where(_hash_bucket(F.col(id_col)) < threshold)
 
 
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — APPENDS
+    ``split_col`` naming the split whose cumulative weight interval
+    contains the row's 16-bit md5 bucket. Weights must sum to ≤ 1.0
+    (any remainder falls into the LAST split, so the default
+    {train: .98, val: .01, test: .01} is exactly exhaustive; intervals
+    are assigned in the dict's insertion order).
+
+    Like `deterministic_sample`, the assignment is a pure function of
+    (id, salt): re-runs, retries, engine changes, and corpus growth all
+    keep every existing row's split stable — the property that stops
+    eval-set contamination when a corpus is re-snapshotted. ``salt``
+    derives independent re-splits from the same ids. Pure Column
+    expression → scan-stage, zero shuffles at any scale.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("split_assign: weights must be non-empty")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split_assign: weights sum to {total} > 1.0")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("bigint")
+    names = list(weights)
+    expr = F.lit(names[-1])  # remainder → last split (exhaustive)
+    cum = 0.0
+    cutoffs = []
+    for name in names[:-1]:
+        cum += weights[name]
+        cutoffs.append((name, int(cum * 65536)))
+    for name, cutoff in reversed(cutoffs):
+        expr = F.when(bucket < F.lit(cutoff), F.lit(name)).otherwise(expr)
+    return docs.withColumn(split_col, expr)
+
+
 def budget_sample(
     docs: DataFrame,
     budgets: dict[str, int],

@@ -1118,3 +1118,35 @@ def test_strict_decode_malformed_uncompressed_falls_through(spark):
                 _tiny_bmp()[:30]):               # truncated BMP header
         with _pytest.raises(NotImplementedError):
             _decode_stub(bad, strict=True)
+
+
+def test_split_assign_exhaustive_stable_and_salted(spark):
+    """r07: every row gets exactly one split; default weights are exactly
+    exhaustive (remainder→last); assignment is a pure function of
+    (id, salt) — identical across re-runs, different under a new salt;
+    proportions land near the weights."""
+    from quackosm_spark.operators.mix import split_assign
+
+    docs = spark.range(20000).select(F.col("id").alias("doc_id"))
+    out = split_assign(docs)
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 20000
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert abs(c["train"] / 20000 - 0.98) < 0.01
+    assert c["val"] > 0 and c["test"] > 0
+    # stability: a second run assigns identically
+    again = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    assert again == got
+    # an independent salt produces a different (but valid) assignment
+    salted = {r.doc_id: r.split for r in split_assign(docs, salt="v2").collect()}
+    assert salted != got
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_assign(docs, weights={})
+    with _pytest.raises(ValueError):
+        split_assign(docs, weights={"a": 0.9, "b": 0.2})

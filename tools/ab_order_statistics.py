@@ -68,6 +68,25 @@ def _texts_skewed(spark, n):
 
 
 def run(op, variant, n, spark):
+    if op == "sessionize":
+        # 90% of events on ONE user: 'old' = the kernel's applyInPandas
+        # batch shim (whole user in one pandas group), 'new' = the window
+        # formulation (sort-spills). Identical outputs by contract.
+        from quackosm_spark.streaming import sessionize_batch, sessionize_stream
+
+        ev = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 50).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * 400_000_000
+            ).alias("ts"),
+        )
+        out = sessionize_batch(ev, 1800) if variant == "new" else sessionize_stream(ev, 1800)
+        chk = out.agg(
+            F.count(F.lit(1)).alias("c1"), F.sum("n_events").alias("c2")
+        ).collect()[0]
+        return [int(chk["c1"]), int(chk["c2"])]
+
     if op == "interleave":
         from quackosm_spark.operators.mix import interleave_sources
 
