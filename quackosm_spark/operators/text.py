@@ -262,12 +262,21 @@ def unigram_logprob(
     broadcast is an executor OOM AQE cannot undo — AQE localizes the join
     only when the runtime vocab size actually fits. The corpus total
     rides along as a 1-row broadcast computed in the SAME plan (no
-    separate driver action).
+    separate driver action). The compact per-doc token ARRAY is PERSISTED
+    before exploding (r07): the token rows feed two different exchanges
+    (vocab aggregate, score probe) that Spark cannot deduplicate — the
+    cache keeps the tokenizer to one corpus pass.
     """
-    words = docs.select(
+    from pyspark import StorageLevel
+
+    doc_words = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
-    ).where(F.col("w") != "")
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("__ws"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    words = doc_words.select("doc_id", F.explode("__ws").alias("w"))
     vocab = words.groupBy("w").agg(F.count("*").cast("double").alias("cnt"))
     total_df = vocab.agg(F.sum("cnt").alias("_total"))
     return (
@@ -336,10 +345,22 @@ def novelty_score(
     Two hash aggregations on the gram key (doc-distinct grams → corpus
     document frequencies → per-doc share), both map-side combinable.
     Returns (doc_id, n_grams, novelty); docs with no n-grams emit no row.
+
+    The compact per-doc gram ARRAY is PERSISTED before exploding: the
+    gram rows feed two different exchanges (the df aggregate and the
+    join probe), which Spark cannot deduplicate as a ReusedExchange —
+    without the cache the tokenizing regex re-runs over the corpus.
+    Caching the arrays (docs-sized, not exploded-gram-sized) keeps the
+    cache small while both explodes stay cheap JVM ops.
     """
-    grams = docs.select(
+    from pyspark import StorageLevel
+
+    doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"),
+        word_ngrams(F.col(text_col), n).alias("__grams"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = doc_grams.select(
+        "doc_id", F.explode("__grams").alias("ngram")
     )
     df_counts = grams.groupBy("ngram").agg(F.count("*").alias("df"))
     return (
@@ -635,14 +656,22 @@ def bigram_logprob(
     branch folded into the SAME plan as a broadcast — no separate driver
     action.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
+
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "",
     )
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).where(
-        F.size("toks") >= 2
+    # compact per-doc token arrays, PERSISTED (r07): this frame feeds the
+    # bigram stream twice (pair-count aggregate + score probe, different
+    # exchanges) and the vocabulary count — one tokenizer pass, not three.
+    # Vocabulary counts tokens of ALL docs (incl. <2-token docs), so the
+    # size filter applies after the cache, not before.
+    d0 = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    d = d0.where(F.size("toks") >= 2)
     bigrams = d.select(
         "doc_id",
         F.explode(
@@ -662,14 +691,7 @@ def bigram_logprob(
         "c_a", F.sum("c_ab").over(Window.partitionBy("a"))
     )
     vocab_df = (
-        docs.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda t: t != "",
-                )
-            ).alias("w")
-        )
+        d0.select(F.explode("toks").alias("w"))
         .agg(F.countDistinct("w").cast("double").alias("_v"))
     )
     return (
@@ -762,17 +784,22 @@ def oov_rate(
     Scale shape: vocabulary = one count shuffle + a driver-free top-K
     (orderBy+limit on the tiny aggregated table); scoring = explode +
     broadcast left-join + per-doc aggregate. The vocab table is K rows by
-    construction, so the broadcast never grows with the corpus.
+    construction, so the broadcast never grows with the corpus. The
+    compact per-doc token ARRAY is PERSISTED before exploding — the token
+    rows feed two different exchanges (vocab aggregate, scoring probe),
+    which Spark cannot deduplicate, so without the cache the tokenizer
+    re-runs over the corpus (same fix as `novelty_score`).
     """
-    words = docs.select(
+    from pyspark import StorageLevel
+
+    doc_words = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("w"),
-    )
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("__ws"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    words = doc_words.select("doc_id", F.explode("__ws").alias("w"))
     vocab = (
         words.groupBy("w")
         .agg(F.count("*").alias("cnt"))

@@ -68,6 +68,38 @@ def _texts_skewed(spark, n):
 
 
 def run(op, variant, n, spark):
+    if op == "novelty":
+        # 'old' = unpersisted exploded grams feeding two exchanges (the
+        # tokenizing regex runs twice); 'new' = the compact per-doc-array
+        # persist in text.novelty_score
+        from quackosm_spark.operators.text import novelty_score, word_ngrams
+
+        d = _texts_skewed(spark, n).select("doc_id", "text")
+        if variant == "new":
+            out = novelty_score(d)
+        else:
+            grams = d.select(
+                F.col("doc_id"),
+                F.explode(word_ngrams(F.col("text"), 3)).alias("ngram"),
+            )
+            dfc = grams.groupBy("ngram").agg(F.count("*").alias("df"))
+            out = (
+                grams.join(dfc, "ngram")
+                .groupBy("doc_id")
+                .agg(
+                    F.count("*").alias("n_grams"),
+                    F.round(
+                        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                        / F.count("*"),
+                        6,
+                    ).alias("novelty"),
+                )
+            )
+        chk = out.agg(
+            F.count(F.lit(1)).alias("c1"), F.round(F.sum("novelty"), 2).alias("c2")
+        ).collect()[0]
+        return [int(chk["c1"]), float(chk["c2"])]
+
     if op == "sessionize":
         # 90% of events on ONE user: 'old' = the kernel's applyInPandas
         # batch shim (whole user in one pandas group), 'new' = the window
