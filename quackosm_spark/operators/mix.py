@@ -435,14 +435,22 @@ def curriculum_order(
     stage 0 = the top quality band (trained first); ``order_key`` is an
     md5-derived 32-bit value of (salt, id) so reshuffling the corpus
     cannot change the curriculum. Cutpoints are ONE tiny aggregate
-    (stages − 1 scalars). Returns (id, quality, stage, order_key)."""
+    (stages − 1 scalars). Returns (id, quality, stage, order_key).
+
+    The scored frame (2 compact columns) is PERSISTED before the
+    cutpoint aggregate so the 3-regex quality score runs over the corpus
+    once, not once for the cutpoints and again for the returned
+    projection (the `logprob_band_filter` pattern); evicted LRU or via
+    ``spark.catalog.clearCache()``."""
+    from pyspark import StorageLevel
+
     from quackosm_spark.operators.text import quality_score
 
     if stages < 2:
         raise ValueError("curriculum_order: need at least 2 stages")
     scored = docs.select(
         F.col(id_col).alias("doc_id"), quality_score(text_col).alias("quality")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cuts = list(
         scored.agg(
             *[

@@ -418,15 +418,28 @@ def repeated_spans(
     keyed identically, so AQE plans a single co-partitioned exchange pair.
     A hot gram (boilerplate) concentrates COUNTS, not pairs: unlike the
     pair-join dedups, output is linear in corpus positions, so there is no
-    quadratic blowup to guard against.
+    quadratic blowup to guard against. The per-doc (pos, gram-hash) array
+    is PERSISTED before exploding (r07): the position rows feed the count
+    aggregate and the probe join through different exchanges Spark cannot
+    deduplicate — hashing into the compact array first means the
+    tokenize+hash pass runs once and the cache carries 64-bit hashes, not
+    gram strings.
     """
-    pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(positional_ngrams(F.col(text_col), n)).alias("pg"),
-    ).select(
+    from pyspark import StorageLevel
+
+    hashed = F.transform(
+        positional_ngrams(F.col(text_col), n),
+        lambda s: F.struct(
+            s["pos"].alias("pos"), F.xxhash64(s["gram"]).alias("gh")
+        ),
+    )
+    dpos = docs.select(
+        F.col(id_col).alias("doc_id"), hashed.alias("__pg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pos = dpos.select("doc_id", F.explode("__pg").alias("pg")).select(
         "doc_id",
         F.col("pg.pos").alias("pos"),
-        F.xxhash64(F.col("pg.gram")).alias("gh"),
+        F.col("pg.gh").alias("gh"),
     )
     counts = pos.groupBy("gh").agg(F.count("*").alias("n_occurrences"))
     return (
@@ -1052,22 +1065,33 @@ def dsir_logweights(
     Hash is md5-derived so the DuckDB oracle reproduces weights exactly.
     Returns (id, n_tokens, logweight); empty docs emit no row. Raises
     ValueError when ``target_source`` matches nothing (a typo'd source
-    must not read as an empty report)."""
-    w = docs.select(
+    must not read as an empty report).
+
+    The compact per-doc bucket ARRAY is PERSISTED before exploding (r07):
+    the bucket rows feed two histogram aggregates, two scalar-total
+    actions, and the per-doc score probe — five consumers Spark cannot
+    deduplicate; the cache keeps tokenize+md5 to one corpus pass and
+    carries bigint buckets, not word strings."""
+    from pyspark import StorageLevel
+
+    to_bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+    d_buckets = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
-        F.explode(
+        F.transform(
             F.filter(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                 lambda t: t != F.lit(""),
-            )
-        ).alias("w"),
+            ),
+            to_bucket,
+        ).alias("__bs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed = d_buckets.select(
+        "doc_id", "source", F.explode("__bs").alias("bucket")
     )
-    bucketed = w.withColumn(
-        "bucket",
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
-        .cast("bigint") % buckets,
-    ).select("doc_id", "source", "bucket")
     raw = bucketed.groupBy("bucket").agg(F.count("*").alias("cnt_r"))
     tgt = (
         bucketed.where(F.col("source") == target_source)
