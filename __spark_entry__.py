@@ -2472,35 +2472,32 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q15, q16, q26–q28, q30, q34–q36, q46, q48, q50 — they lead r7's window
 # (q46/q48 yielded their r6 slots to q118/q119).
 _DRIVER_PRIORITY = [
-    # (a) last driver row is r3 — three rounds driver-stale (VERDICT r6
-    # "Next round" #4): every one of these 24 leads the r7 window
-    "q02_semi_join", "q03_anti_join", "q04_ref_validity",
-    "q05_ordered_collect", "q06_window_dedup", "q07_window_rank",
-    "q08_union_distinct", "q09_bool_agg", "q10_map_tags_filter",
-    "q11_distinct_tokens", "q12_bbox_filter", "q13_strip_metadata",
-    "q15_pip_triangle", "q16_exact_dedup", "q26_topk_orders",
-    "q27_simhash", "q28_lsh_ann", "q30_relation_validity",
-    "q34_stream_windowed_counts", "q35_ann_topk_vectorized",
-    "q36_boilerplate_ngrams", "q46_interval_join", "q48_salted_join",
-    "q50_bm25_search",
-    # (b) kernels changed in r7 (bucketed exact-order-statistic family +
-    # advisory fixes) — need fresh driver evidence on the new code
-    "q60_quality_deciles", "q82_winsorize", "q45_event_quantiles",
-    "q106_logprob_band", "q115_quality_auc", "q32_ivf_ann",
-    "q75_interleave_sources", "q117_hybrid_mapped", "q105_hybrid_rrf",
-    "q119_sessionize_kernel", "q107_stream_neardup_kernel",
-    "q25_sessionize", "q120_global_quantiles", "q121_sessionize_batch",
-    "q122_split_assign",
-    # (c) fill: oldest of the r5 window (complex kernels first); the
-    # remainder of the r5 cohort rotates in next round
-    "q01_pricing_summary", "q100_union_courtyards", "q84_relation_union",
-    "q99_relation_spike_repair", "q103_bpe_learned_merges",
-    "q104_dedup_keep_best", "q73_pq_fullshortlist",
-    "q76_bloom_decontamination", "q72_pagerank", "q53_semantic_dedup",
-    "q63_verified_neardup",
-    # q37_neardup_clusters / q47_budget_mixture yield their slots to
-    # q121/q122 (new queries need first driver evidence); both are
-    # r5-green and rotate with the r5-cohort remainder next round
+    # r8 rotation (VERDICT r7 "Next round" #4): (a) the 31 queries whose
+    # last driver row is r5 — stalest first, every one leads this window
+    "q14_way_assembly", "q17_ngram_jaccard", "q18_minhash_lsh",
+    "q20_ann_topk", "q29_langid_quality_join", "q31_media_stats",
+    "q33_drop_exact_duplicates", "q37_neardup_clusters",
+    "q42_decontamination", "q44_asof_previous_event", "q47_budget_mixture",
+    "q51_rollup_stats", "q52_segment_dedup", "q56_edit_distance_pairs",
+    "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
+    "q69_weighted_sample", "q71_funnel", "q74_profile_table",
+    "q77_session_window", "q78_geohash_cells", "q86_repeated_spans",
+    "q101_gopher_rules", "q102_dsir_weights", "q109_contamination_report",
+    "q110_curriculum_order", "q112_ridge_normal_eq", "q113_feature_corr",
+    "q114_groupwise_trend", "q116_calibration",
+    # (b) kernels changed in r8: the re-fixed quantile family (the r7
+    # __n/__N case-collision reds — __tot rename), the quality_deciles
+    # defensive rename, the unigram-LM cache refactor, and the
+    # hybrid-search mapping validation
+    "q45_event_quantiles", "q82_winsorize", "q120_global_quantiles",
+    "q60_quality_deciles", "q43_unigram_logprob", "q106_logprob_band",
+    "q117_hybrid_mapped", "q105_hybrid_rrf",
+    # (c) fill to 50: oldest of the r6 window; the remainder of the r6
+    # cohort rotates in next round
+    "q19_embedding_neardup", "q21_text_analysis", "q22_langid",
+    "q23_fingerprint", "q24_events_window", "q38_pii_scan",
+    "q39_repetition_ratio", "q40_pack_sequences",
+    "q41_deterministic_sample", "q49_ivf_fullprobe", "q54_event_deltas",
 ]
 
 

@@ -101,7 +101,7 @@ def exact_group_quantiles(
         F.max(F.when(notnan, F.col("__val"))).alias("__mx"),
         F.sum(
             F.when(F.col("__val").isNotNull(), F.col("__n")).otherwise(F.lit(0))
-        ).alias("__N"),
+        ).alias("__tot"),
     )
 
     gg = _attach(g.where(F.col("__val").isNotNull()), stats, groups)
@@ -150,11 +150,15 @@ def exact_group_quantiles(
     )
 
     # per quantile: the two order statistics framing position (N−1)·q.
-    # __N rides on every ranked row (from the stats join), so the target
+    # __tot rides on every ranked row (from the stats join), so the target
     # ranks are plain Column arithmetic inside the conditional aggregate.
+    # (Internal names must differ by MORE than case: the operator surface
+    # must analyze under Spark's default spark.sql.caseSensitive=false,
+    # where a `__n`/`__N` pair is an AMBIGUOUS_REFERENCE — the round-7
+    # driver regression. tests/test_default_session.py guards this.)
     aggs = []
     for j, q in enumerate(quantiles):
-        pos = (F.col("__N") - F.lit(1)) * F.lit(float(q))
+        pos = (F.col("__tot") - F.lit(1)) * F.lit(float(q))
         for tag, rank in (("lo", F.floor(pos) + 1), ("hi", F.ceil(pos) + 1)):
             aggs.append(
                 F.max(
@@ -172,11 +176,11 @@ def exact_group_quantiles(
     out = _attach(stats, got, groups, "left")
     final = []
     for j, q in enumerate(quantiles):
-        pos = (F.col("__N") - F.lit(1)) * F.lit(float(q))
+        pos = (F.col("__tot") - F.lit(1)) * F.lit(float(q))
         lo, hi = F.floor(pos), F.ceil(pos)
         vlo, vhi = F.col(f"__vlo_{j}"), F.col(f"__vhi_{j}")
         val = (
-            F.when(F.col("__N") == 0, F.lit(None).cast("double"))
+            F.when(F.col("__tot") == 0, F.lit(None).cast("double"))
             .when(lo == hi, vlo)
             .otherwise(
                 (hi.cast("double") - pos) * vlo + (pos - lo.cast("double")) * vhi

@@ -252,13 +252,17 @@ def hybrid_search(
     candidate list is translated into the document id space before
     fusion. Without it, vec_id ≡ doc_id is assumed. The translation
     join BROADCASTS the k-row candidate list into the (corpus-sized)
-    mapping, never the reverse. The mapping must be TOTAL over the
-    candidate vec_ids (a dense candidate with no mapping row cannot be
-    fused and is dropped from the dense list) and is de-duplicated on
-    vec_id before the join — duplicate mapping rows would otherwise fan
-    one candidate into several equal-rank RRF contributions, silently
-    inflating rrf_score/n_lists. Each ranker is its own map-side corpus
-    pass; the fusion is candidate-list-sized."""
+    mapping, never the reverse. The mapping must be TOTAL and UNIQUE
+    over the candidate vec_ids, and both contract violations raise
+    ``ValueError`` LOUDLY (r08, ADVICE): a duplicate vec_id would fan
+    one candidate into several equal-rank RRF contributions (and any
+    keep-one policy picks an arbitrary doc_id), while a candidate with
+    no mapping row would silently vanish from the dense list — both
+    previously failed silently. Validation costs nothing extra: the
+    translated candidate list is ≤k×(dups) rows by construction, so it
+    is checked on the driver from the same single mapping-scan join
+    that performs the translation. Each ranker is its own map-side
+    corpus pass; the fusion is candidate-list-sized."""
     from quackosm_spark.operators.similarity import brute_force_topk
 
     bm25 = with_rank(
@@ -274,11 +278,35 @@ def hybrid_search(
         query_id=vec_id,
     ).select("match_id", "rank")
     if mapping is not None:
-        m = mapping.select(
-            F.col(vec_id).alias("match_id"), F.col(id_col)
-        ).dropDuplicates(["match_id"])
-        ann = m.join(F.broadcast(ann), "match_id").select(
-            F.col(id_col), "rank"
+        m = mapping.select(F.col(vec_id).alias("match_id"), F.col(id_col))
+        # one embeddings scan: the k-row candidate list collects here and
+        # re-enters as a literal frame, so the validation join below is
+        # the ONLY pass over the corpus-sized mapping
+        cand = ann.collect()
+        spark = docs.sparkSession
+        cand_df = spark.createDataFrame(cand, ann.schema)
+        joined = m.join(F.broadcast(cand_df), "match_id").collect()
+        seen: dict = {}
+        for r in joined:
+            if r["match_id"] in seen:
+                raise ValueError(
+                    "hybrid_search: mapping has duplicate rows for vec_id "
+                    f"{r['match_id']!r} — candidate translation is "
+                    "ambiguous; de-duplicate the mapping upstream"
+                )
+            seen[r["match_id"]] = r
+        missing = [r["match_id"] for r in cand if r["match_id"] not in seen]
+        if missing:
+            raise ValueError(
+                f"hybrid_search: mapping is not total — {len(missing)} dense "
+                f"candidate vec_id(s) have no mapping row (e.g. "
+                f"{missing[:5]!r}); they would be silently dropped from fusion"
+            )
+        from pyspark.sql.types import StructType
+
+        out_schema = StructType([m.schema[id_col], ann.schema["rank"]])
+        ann = spark.createDataFrame(
+            [(r[id_col], r["rank"]) for r in joined], out_schema
         )
     else:
         ann = ann.select(F.col("match_id").alias(id_col), "rank")

@@ -95,13 +95,13 @@ def quality_deciles(
         group_col,
         "_bkt",
         F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__bn").over(Window.partitionBy(group_col)).alias("__N"),
+        F.sum("__bn").over(Window.partitionBy(group_col)).alias("__tot"),
     )
     w_rn = Window.partitionBy(group_col, "_bkt").orderBy("quality", id_col)
     ranked = _nsjoin(d, offsets, [group_col, "_bkt"]).withColumn(
         "rn", F.col("__off") + F.row_number().over(w_rn)
     )
-    rn, N = F.col("rn"), F.col("__N")
+    rn, N = F.col("rn"), F.col("__tot")
     b = F.lit(buckets)
     # ntile(b) closed form: base = N div b rows per tile, the first
     # N mod b tiles take one extra. The otherwise-branch denominator is

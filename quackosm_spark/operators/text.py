@@ -265,8 +265,24 @@ def unigram_logprob(
     separate driver action). The compact per-doc token ARRAY is PERSISTED
     before exploding (r07): the token rows feed two different exchanges
     (vocab aggregate, score probe) that Spark cannot deduplicate — the
-    cache keeps the tokenizer to one corpus pass.
+    cache keeps the tokenizer to one corpus pass. Cache lifecycle is
+    caller-owned (see README "Cache lifecycle"); callers that persist
+    the RESULT and run their own action can release the token cache via
+    ``_unigram_logprob_cached`` instead (``logprob_band_filter`` does).
     """
+    scored, _cache = _unigram_logprob_cached(docs, id_col, text_col)
+    return scored
+
+
+def _unigram_logprob_cached(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """`unigram_logprob` plus a handle to its internal token-array cache,
+    so operators that materialize the scored frame themselves (e.g.
+    ``logprob_band_filter``'s cutoff aggregate) can ``unpersist()`` the
+    inner cache and leave at most ONE cached frame per call."""
     from pyspark import StorageLevel
 
     doc_words = docs.select(
@@ -279,7 +295,7 @@ def unigram_logprob(
     words = doc_words.select("doc_id", F.explode("__ws").alias("w"))
     vocab = words.groupBy("w").agg(F.count("*").cast("double").alias("cnt"))
     total_df = vocab.agg(F.sum("cnt").alias("_total"))
-    return (
+    scored = (
         words.join(vocab, "w")
         .join(F.broadcast(total_df))
         .groupBy("doc_id")
@@ -289,6 +305,7 @@ def unigram_logprob(
             )
         )
     )
+    return scored, doc_words
 
 
 def chunk_documents(
@@ -1237,17 +1254,22 @@ def logprob_band_filter(
     table. The scored frame (2 small columns per doc) is PERSISTED before
     the cutoff aggregate so the unigram-LM lineage executes once, not
     once for the cutoffs and again for the returned projection; it stays
-    cached for the caller's action and is evicted LRU (or explicitly via
-    ``spark.catalog.clearCache()``)."""
+    cached for the caller's action (README "Cache lifecycle"). The
+    unigram LM's INNER token-array cache is released here: the cutoff
+    aggregate fully materializes ``scored``, after which the returned
+    projection reads the scored cache and never re-touches the token
+    arrays — ≤1 cached frame survives the call."""
     from pyspark import StorageLevel
 
-    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    scored, token_cache = _unigram_logprob_cached(
+        docs, id_col=id_col, text_col=text_col
     )
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     lo, hi = scored.agg(
         F.percentile("avg_logprob", lower_q),
         F.percentile("avg_logprob", upper_q),
     ).collect()[0]
+    token_cache.unpersist()
     return scored.select(
         F.col("doc_id").alias(id_col),
         "avg_logprob",

@@ -176,7 +176,11 @@ def _sessionize_group(
         # timeout below would register at a stale last+gap and could evict
         # state while the session is still live, breaking the lossless-
         # eviction argument (watermark-admitted ts > TRUE max + gap is the
-        # property that makes re-anchoring safe)
+        # property that makes re-anchoring safe).
+        # start_us is likewise never rewound (first-seen-start key): in
+        # update mode a re-key would strand the session's earlier emission
+        # under the old session_id — see sessionize_stream's docstring for
+        # the contract and its bounded batch divergence.
         last_ts_us = max(last_ts_us, int(t)) if last_ts_us is not None else int(t)
         touched[start_us] = n_events
 
@@ -217,10 +221,31 @@ def sessionize_stream(
     stream). Re-anchoring after expiry is lossless: the watermark already
     guarantees any admissible event starts a new session.
 
+    **Session-key semantics under late data (explicit streaming-vs-batch
+    divergence, r08):** ``session_id`` is the FIRST-SEEN start — the
+    earliest event time known when the session opened. A watermark-
+    admitted out-of-order event that extends the open session BACKWARD
+    (ts earlier than the current start) joins the session and bumps its
+    count but does NOT rewind ``session_id``; a batch pass over the same
+    data (``sessionize_batch`` / the q25 oracle) keys that session at its
+    true min-ts instead. This is deliberate: the output is consumed in
+    UPDATE mode as upserts keyed by (user_id, session_id), and re-keying
+    an already-emitted session would strand the earlier emission as an
+    uncorrectable phantom row under the old key (update mode has no
+    retraction) — a self-inconsistent stream is strictly worse than a
+    bounded, documented batch divergence. The divergence is bounded by
+    the watermark delay (only events the watermark admits can backfill),
+    hits only sessions whose first-arriving event was not their earliest,
+    and affects the KEY, never the membership or count.
+    ``tests/test_streaming.py::
+    test_sessionize_backward_extension_keeps_first_seen_key`` locks it.
+
     Batch: the same kernel runs via ``applyInPandas`` (a batch DataFrame has
-    no state store) with a no-state shim — identical outputs, so the batch
-    analogue (q25's lag+running-sum, keyed on min-ts-per-session) oracles
-    the streaming kernel. The shim materializes one user's WHOLE history
+    no state store) with a no-state shim — identical outputs ON SORTED
+    INPUT (one batch sorts each user's whole history, so first-seen ==
+    min-ts and the divergence above vanishes; that is what makes the
+    batch analogue — q25's lag+running-sum keyed on min-ts-per-session —
+    a valid oracle for the kernel). The shim materializes one user's WHOLE history
     as a pandas group, which is exactly what makes it the right parity
     vehicle and the wrong production batch path — for large batch inputs
     use `sessionize_batch` (the window formulation: identical output,

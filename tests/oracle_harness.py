@@ -38,11 +38,46 @@ def normalize(value):
     return str(value)
 
 
-def run(sf_dir: str, only: list[str] | None = None) -> bool:
-    import __spark_entry__ as entrymod
-    from quackosm_spark.session import get_spark
+def _stock_spark():
+    """A DRIVER-SHAPED session: ``SparkSession.builder`` with Spark's
+    default SQL semantics (caseSensitive=false, ANSI default, no AQE
+    overrides) — the environment the correctness driver runs queries in.
+    Only capacity/speed knobs (master, shuffle partitions, UI, driver
+    memory) are set; nothing that changes name resolution or semantics.
+    The round-7 `__n`/`__N` AMBIGUOUS_REFERENCE break passed every
+    repo-session gate and died here — this leg exists so that class of
+    session-config-dependent bug turns red locally first."""
+    import os
 
-    spark = get_spark(shuffle_partitions=8)
+    from pyspark.sql import SparkSession
+
+    pkg_parent = str(Path(__file__).resolve().parent.parent)
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+    return (
+        SparkSession.builder.appName("oracle-harness-default-session")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
+def run(
+    sf_dir: str, only: list[str] | None = None, default_session: bool = False
+) -> bool:
+    import __spark_entry__ as entrymod
+
+    if default_session:
+        spark = _stock_spark()
+    else:
+        from quackosm_spark.session import get_spark
+
+        spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -105,7 +140,9 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    ok = run(sf, only)
+    argv = [a for a in sys.argv[1:] if a != "--default-session"]
+    default_session = "--default-session" in sys.argv[1:]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    only = argv[1].split(",") if len(argv) > 1 else None
+    ok = run(sf, only, default_session=default_session)
     sys.exit(0 if ok else 1)

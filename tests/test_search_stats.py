@@ -364,6 +364,35 @@ def test_hybrid_search_mapping_joins_disjoint_id_spaces(spark):
     )
 
 
+def test_hybrid_search_mapping_contract_violations_raise(spark):
+    """r08 (ADVICE r07): a duplicate mapping row for a candidate vec_id or
+    a candidate with NO mapping row must raise, not silently pick an
+    arbitrary doc_id / drop the candidate from fusion."""
+    import pytest
+    from pyspark.sql import functions as F
+    from quackosm_spark.operators.search import hybrid_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 50000)
+    good = emb.select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.col("vec_id").alias("doc_id"),
+    )
+
+    # duplicate: every mapping row twice -> ambiguous translation
+    dup = good.unionAll(good)
+    with pytest.raises(ValueError, match="duplicate"):
+        hybrid_search(docs, shifted, ["spark", "window"],
+                      query_vec_id=50003, k_candidates=5, mapping=dup)
+
+    # partial: drop half the id space -> some candidate has no row
+    partial = good.where(F.col("doc_id") % 2 == 0)
+    with pytest.raises(ValueError, match="not total"):
+        hybrid_search(docs, shifted, ["spark", "window"],
+                      query_vec_id=50002, k_candidates=20, mapping=partial)
+
+
 def test_logprob_band_filter_band_membership(spark):
     from quackosm_spark.operators.text import logprob_band_filter
 

@@ -599,6 +599,52 @@ def test_sessionize_out_of_order_event_does_not_rewind_horizon(spark, tmp_path):
     assert list(final.values()) == [3]
 
 
+def test_sessionize_backward_extension_keeps_first_seen_key(spark, tmp_path):
+    """r08 (ADVICE): a watermark-admitted event EARLIER than the open
+    session's start joins the session (membership + count) but must NOT
+    rewind session_id — the first-seen-start key is the documented
+    streaming contract: update-mode output is upserted by (user_id,
+    session_id), and re-keying would strand the session's earlier
+    emission as an uncorrectable phantom row under the old key. (A batch
+    pass keys the same session at min-ts — the bounded, documented
+    divergence in sessionize_stream's docstring.)"""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    def ev(eid, uid, ts_str):
+        return Row(
+            event_id=eid, user_id=uid,
+            ts=datetime.fromisoformat(ts_str), event_type="click", value=1.0,
+        )
+
+    base = str(tmp_path / "backext_sessions")
+    # batch 2's event is 35 min BEFORE the session's first-seen start and
+    # admitted by the watermark (still 00:00 after batch 1)
+    _timed_batches(spark, base, [
+        [ev(1, 1, "2025-01-01 01:00:00")],
+        [ev(2, 1, "2025-01-01 00:25:00")],
+    ])
+    stream = read_events_stream(spark, base + "/p*", max_files_per_trigger=1)
+    q = (
+        sessionize_stream(stream, 600)
+        .writeStream.format("memory").queryName("backext_sessions")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM backext_sessions").collect()
+    final = {}
+    for r in rows:
+        final[r["session_id"]] = max(final.get(r["session_id"], 0), r["n_events"])
+    first_seen_us = int(
+        datetime(2025, 1, 1, 1, 0, 0, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    assert final == {first_seen_us: 2}, (
+        f"expected ONE session keyed at the first-seen start "
+        f"({first_seen_us}) with both events counted; got {final}"
+    )
+
+
 def test_sessionize_batch_matches_kernel_shim(spark):
     """r07: the spill-friendly window formulation must be bit-identical
     to the kernel's batch shim (same start-time session keys, same
