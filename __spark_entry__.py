@@ -1267,12 +1267,17 @@ def q81_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q82_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization: event values clipped to the type's exact
-    [p05, p95] — percentile partial agg broadcast back, clip in the scan
-    stage."""
+    [p05, p95] — bucketed exact-quantile bounds broadcast back, clip in
+    the scan stage. The input is projected to the 3 needed columns and
+    PERSISTED (r08, winsorize(persist_input=True)): the kernel's
+    distinct-value aggregate and the clip join are two different
+    exchanges over the same child, which Spark cannot deduplicate as a
+    ReusedExchange — the cache keeps the input to ONE scan (visible in
+    the PLANS.md q82 appendix as an InMemoryRelation feeding both)."""
     from quackosm_spark.operators import stats as S
 
-    ev = _events(spark, sf_dir)
-    return S.winsorize(ev, "value", "event_type").select(
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return S.winsorize(ev, "value", "event_type", persist_input=True).select(
         "event_id", "event_type", "value", "value_w"
     )
 

@@ -44,6 +44,7 @@ def quality_deciles(
     text_col: str = "text",
     buckets: int = 10,
     id_col: str = "doc_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Per-group quality bucketing: decile (``ntile`` semantics) and exact
     ``percent_rank`` of each document's quality score WITHIN its group —
@@ -70,15 +71,25 @@ def quality_deciles(
     is three regex passes per document — without the cache the corpus is
     scored twice (measured 1.8× wall on 5M docs). The cache is 4 compact
     columns per doc, built by the first branch of the caller's action and
-    evicted LRU (or via ``spark.catalog.clearCache()``)."""
+    evicted LRU (or via ``spark.catalog.clearCache()``).
+
+    ``score_col`` (r08): rank a PRECOMPUTED per-doc score instead of the
+    built-in heuristic ``quality_score`` — e.g. a model probability or
+    any signal already materialized upstream. The column must live in
+    [0, 1] (the range-bucketing contract shared with ``quality_score``'s
+    output); ``text_col`` is ignored when set. The output column is
+    still named ``quality``."""
     from pyspark import StorageLevel
 
     from quackosm_spark.operators.quantiles import _nsjoin
     from quackosm_spark.operators.text import quality_score
 
+    score = (
+        F.col(score_col) if score_col is not None else quality_score(text_col)
+    )
     n_range = 256  # md5-style high-bits bucketing of the [0,1] score
     d = docs.select(
-        F.col(id_col), F.col(group_col), quality_score(text_col).alias("quality")
+        F.col(id_col), F.col(group_col), score.alias("quality")
     ).withColumn(
         "_bkt",
         F.least(
@@ -275,6 +286,7 @@ def winsorize(
     lower_q: float = 0.05,
     upper_q: float = 0.95,
     decimals: int = 6,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Per-group winsorization (robust-scaling clip): values clamped to the
     group's exact [lower_q, upper_q] quantiles. The outlier treatment a
@@ -287,9 +299,23 @@ def winsorize(
     group's distinct values in one merging task. The bounds table is one
     tiny row per group (broadcast back); the clip itself is a scan-stage
     Column expression. APPENDS ``{value_col}_w`` with the clipped value
-    rounded for engine portability."""
+    rounded for engine portability.
+
+    ``df`` feeds TWO passes: the kernel's distinct-value aggregate and
+    the clip join. For a parquet source that is the right plan — two
+    columnar scans, the kernel's pruned to (group, value) — but for an
+    EXPENSIVE or non-deterministic upstream (a model-scored frame, a
+    sampled projection) pass ``persist_input=True``: the input is cached
+    (project it to the needed columns first — the ``binary_auc`` shape)
+    so both passes read one materialization; bounds computed on one
+    evaluation can never clip a different one. The cache is caller-owned
+    afterwards (README "Cache lifecycle")."""
     from quackosm_spark.operators.quantiles import exact_group_quantiles
 
+    if persist_input:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     bounds = exact_group_quantiles(
         df, value_col, [group_col], [lower_q, upper_q], ["__lo", "__hi"]
     ).select(F.col(group_col).alias("__g"), "__lo", "__hi")

@@ -499,6 +499,20 @@ def test_quality_deciles_bit_equal_to_single_window_formulation(spark):
     }
     assert got == ref
 
+    # r08: score_col path — ranking a PRECOMPUTED [0,1] score must be
+    # identical to computing the same score internally (and ignores
+    # text_col entirely)
+    pre = d.select(
+        "doc_id", "lang", quality_score("text").alias("myscore")
+    )
+    got_pre = {
+        r.doc_id: (r.lang, r.quality, r.decile, r.pct_rank)
+        for r in quality_deciles(
+            pre, group_col="lang", score_col="myscore", text_col="absent"
+        ).collect()
+    }
+    assert got_pre == ref
+
 
 def test_winsorize_bit_equal_to_builtin_percentile(spark):
     """r07: the bucketed two-pass quantile bounds must match F.percentile

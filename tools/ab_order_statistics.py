@@ -218,6 +218,45 @@ def run(op, variant, n, spark):
         ).collect()[0]
         return [chk["c1"], float(chk["c2"])]
 
+    if op == "deciles_cheap":
+        # isolates the WINDOW SHAPE from the scorer: the 3-regex
+        # quality_score is map-parallel in BOTH deciles variants and
+        # dominates wall clock at 20-40M (§15: old ≈ new there), so the
+        # group-only window's serial sort hides inside the regex time.
+        # Here the score is one hash expression — the ranking machinery
+        # IS the workload, the shape the 100 TB claim is actually about.
+        from quackosm_spark.operators.stats import quality_deciles
+
+        d = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 100 < 97, F.lit("en"))
+            .otherwise(F.lit("fr"))
+            .alias("lang"),
+            F.round(
+                (F.xxhash64("id", F.lit(13)).cast("double") / F.lit(2.0**64))
+                + F.lit(0.5),
+                6,
+            ).alias("score"),
+        )
+        if variant == "new":
+            out = quality_deciles(d, group_col="lang", score_col="score")
+        else:  # group-only ntile/percent_rank window (pre-r7 shape)
+            w = Window.partitionBy("lang").orderBy(
+                F.col("score"), F.col("doc_id")
+            )
+            out = d.select(
+                "doc_id",
+                F.col("lang"),
+                F.col("score").alias("quality"),
+                F.ntile(10).over(w).alias("decile"),
+                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            )
+        chk = out.agg(
+            F.sum(F.col("decile") * (F.col("doc_id") % 997)).alias("c1"),
+            F.round(F.sum("pct_rank"), 2).alias("c2"),
+        ).collect()[0]
+        return [chk["c1"], float(chk["c2"])]
+
     raise SystemExit(f"unknown op {op}")
 
 
