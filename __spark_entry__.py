@@ -2342,6 +2342,23 @@ def q122_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(docs).select("doc_id", "split")
 
 
+def q123_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy top-quality selection under a token budget
+    (mix.token_budget_filter): keep documents in (quality DESC, id)
+    order while the cumulative whitespace-token count fits half the
+    corpus's total tokens. The global weighted prefix sum runs as the
+    bucketed two-pass parallel-prefix (score-bucket partitioned window +
+    a ≤257-row collected offset table), never a global ORDER BY window.
+    Row-level oracle: every doc's kept verdict must match DuckDB's
+    cumulative-window formulation."""
+    from quackosm_spark.operators.mix import token_budget_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_filter(docs, budget_fraction=0.5).select(
+        "doc_id", "n_tokens", "kept"
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2502,7 +2519,10 @@ _DRIVER_PRIORITY = [
     "q19_embedding_neardup", "q21_text_analysis", "q22_langid",
     "q23_fingerprint", "q24_events_window", "q38_pii_scan",
     "q39_repetition_ratio", "q40_pack_sequences",
-    "q41_deterministic_sample", "q49_ivf_fullprobe", "q54_event_deltas",
+    "q41_deterministic_sample", "q49_ivf_fullprobe",
+    # (d) new query needs first driver evidence (q121/q122 precedent);
+    # q54_event_deltas yields its fill slot and rotates next round
+    "q123_token_budget",
 ]
 
 
@@ -2636,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_global_quantiles": q120_global_quantiles,
         "q121_sessionize_batch": q121_sessionize_batch,
         "q122_split_assign": q122_split_assign,
+        "q123_token_budget": q123_token_budget,
     })
 
 
@@ -4112,6 +4133,22 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id,
                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS b
               FROM documents)
+    """
+    out["q123_token_budget"] = f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {_QUALITY_SQL} AS q,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END::BIGINT AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               (SUM(n_tokens) OVER (
+                    ORDER BY q DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                <= 0.5 * (SELECT SUM(n_tokens) FROM scored)) AS kept
+        FROM scored
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

