@@ -55,6 +55,7 @@ def curate_corpus(
     dsir_keep_fraction: float = 0.5,
     budgets: dict[str, int] | None = None,
     default_budget: int = 10_000,
+    total_token_budget: int | None = None,
     pack_capacity: int | None = None,
     shard_target_tokens: int | None = None,
     bpe_merges: list | None = None,
@@ -64,7 +65,10 @@ def curate_corpus(
 
     ``benchmark``: held-out eval docs whose word 5-grams must not leak into
     training (drops any doc sharing one). ``budgets``: per-source token caps
-    (see mix.budget_sample). ``pack_capacity``: when set, append (stream,
+    (see mix.budget_sample). ``total_token_budget`` (r08): a GLOBAL cap
+    filled best-quality-first (mix.token_budget_filter) after all
+    dedup/filter/mix stages — "curate, then keep the best N tokens".
+    ``pack_capacity``: when set, append (stream,
     bin) packing slots instead of dropping columns. ``shard_target_tokens``:
     when set, append the writer's shard manifest (contiguous ~N-token
     shards in id order, mix.assign_token_shards); with ``bpe_merges`` the
@@ -257,6 +261,21 @@ def curate_corpus(
         out = _note(
             "budget_mix",
             X.budget_sample(out, budgets, default_budget=default_budget),
+        )
+
+    # 5b. global token budget, BEST-FIRST: greedy top-quality selection
+    # (mix.token_budget_filter) — keeps the highest-quality prefix whose
+    # cumulative tokens fit. Runs AFTER dedup/filters/mix so the budget
+    # buys only surviving docs.
+    if total_token_budget is not None:
+        out = _note(
+            "token_budget",
+            X.token_budget_filter(
+                out, budget_tokens=total_token_budget,
+                id_col=id_col, text_col=text_col,
+            )
+            .where(F.col("kept"))
+            .drop("n_tokens", "kept"),
         )
 
     # 6. sequence packing

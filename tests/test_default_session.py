@@ -104,6 +104,7 @@ out, report = curate_corpus(
     model_keep_fraction=0.9,
     dsir_target_source="s0",
     dsir_keep_fraction=0.9,
+    total_token_budget=2000,
     report=True,
 )
 n = out.count()

@@ -222,3 +222,34 @@ def test_curate_quality_model_degenerate_labels_skips(spark):
     assert "model_filter_skipped_degenerate_labels" in report
     assert "model_filter" not in report
     assert out.count() == report["quality"]
+
+
+def test_curate_corpus_total_token_budget_stage(spark):
+    """r08: total_token_budget keeps the best-quality prefix whose token
+    sum fits — the kept set must equal token_budget_filter applied to the
+    same surviving docs, the stage must report, and payload columns pass
+    through unchanged."""
+    from quackosm_spark.operators.mix import token_budget_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out, report = curate_corpus(docs, total_token_budget=5_000)
+    assert "token_budget" in report
+    rows = out.collect()
+    assert report["token_budget"] == len(rows)
+    assert set(out.columns) == set(docs.columns)
+
+    # reference: run the filter on the docs surviving the prior stages
+    out_nobudget, _ = curate_corpus(docs)
+    ref = {
+        r.doc_id
+        for r in token_budget_filter(out_nobudget, budget_tokens=5_000)
+        .where(F.col("kept"))
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == ref
+    # and the budget is actually respected
+    from quackosm_spark.operators.text import token_count
+    kept_tokens = out.select(
+        F.sum(token_count("text").cast("bigint"))
+    ).collect()[0][0]
+    assert kept_tokens <= 5_000

@@ -257,6 +257,42 @@ def run(op, variant, n, spark):
         ).collect()[0]
         return [chk["c1"], float(chk["c2"])]
 
+    if op == "budgetsel":
+        # token_budget_filter vs the naive formulation: a GLOBAL
+        # ORDER BY (quality desc, id) window cumsum — one partition, one
+        # task sorting the whole corpus. Cheap hash score (the
+        # deciles_cheap reasoning: isolate the selection machinery).
+        from quackosm_spark.operators.mix import token_budget_filter
+
+        d = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.round(
+                (F.xxhash64("id", F.lit(13)).cast("double") / F.lit(2.0**64))
+                + F.lit(0.5),
+                6,
+            ).alias("score"),
+            (F.col("id") % 900 + 10).cast("bigint").alias("n_toks"),
+        )
+        if variant == "new":
+            out = token_budget_filter(
+                d, budget_fraction=0.5, score_col="score", tokens_col="n_toks"
+            ).select("doc_id", "n_tokens", "kept")
+        else:
+            total = d.agg(F.sum("n_toks")).collect()[0][0]
+            w = Window.orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = d.select(
+                "doc_id",
+                F.col("n_toks").alias("n_tokens"),
+                (F.sum("n_toks").over(w) <= F.lit(0.5 * total)).alias("kept"),
+            )
+        chk = out.agg(
+            F.sum(F.when(F.col("kept"), F.col("doc_id") % 997)).alias("c1"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens"))).alias("c2"),
+        ).collect()[0]
+        return [chk["c1"], chk["c2"]]
+
     raise SystemExit(f"unknown op {op}")
 
 
