@@ -2359,6 +2359,21 @@ def q123_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_token_budget_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q123's token-budget selection PER GROUP: each source keeps its own
+    best-quality prefix under a share of its OWN token total ("the best
+    40% of every source's tokens"). The weighted prefix is a window
+    partitioned by (source, score-bucket) with a sources×257-row
+    collected offset table — a dominant source parallelizes across its
+    score buckets instead of serializing through one task."""
+    from quackosm_spark.operators.mix import token_budget_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_filter(
+        docs, budget_fraction=0.4, group_col="source"
+    ).select("doc_id", "source", "n_tokens", "kept")
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2519,10 +2534,11 @@ _DRIVER_PRIORITY = [
     "q19_embedding_neardup", "q21_text_analysis", "q22_langid",
     "q23_fingerprint", "q24_events_window", "q38_pii_scan",
     "q39_repetition_ratio", "q40_pack_sequences",
-    "q41_deterministic_sample", "q49_ivf_fullprobe",
-    # (d) new query needs first driver evidence (q121/q122 precedent);
-    # q54_event_deltas yields its fill slot and rotates next round
-    "q123_token_budget",
+    "q49_ivf_fullprobe",
+    # (d) new queries need first driver evidence (q121/q122 precedent);
+    # q41_deterministic_sample / q54_event_deltas yield their fill slots
+    # and rotate next round
+    "q123_token_budget", "q124_token_budget_grouped",
 ]
 
 
@@ -2657,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_sessionize_batch": q121_sessionize_batch,
         "q122_split_assign": q122_split_assign,
         "q123_token_budget": q123_token_budget,
+        "q124_token_budget_grouped": q124_token_budget_grouped,
     })
 
 
@@ -4148,6 +4165,22 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY q DESC, doc_id ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 <= 0.5 * (SELECT SUM(n_tokens) FROM scored)) AS kept
+        FROM scored
+    """
+    out["q124_token_budget_grouped"] = f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   {_QUALITY_SQL} AS q,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END::BIGINT AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               (SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY q DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                <= 0.4 * SUM(n_tokens) OVER (PARTITION BY source)) AS kept
         FROM scored
     """
     out["q120_global_quantiles"] = """

@@ -427,6 +427,7 @@ def token_budget_filter(
     text_col: str = "text",
     tokens_col: str | None = None,
     score_col: str | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Greedy top-quality selection under a TOKEN budget — the selection
     step when only a slice of a huge corpus can be trained on: documents
@@ -438,26 +439,42 @@ def token_budget_filter(
     are never kept and never consume budget.
 
     Exactly one of ``budget_tokens`` (absolute) / ``budget_fraction``
-    (share of the corpus's total tokens). ``score_col`` ranks a
-    precomputed [0, 1] signal (model probability; the
-    ``quality_deciles(score_col=)`` contract); default is the built-in
-    heuristic ``quality_score``.
+    (share of the total tokens). ``score_col`` ranks a precomputed
+    [0, 1] signal (model probability; the ``quality_deciles(score_col=)``
+    contract); default is the built-in heuristic ``quality_score``.
 
-    Scale shape — the global "cumulative tokens in quality order"
-    WITHOUT a global ORDER BY window (which would serialize the corpus
-    through one task): the score is range-bucketed on
-    ``255 − floor(q·256)`` so bucket-ascending ≡ quality-DESCENDING
-    (order-preserving: scores are rounded to 6 decimals in [0, 1]);
-    per-bucket token sums collect as a ≤257-row table whose exclusive
-    prefix (and the grand total, for ``budget_fraction``) is computed on
-    the driver and broadcast back; the within-bucket cumulative token
-    sum is a window PARTITIONED by bucket. Two cheap aggregates + one
-    bucket-parallel window — the `assign_token_shards` /
-    `interleave_sources` two-pass parallel-prefix pattern, applied to a
-    WEIGHTED prefix. The budget verdict is then scan-stage arithmetic.
+    ``group_col`` (r08): apply the budget PER GROUP — "the best N tokens
+    per language/source". ``budget_tokens`` is then each group's cap;
+    ``budget_fraction`` is a share of each group's OWN total. NULL group
+    keys form a real group (null-safe join), matching groupBy semantics.
+    Cardinality contract: groups are training-mix groups (dozens to a
+    few hundred — the `interleave_sources` contract); the collected
+    offset table is groups×257 rows.
+
+    Scale shape — the "cumulative tokens in quality order" WITHOUT a
+    global (or group-only) ORDER BY window (which would serialize the
+    corpus, or a dominant group, through one task): the score is
+    range-bucketed on ``255 − floor(q·256)`` so bucket-ascending ≡
+    quality-DESCENDING (order-preserving: scores are rounded to 6
+    decimals in [0, 1]); per-(group, bucket) token sums collect as a
+    tiny table whose per-group exclusive prefix (and per-group total,
+    for ``budget_fraction``) is computed on the driver and broadcast
+    back; the within-bucket cumulative token sum is a window PARTITIONED
+    by (group, bucket). Two cheap aggregates + one bucket-parallel
+    window — the `assign_token_shards` / `interleave_sources` two-pass
+    parallel-prefix pattern, applied to a WEIGHTED prefix. The budget
+    verdict is then scan-stage arithmetic. A/B (SCALE.md §15
+    `budgetsel`): 8.5× vs the naive single-partition window at 40M rows.
     """
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
+    from quackosm_spark.operators.quantiles import _nsjoin
     from quackosm_spark.operators.text import quality_score
 
     if (budget_tokens is None) == (budget_fraction is None):
@@ -485,47 +502,64 @@ def token_budget_filter(
         .cast("int"),
     ).withColumn("_q", F.when(valid, score).otherwise(F.lit(-1.0)))
 
-    # pass 1: tiny per-bucket token sums → exclusive prefix + total on
-    # the driver (≤257 rows — same collect contract as interleave's
-    # sources×256 table). Invalid rows weigh 0 so they consume nothing.
+    groups = [group_col] if group_col is not None else []
+
+    # pass 1: tiny per-(group, bucket) token sums → per-group exclusive
+    # prefix + total on the driver (groups×257 rows — same collect
+    # contract as interleave's sources×256 table). Invalid rows weigh 0.
     weff = F.when(F.col("_bkt") < n_range, F.col("n_tokens")).otherwise(F.lit(0))
-    totals = {
-        r["b"]: r["s"]
-        for r in d.groupBy(F.col("_bkt").alias("b"))
+    rows = (
+        d.groupBy(*groups, F.col("_bkt").alias("b"))
         .agg(F.sum(weff).alias("s"))
         .collect()
-    }
-    off = 0
-    offset_rows = []
-    for b in sorted(totals):
-        offset_rows.append((int(b), int(off)))
-        off += int(totals[b] or 0)
-    total = off
-    budget = (
-        int(budget_tokens)
-        if budget_tokens is not None
-        else float(budget_fraction) * total
     )
+    per_group: dict = {}
+    for r in rows:
+        g = r[group_col] if group_col is not None else None
+        per_group.setdefault(g, {})[r["b"]] = r["s"]
+    offset_rows = []
+    for g, totals in per_group.items():
+        prefix, off = [], 0
+        for b in sorted(totals):
+            prefix.append((g, int(b), int(off)))
+            off += int(totals[b] or 0)
+        gbudget = (
+            float(budget_tokens)
+            if budget_tokens is not None
+            else float(budget_fraction) * off
+        )
+        offset_rows += [(g, b, o, gbudget) for (g, b, o) in prefix]
+    fields = []
+    if group_col is not None:
+        fields.append(docs.schema[group_col])
+    fields += [
+        StructField("_bkt", IntegerType()),
+        StructField("_off", LongType()),
+        StructField("_budget", DoubleType()),
+    ]
+    if group_col is None:
+        offset_rows = [r[1:] for r in offset_rows]
     offsets_df = docs.sparkSession.createDataFrame(
-        offset_rows,
-        StructType(
-            [StructField("_bkt", IntegerType()), StructField("_off", LongType())]
-        ),
+        offset_rows, StructType(fields)
     )
 
-    # pass 2: within-bucket cumulative (quality DESC, id ASC — bucket
-    # index already encodes the DESC direction across buckets)
+    # pass 2: within-(group, bucket) cumulative (quality DESC, id ASC —
+    # the bucket index already encodes the DESC direction across buckets)
     w_cum = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(*(groups + ["_bkt"]))
         .orderBy(F.col("_q").desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    joined = (
+        _nsjoin(d, F.broadcast(offsets_df), groups + ["_bkt"])
+        if groups
+        else d.join(F.broadcast(offsets_df), "_bkt")
+    )
     return (
-        d.join(F.broadcast(offsets_df), "_bkt")
-        .withColumn("_cum", F.col("_off") + F.sum(weff).over(w_cum))
+        joined.withColumn("_cum", F.col("_off") + F.sum(weff).over(w_cum))
         .withColumn(
             "kept",
-            (F.col("_bkt") < n_range) & (F.col("_cum") <= F.lit(budget)),
+            (F.col("_bkt") < n_range) & (F.col("_cum") <= F.col("_budget")),
         )
         .select(*docs.columns, "n_tokens", "kept")
     )

@@ -1222,3 +1222,56 @@ def test_token_budget_filter_null_text_never_kept(spark):
            token_budget_filter(df, budget_fraction=1.0).collect()}
     assert got[1][0] is True
     assert got[2][0] is False
+
+
+def test_token_budget_filter_grouped_per_group_caps(spark):
+    """r08: group_col applies the budget per group — each group's kept set
+    equals the serial greedy prefix under ITS OWN cap; NULL group keys form
+    a real group (null-safe join, groupBy semantics)."""
+    from quackosm_spark.operators.mix import token_budget_filter
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "en", 0.9 - (i % 10) * 0.05, 10 + i % 7))
+    for i in range(40, 60):
+        rows.append((i, "fr", 0.8 - (i % 5) * 0.1, 5 + i % 3))
+    for i in range(60, 66):
+        rows.append((i, None, 0.5, 4))
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, score DOUBLE, n_toks LONG"
+    )
+    out = token_budget_filter(
+        df, budget_tokens=100, score_col="score", tokens_col="n_toks",
+        group_col="lang",
+    )
+    got = {r.doc_id: r.kept for r in out.collect()}
+    assert len(got) == 66  # null-group rows are NOT dropped by the join
+
+    ref = {}
+    for g in ("en", "fr", None):
+        grp = sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0])
+        )
+        cum = 0
+        for r in grp:
+            cum += r[3]
+            ref[r[0]] = cum <= 100
+    assert got == ref
+
+    # fraction mode: each group's budget is a share of its OWN total
+    out_f = token_budget_filter(
+        df, budget_fraction=0.5, score_col="score", tokens_col="n_toks",
+        group_col="lang",
+    )
+    got_f = {r.doc_id: r.kept for r in out_f.collect()}
+    ref_f = {}
+    for g in ("en", "fr", None):
+        grp = sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0])
+        )
+        gtotal = sum(r[3] for r in grp)
+        cum = 0
+        for r in grp:
+            cum += r[3]
+            ref_f[r[0]] = cum <= 0.5 * gtotal
+    assert got_f == ref_f
