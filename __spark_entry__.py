@@ -2374,6 +2374,70 @@ def q124_token_budget_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tokens", "kept")
 
 
+def q125_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (mix.temperature_sample, the
+    XLM-R/mT5 sampling rule): a document budget splits across sources
+    ∝ n_src**0.3, upsampling the tail. The corpus is skewed first (short
+    source names keep every row, the rest keep a quarter) so the
+    temperature actually redistributes. Selection is the first quota_g
+    docs per group in (md5(id), id) order, ranked bucket-parallel (a
+    group's window sorts ~1/256 of the group — never a group-serial
+    row_number). Oracle replays quota arithmetic + md5 order in SQL."""
+    from quackosm_spark.operators.mix import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.length("source") == 4) | (F.col("doc_id") % 4 == 0)
+    )
+    return temperature_sample(docs, total_docs=600, alpha=0.3).select(
+        "doc_id", "source"
+    )
+
+
+def q126_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting (dedup.soft_dedup_weights): near-duplicates
+    are DOWNWEIGHTED instead of dropped — sample_weight = 1/|cluster| over
+    the q37 transitive near-dup components, singletons weight 1, so a
+    duplicated passage contributes ~1 total weight however many mirrors
+    exist. Oracle replays the pair graph + recursive-CTE components +
+    1/count in SQL."""
+    from quackosm_spark.operators.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return soft_dedup_weights(docs, threshold=0.2).select(
+        "doc_id", "sample_weight"
+    )
+
+
+def q127_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection (temporal.rolling_zscore):
+    each event standardized against its user's previous 20 values (strictly
+    earlier ROWS frame — the baseline never includes the point under test),
+    flagged at |z| > 2.5; cold starts (<5 priors) and degenerate-stddev
+    frames yield NULL. One shuffle on user_id, frame aggregates O(1)/row."""
+    from quackosm_spark.operators.temporal import rolling_zscore
+
+    ev = _events(spark, sf_dir)
+    return rolling_zscore(
+        ev, ["user_id"], ["ts", "event_id"], window=20,
+        threshold=2.5, min_periods=5,
+    ).select("event_id", "base_n", "base_mean", "z", "is_anomaly")
+
+
+def q128_percent_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score normalization (stats.percent_rank_normalize):
+    exact within-source percent_rank of a value column, computed from the
+    bucketed distinct-value kernel (ranks join back on (group, value) —
+    heavy ties cost one ranked row) instead of a group-serial ranking
+    window. Oracle: DuckDB's native percent_rank window."""
+    from quackosm_spark.operators.stats import percent_rank_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    out = percent_rank_normalize(docs, "n_chars", ["source"])
+    return out.select(
+        "doc_id", "source", F.round(F.col("pct_rank"), 6).alias("pct_rank")
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2539,6 +2603,8 @@ _DRIVER_PRIORITY = [
     # q41_deterministic_sample / q54_event_deltas yield their fill slots
     # and rotate next round
     "q123_token_budget", "q124_token_budget_grouped",
+    "q125_temperature_mix", "q126_soft_dedup", "q127_rolling_zscore",
+    "q128_percent_rank_norm",
 ]
 
 
@@ -2674,6 +2740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_split_assign": q122_split_assign,
         "q123_token_budget": q123_token_budget,
         "q124_token_budget_grouped": q124_token_budget_grouped,
+        "q125_temperature_mix": q125_temperature_mix,
+        "q126_soft_dedup": q126_soft_dedup,
+        "q127_rolling_zscore": q127_rolling_zscore,
+        "q128_percent_rank_norm": q128_percent_rank_norm,
     })
 
 
@@ -4182,6 +4252,93 @@ def oracle_sql() -> dict[str, str]:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 <= 0.4 * SUM(n_tokens) OVER (PARTITION BY source)) AS kept
         FROM scored
+    """
+    out["q125_temperature_mix"] = """
+        WITH pool AS (
+            SELECT doc_id, source FROM documents
+            WHERE length(source) = 4 OR doc_id % 4 = 0
+        ),
+        c AS (SELECT source, count(*) AS n FROM pool GROUP BY source),
+        s AS (SELECT source, n,
+                     round(pow(n, 0.3) / sum(pow(n, 0.3)) OVER (), 6) AS share
+              FROM c),
+        q AS (SELECT source,
+                     least(n, CAST(floor(600 * share) AS BIGINT)) AS quota
+              FROM s),
+        r AS (SELECT doc_id, source,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM pool)
+        SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        WHERE r.rn <= q.quota
+    """
+    out["q126_soft_dedup"] = f"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        cc(id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, cc.label FROM cc JOIN edges e ON e.dst = cc.id
+        ),
+        clusters AS (
+            SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id
+        ),
+        weights AS (
+            SELECT doc_id,
+                   round(1.0 / count(*) OVER (PARTITION BY cluster_id), 6)
+                   AS w
+            FROM clusters
+        )
+        SELECT d.doc_id, coalesce(weights.w, 1.0) AS sample_weight
+        FROM docs d LEFT JOIN weights ON d.doc_id = weights.doc_id
+    """
+    out["q127_rolling_zscore"] = """
+        WITH z AS (
+            SELECT event_id,
+                   count(value) OVER w AS base_n,
+                   avg(value) OVER w AS m,
+                   stddev_samp(value) OVER w AS sd,
+                   value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, base_n, round(m, 6) + 0.0 AS base_mean,
+               CASE WHEN base_n >= 5 AND sd IS NOT NULL AND sd >= 1e-9
+                    THEN round((value - m) / sd, 4) + 0.0 END AS z,
+               coalesce(abs(CASE WHEN base_n >= 5 AND sd IS NOT NULL
+                                      AND sd >= 1e-9
+                                 THEN (value - m) / sd END) > 2.5,
+                        false) AS is_anomaly
+        FROM z
+    """
+    out["q128_percent_rank_norm"] = """
+        SELECT doc_id, source,
+               round(percent_rank() OVER (
+                   PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+        FROM documents
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -1122,3 +1122,45 @@ def keep_best_assignments(
         "doc_id", "cluster_id", "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    weight_col: str = "sample_weight",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SoftDeDup: DOWNWEIGHT near-duplicates instead of dropping them —
+    every document gets a training ``sample_weight = round(1/|cluster|, 6)``
+    where the cluster is its transitive near-duplicate component (the q37
+    graph); documents in no pair are singletons with weight 1. Total weight
+    of a duplicated passage stays ~1 regardless of how many mirrors exist,
+    so the loss contribution of repeated content is normalized without the
+    recall risk of a hard drop (the keep-one policies ``dedup_keep_best`` /
+    ``neardup_clusters`` sit on the same graph when hard dedup is wanted).
+
+    ``pairs`` overrides the default exact-jaccard pair graph (e.g. feed
+    LSH-verified candidates from ``verify_candidate_pairs``). Scale shape:
+    the CC rounds are the pointer-jumping kernel (bounded rounds, co-keyed
+    joins); the weight table is cluster-membership-sized (only docs that
+    appear in a pair) and joins back to the corpus on the id key — the
+    corpus itself never enters the CC loop. APPENDS ``weight_col``; payload
+    columns pass through.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            docs, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+    clusters = neardup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__csz")
+    )
+    weights = clusters.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("__wid"),
+        F.round(F.lit(1.0) / F.col("__csz"), 6).alias("__w"),
+    )
+    out = docs.join(weights, docs[id_col] == weights["__wid"], "left")
+    return out.withColumn(
+        weight_col, F.coalesce(F.col("__w"), F.lit(1.0))
+    ).drop("__wid", "__w")

@@ -53,37 +53,38 @@ def _nsjoin(
     return out.drop(*[f"__r_{k}" for k in keys])
 
 
-def exact_group_quantiles(
+def _attach(left: DataFrame, right: DataFrame, keys: Sequence[str], how="inner"):
+    """Group-key join; grand-aggregate (keyless) right sides are single-row
+    and ride a broadcast cross join instead."""
+    if keys:
+        return _nsjoin(left, right, keys, how)
+    return left.crossJoin(F.broadcast(right))
+
+
+def ranked_distinct_values(
     df: DataFrame,
     value_col: str,
     group_cols: Sequence[str],
-    quantiles: Sequence[float],
-    out_cols: Sequence[str],
     num_buckets: int = 1024,
-) -> DataFrame:
-    """Exact per-group quantiles of ``value_col`` with linear interpolation,
-    bit-identical to ``df.groupBy(*group_cols).agg(F.percentile(value_col,
-    q))`` but with bounded per-task state (see module docstring).
+) -> tuple[DataFrame, DataFrame]:
+    """The kernel's shared first half: per-group DISTINCT-value table with
+    exact cumulative ranks, built with bounded per-task state (module
+    docstring steps 1–2). Returns ``(ranked, stats)``:
 
-    Returns one row per distinct group (NULL group keys included, like any
-    groupBy) with columns ``(*group_cols, *out_cols)``; a group whose
-    values are all NULL yields NULL quantiles, matching ``F.percentile``.
-    NULL values are ignored inside a group, also matching. An EMPTY
-    ``group_cols`` computes GLOBAL quantiles (one output row, like a
-    grand aggregate — the 1-row stats/result tables ride broadcasts and
-    the only unpartitioned window is over the ≤num_buckets-row aggregated
-    bucket-count table).
+    - ``ranked``: one row per distinct NON-NULL ``(group, value)`` with
+      ``__val`` (double), ``__n`` (count of the value), ``__cum`` (1-based
+      cumulative rank of the value's LAST occurrence within its group) and
+      ``__tot`` (the group's non-null count) — enough to derive any exact
+      order statistic: min-rank of a value is ``__cum - __n + 1``.
+    - ``stats``: one row per distinct group (NULL keys and all-NULL groups
+      included) with ``__mn`` / ``__mx`` / ``__tot`` — the group universe
+      for consumers that must emit a row per group.
+
+    Consumers: ``exact_group_quantiles`` (order-statistic lookup) and
+    ``stats.percent_rank_normalize`` (per-row rank join-back).
     """
-    if len(quantiles) != len(out_cols):
-        raise ValueError("quantiles and out_cols must have the same length")
     groups = list(group_cols)
     v = F.col(value_col).cast("double")
-
-    def _attach(left: DataFrame, right: DataFrame, keys: Sequence[str], how="inner"):
-        # grand-aggregate right sides are single-row: broadcast-cross
-        if keys:
-            return _nsjoin(left, right, keys, how)
-        return left.crossJoin(F.broadcast(right))
 
     # distinct-value table: ties collapse map-side; NULL values kept long
     # enough to preserve the group universe (all-NULL groups must still
@@ -148,6 +149,34 @@ def exact_group_quantiles(
     ranked = _nsjoin(gg, offsets, groups + ["_bkt"]).withColumn(
         "__cum", F.col("__off") + F.sum("__n").over(w_cum)
     )
+    return ranked, stats
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    out_cols: Sequence[str],
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Exact per-group quantiles of ``value_col`` with linear interpolation,
+    bit-identical to ``df.groupBy(*group_cols).agg(F.percentile(value_col,
+    q))`` but with bounded per-task state (see module docstring).
+
+    Returns one row per distinct group (NULL group keys included, like any
+    groupBy) with columns ``(*group_cols, *out_cols)``; a group whose
+    values are all NULL yields NULL quantiles, matching ``F.percentile``.
+    NULL values are ignored inside a group, also matching. An EMPTY
+    ``group_cols`` computes GLOBAL quantiles (one output row, like a
+    grand aggregate — the 1-row stats/result tables ride broadcasts and
+    the only unpartitioned window is over the ≤num_buckets-row aggregated
+    bucket-count table).
+    """
+    if len(quantiles) != len(out_cols):
+        raise ValueError("quantiles and out_cols must have the same length")
+    groups = list(group_cols)
+    ranked, stats = ranked_distinct_values(df, value_col, groups, num_buckets)
 
     # per quantile: the two order statistics framing position (N−1)·q.
     # __tot rides on every ranked row (from the stats join), so the target

@@ -394,3 +394,62 @@ def funnel(
             )
         )
     return cur.withColumnRenamed("key", key_col)
+
+def rolling_zscore(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str = "value",
+    window: int = 20,
+    threshold: float = 3.0,
+    min_periods: int = 5,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each row's value is
+    standardized against the mean/sample-stddev of its key's previous
+    ``window`` rows (frame ROWS BETWEEN window PRECEDING AND 1 PRECEDING —
+    strictly earlier, so the point under test never contaminates its own
+    baseline), and flagged when ``|z| > threshold``. The bounded frame is
+    what distinguishes this from ``value_spikes``' running mean: a level
+    shift ages out of a trailing window, so the detector tracks regime
+    changes instead of flagging everything after one.
+
+    ``z`` is NULL (never flagged) when the frame holds fewer than
+    ``min_periods`` values or the frame stddev is < 1e-9 (a constant
+    baseline makes z ill-conditioned — last-ulp noise would amplify into
+    arbitrary magnitudes). ``order_cols`` must make the per-key order
+    total (include a unique id as tie-break: frame aggregates over an
+    ambiguous order are nondeterministic). Display rounding is engine-
+    portability-aware: ``base_mean`` rounds at 6 decimals, NOT 4 — means
+    of decimal-discretized inputs (2dp values / frame sizes with only
+    2·5 factors) sit EXACTLY on 4th-decimal half boundaries, where two
+    engines' last-ulp aggregate differences flip the rounding; no such
+    mean can sit on a 6dp boundary (terminating expansions stop by the
+    6th digit, repeating ones never end in 5000…). ``z`` (a ratio through
+    a sqrt — irrational, never boundary-pinned) rounds at 4; the
+    ``is_anomaly`` flag compares the RAW z against the single threshold.
+
+    One shuffle on the key + one window pass; frame aggregates are O(1)
+    per row, per-key frames are ``window``-bounded, and keys parallelize —
+    no global sort at any scale.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    n = F.count(v).over(w)
+    z = F.when(
+        (n >= min_periods) & sd.isNotNull() & (sd >= 1e-9),
+        (v - mean) / sd,
+    )
+    return (
+        df.withColumn("base_n", n)
+        .withColumn("base_mean", F.round(mean, 6) + F.lit(0.0))
+        .withColumn("z", F.round(z, 4) + F.lit(0.0))
+        .withColumn(
+            "is_anomaly", F.coalesce(F.abs(z) > threshold, F.lit(False))
+        )
+    )

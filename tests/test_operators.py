@@ -1275,3 +1275,85 @@ def test_token_budget_filter_grouped_per_group_caps(spark):
             cum += r[3]
             ref_f[r[0]] = cum <= 0.5 * gtotal
     assert got_f == ref_f
+
+
+def test_temperature_sample_quota_and_order_semantics(spark):
+    """r08: temperature-scaled mixing — quotas follow n_g**alpha (alpha=0
+    equalizes, alpha=1 reproduces the corpus distribution), small groups
+    cap at their population, and the kept set matches a serial reference
+    (first quota docs per group in (md5(id), id) order) exactly."""
+    import hashlib
+    import math
+
+    from quackosm_spark.operators.mix import temperature_sample
+
+    rows = [(i, "big") for i in range(900)]
+    rows += [(1000 + i, "mid") for i in range(90)]
+    rows += [(2000 + i, "tiny") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+
+    def reference(total, alpha):
+        counts = {"big": 900, "mid": 90, "tiny": 10}
+        denom = sum(n ** alpha for _, n in sorted(counts.items()))
+        kept = set()
+        for g, n in counts.items():
+            share = math.floor(n ** alpha / denom * 1e6 + 0.5) / 1e6
+            quota = min(n, math.floor(total * share))
+            ids = [i for i, s in rows if s == g]
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            kept |= set(ids[:quota])
+        return kept
+
+    for total, alpha in [(100, 0.5), (500, 0.0), (500, 1.0), (37, 0.3)]:
+        got = {
+            r.doc_id
+            for r in temperature_sample(df, total, alpha=alpha).collect()
+        }
+        assert got == reference(total, alpha), (total, alpha)
+
+    # alpha=0: equal shares — floor(30 * round6(1/3)) = 9 per group (the
+    # rounded-share floor never exceeds the budget, it can undershoot)
+    eq = temperature_sample(df, 30, alpha=0.0)
+    per = {r.source: r["count"] for r in eq.groupBy("source").count().collect()}
+    assert per == {"big": 9, "mid": 9, "tiny": 9}
+    # saturation: tiny and mid cap at their populations
+    sat = temperature_sample(df, 900, alpha=0.0)
+    per = {r.source: r["count"] for r in sat.groupBy("source").count().collect()}
+    assert per["tiny"] == 10 and per["mid"] == 90 and per["big"] == 299
+    # determinism under repartition
+    a = {r.doc_id for r in temperature_sample(df, 100, 0.5).collect()}
+    b = {
+        r.doc_id
+        for r in temperature_sample(df.repartition(13), 100, 0.5).collect()
+    }
+    assert a == b
+    # validation
+    with pytest.raises(ValueError):
+        temperature_sample(df, -1)
+    with pytest.raises(ValueError):
+        temperature_sample(df, 10, alpha=-0.5)
+
+
+def test_soft_dedup_weights_cluster_mass(spark):
+    """r08: every near-dup cluster contributes total weight ~1; singletons
+    keep weight 1.0; no row is ever dropped; payload passes through."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "b"),   # dup of 1
+        (3, "the quick brown fox jumps over the lazy dot", "c"),   # near 1
+        (4, "completely different text about spark physical plans", "d"),
+        (5, "short", "e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, src: string")
+    out = D.soft_dedup_weights(df, threshold=0.2)
+    got = {r.doc_id: (r.sample_weight, r.src) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}                 # nothing dropped
+    assert got[4][0] == 1.0 and got[5][0] == 1.0       # singletons
+    cluster = [got[i][0] for i in (1, 2, 3)]
+    assert all(w == round(1.0 / len(cluster), 6) for w in cluster)
+    assert got[2][1] == "b"                             # payload intact
+    # injected pair graph override
+    pairs = spark.createDataFrame([(4, 5)], "doc_a: long, doc_b: long")
+    out2 = {r.doc_id: r.sample_weight
+            for r in D.soft_dedup_weights(df, pairs=pairs).collect()}
+    assert out2[4] == 0.5 and out2[5] == 0.5 and out2[1] == 1.0

@@ -599,3 +599,39 @@ def test_exact_group_quantiles_nan_matches_builtin(spark):
     for k in ref:
         for a, b in zip(ref[k], got[k]):
             assert (math.isnan(a) and math.isnan(b)) or a == b, (k, a, b)
+
+
+def test_percent_rank_normalize_exact_and_null_contract(spark):
+    """r08: bucketed percent_rank — bit-equal to F.percent_rank on
+    non-null data (RANK min-tie semantics, 0.0 for single-row groups);
+    NULL values get NULL rank and are EXCLUDED from N (divergence from a
+    raw window, by contract); payload passes through."""
+    from pyspark.sql import Window
+
+    from quackosm_spark.operators.stats import percent_rank_normalize
+
+    rows = (
+        [("a", i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+        + [("b", 100, 7.0)]                      # single-row group -> 0.0
+        + [("c", 200, 2.0), ("c", 201, 2.0), ("c", 202, 8.0)]  # heavy ties
+    )
+    df = spark.createDataFrame(rows, "g STRING, id INT, v DOUBLE")
+    got = {
+        r.id: r.pct_rank
+        for r in percent_rank_normalize(df, "v", ["g"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    ref = {
+        r.id: r.pr
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert got == ref
+    # NULL contract: null values rank NULL, non-null ranks ignore them
+    rows2 = [("a", 1, None), ("a", 2, 1.0), ("a", 3, 3.0), ("a", 4, 2.0)]
+    df2 = spark.createDataFrame(rows2, "g STRING, id INT, v DOUBLE")
+    got2 = {
+        r.id: r.pct_rank
+        for r in percent_rank_normalize(df2, "v", ["g"]).collect()
+    }
+    assert got2[1] is None
+    assert got2[2] == 0.0 and got2[4] == 0.5 and got2[3] == 1.0

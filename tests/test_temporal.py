@@ -343,3 +343,47 @@ def test_exact_quantiles_multi_group_cols(spark):
         for r in exact_quantiles(df, "v", ["g1", "g2"], [0.5, 0.9]).collect()
     }
     assert got == ref
+
+
+def test_rolling_zscore_matches_serial_reference(spark):
+    """r08: trailing-window z — strictly-earlier frame, cold-start NULLs,
+    degenerate-stddev NULLs, and flag semantics, against a driver-side
+    serial replica."""
+    import statistics
+
+    from quackosm_spark.operators.temporal import rolling_zscore
+
+    vals = {
+        1: [10.0, 12.0, 11.0, 13.0, 9.0, 11.5, 50.0, 10.5],  # spike at idx 6
+        2: [5.0, 5.0, 5.0, 5.0, 5.0, 7.0],                   # constant base
+    }
+    rows = [
+        (u, i, float(i), v)
+        for u, series in vals.items()
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, seq INT, ts DOUBLE, v DOUBLE")
+    out = {
+        (r.user_id, r.seq): (r.base_n, r.z, r.is_anomaly)
+        for r in rolling_zscore(
+            df, ["user_id"], ["ts", "seq"], value_col="v",
+            window=4, threshold=2.0, min_periods=3,
+        ).collect()
+    }
+    for u, series in vals.items():
+        for i, v in enumerate(series):
+            frame = series[max(0, i - 4):i]
+            n, z, flag = out[(u, i)]
+            assert n == len(frame)
+            if len(frame) < 3:
+                assert z is None and flag is False
+                continue
+            sd = statistics.stdev(frame)
+            if sd < 1e-9:
+                assert z is None and flag is False     # constant baseline
+                continue
+            zref = (v - statistics.mean(frame)) / sd
+            assert z == pytest.approx(round(zref, 4), abs=1e-9)
+            assert flag == (abs(zref) > 2.0)
+    # the planted spike is flagged
+    assert out[(1, 6)][2] is True
