@@ -293,6 +293,66 @@ def run(op, variant, n, spark):
         ).collect()[0]
         return [chk["c1"], chk["c2"]]
 
+    if op == "tempsample":
+        # temperature_sample vs the naive group-serial formulation: same
+        # driver-side quota table, but selection via a row_number window
+        # partitioned by source ALONE — the dominant group's md5 sort
+        # funnels through one task.
+        from quackosm_spark.operators.mix import temperature_sample
+
+        d = _docs_skewed(spark, n)
+        total = int(n * 0.4)
+        if variant == "new":
+            out = temperature_sample(d, total, alpha=0.5)
+        else:
+            import math
+
+            counts = {
+                r["source"]: r["cnt"]
+                for r in d.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            denom = sum(c ** 0.5 for _, c in sorted(counts.items()))
+            quota_rows = []
+            for g, c in sorted(counts.items()):
+                share = math.floor(c ** 0.5 / denom * 1e6 + 0.5) / 1e6
+                quota_rows.append((g, min(c, math.floor(total * share))))
+            qdf = spark.createDataFrame(quota_rows, "source string, quota long")
+            w = Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+            out = (
+                d.join(F.broadcast(qdf), "source")
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= F.col("quota"))
+                .select("doc_id", "source")
+            )
+        chk = out.agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.sum(F.col("doc_id") % 997).alias("c2"),
+        ).collect()[0]
+        return [int(chk["c1"]), int(chk["c2"])]
+
+    if op == "prnorm":
+        # percent_rank_normalize (bucketed kernel + join-back) vs the
+        # naive group-only percent_rank window on a continuous column
+        # (distinct ≈ n — the adversarial shape for both the old window's
+        # serial sort AND the kernel's distinct-table size).
+        from quackosm_spark.operators.stats import percent_rank_normalize
+
+        d = _values_skewed(spark, n)
+        if variant == "new":
+            out = percent_rank_normalize(d, "value", ["g"])
+        else:
+            w = Window.partitionBy("g").orderBy("value")
+            out = d.withColumn("pct_rank", F.percent_rank().over(w))
+        chk = out.agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.round(F.sum("pct_rank"), 2).alias("c2"),
+        ).collect()[0]
+        return [int(chk["c1"]), float(chk["c2"])]
+
     raise SystemExit(f"unknown op {op}")
 
 
