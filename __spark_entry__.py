@@ -2438,6 +2438,59 @@ def q128_percent_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_zscore_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING z-score kernel (streaming.zscore_stream) in batch
+    mode (no-state shim — the q119 sessionize precedent): per-user
+    bounded value-tail standardization must reproduce the window-frame
+    formulation's oracle exactly, proving the stateful kernel computes
+    the same math it will compute incrementally on a stream."""
+    from quackosm_spark.streaming import zscore_stream
+
+    ev = _events(spark, sf_dir)
+    return zscore_stream(ev, window=20, threshold=2.5, min_periods=5).select(
+        "event_id", "base_n", "z", "is_anomaly"
+    )
+
+
+def q130_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (dedup.snapshot_diff): two derived versions of
+    the documents table (membership churn via modulo filters, content
+    churn via a version-suffix edit) classified added / removed /
+    changed / unchanged. Digests reduce map-side; one full-outer id
+    join; the texts never shuffle."""
+    from quackosm_spark.operators.dedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+def q131_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS distributed Lloyd k-means
+    (similarity.kmeans_fit_distributed + kmeans_assign): deterministic
+    lowest-id init, two Lloyd rounds (each ONE scan — argmin over
+    broadcast centroid literals + a k×(dim+1) sufficient-stats groupBy),
+    then the final cell assignment. Oracle: the SAME two rounds unrolled
+    in SQL (the q72 PageRank unrolled-iteration precedent) — cross-join
+    argmin by list_distance, per-(cell, dim) AVG rebuild, re-assign."""
+    from quackosm_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit_distributed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_distributed(emb, k=4, iters=2)
+    return kmeans_assign(emb, cents).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2604,7 +2657,8 @@ _DRIVER_PRIORITY = [
     # and rotate next round
     "q123_token_budget", "q124_token_budget_grouped",
     "q125_temperature_mix", "q126_soft_dedup", "q127_rolling_zscore",
-    "q128_percent_rank_norm",
+    "q128_percent_rank_norm", "q129_zscore_kernel", "q130_snapshot_diff",
+    "q131_kmeans_cells",
 ]
 
 
@@ -2744,6 +2798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_soft_dedup": q126_soft_dedup,
         "q127_rolling_zscore": q127_rolling_zscore,
         "q128_percent_rank_norm": q128_percent_rank_norm,
+        "q129_zscore_kernel": q129_zscore_kernel,
+        "q130_snapshot_diff": q130_snapshot_diff,
+        "q131_kmeans_cells": q131_kmeans_cells,
     })
 
 
@@ -4339,6 +4396,102 @@ def oracle_sql() -> dict[str, str]:
                round(percent_rank() OVER (
                    PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
         FROM documents
+    """
+    out["q129_zscore_kernel"] = """
+        WITH z AS (
+            SELECT event_id,
+                   count(value) OVER w AS base_n,
+                   avg(value) OVER w AS m,
+                   stddev_samp(value) OVER w AS sd,
+                   value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, base_n,
+               CASE WHEN base_n >= 5 AND sd IS NOT NULL AND sd >= 1e-9
+                    THEN round((value - m) / sd, 4) + 0.0 END AS z,
+               coalesce(abs(CASE WHEN base_n >= 5 AND sd IS NOT NULL
+                                      AND sd >= 1e-9
+                                 THEN (value - m) / sd END) > 2.5,
+                        false) AS is_anomaly
+        FROM z
+    """
+    out["q130_snapshot_diff"] = """
+        WITH old AS (
+            SELECT doc_id, md5(text) AS od FROM documents WHERE doc_id % 3 != 0
+        ),
+        new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END) AS nd
+            FROM documents WHERE doc_id % 5 != 0
+        )
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN od IS NULL THEN 'added'
+                    WHEN nd IS NULL THEN 'removed'
+                    WHEN od = nd THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """
+    out["q131_kmeans_cells"] = """
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+            FROM v ORDER BY vec_id LIMIT 4
+        ),
+        a1 AS (
+            SELECT vec_id, e, cid FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_distance(v.e, c.e), c.cid
+                       ) AS rn
+                FROM v CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ),
+        upd1 AS (
+            SELECT cid, list(m ORDER BY pos) AS e FROM (
+                SELECT a.cid, t.i AS pos, avg(a.e[t.i]) AS m
+                FROM a1 a, range(1, 65) t(i)
+                GROUP BY a.cid, t.i
+            ) GROUP BY cid
+        ),
+        c1 AS (
+            SELECT c0.cid, coalesce(upd1.e, c0.e) AS e
+            FROM c0 LEFT JOIN upd1 ON c0.cid = upd1.cid
+        ),
+        a2 AS (
+            SELECT vec_id, e, cid FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_distance(v.e, c.e), c.cid
+                       ) AS rn
+                FROM v CROSS JOIN c1 c
+            ) WHERE rn = 1
+        ),
+        upd2 AS (
+            SELECT cid, list(m ORDER BY pos) AS e FROM (
+                SELECT a.cid, t.i AS pos, avg(a.e[t.i]) AS m
+                FROM a2 a, range(1, 65) t(i)
+                GROUP BY a.cid, t.i
+            ) GROUP BY cid
+        ),
+        c2 AS (
+            SELECT c1.cid, coalesce(upd2.e, c1.e) AS e
+            FROM c1 LEFT JOIN upd2 ON c1.cid = upd2.cid
+        )
+        SELECT vec_id, cid AS cell FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_distance(v.e, c.e), c.cid
+                   ) AS rn
+            FROM v CROSS JOIN c2 c
+        ) WHERE rn = 1
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -1164,3 +1164,36 @@ def soft_dedup_weights(
     return out.withColumn(
         weight_col, F.coalesce(F.col("__w"), F.lit(1.0))
     ).drop("__wid", "__w")
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot comparison — the audit step between two crawls /
+    dataset versions: classify every document id as ``added`` (only in
+    new), ``removed`` (only in old), ``changed`` (both, different
+    content digest), or ``unchanged``. Returns (id, status); feed the
+    ``added``+``changed`` slice to `dedup_against_corpus` for
+    incremental ingestion, or diff counts per source for drift reports.
+
+    Scale shape: both sides reduce map-side to (id, md5 digest) — the
+    full texts never meet the join — then ONE full-outer hash join on
+    the id key. No windows, no skew surface (ids are unique per side).
+    """
+    o = old.select(
+        F.col(id_col).alias("__did"), F.md5(F.col(text_col)).alias("__od")
+    )
+    n = new.select(
+        F.col(id_col).alias("__did"), F.md5(F.col(text_col)).alias("__nd")
+    )
+    status = (
+        F.when(F.col("__od").isNull(), F.lit("added"))
+        .when(F.col("__nd").isNull(), F.lit("removed"))
+        .when(F.col("__od") == F.col("__nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "__did", "full_outer").select(
+        F.col("__did").alias(id_col), status.alias("status")
+    )

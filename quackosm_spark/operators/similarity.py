@@ -599,3 +599,96 @@ def pq_topk_reranked(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2 (ties → lowest index) —
+    an array-of-structs min over k broadcast literal expressions, the
+    ``pq_encode`` argmin pattern. Pure Column math, map-only."""
+    scored = F.array(
+        *[
+            F.struct(_sub_l2(vec, c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.sort_array(scored)[0]["cell"]
+
+
+def kmeans_fit_distributed(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 5,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """FULL-CORPUS Lloyd k-means — the scale path when the sample-trained
+    `train_ivf_centroids` isn't representative (heavy tails, rare modes).
+    Initialization is the k lowest-id vectors (the same deterministic
+    init contract as the sample trainer); each Lloyd round is ONE scan:
+
+    - assignment: argmin over k broadcast centroid literals
+      (`_argmin_cell` — Column math, no UDF, no shuffle);
+    - update: a single groupBy(cell) aggregating k×(dim+1) sufficient
+      statistics (per-dimension sums + counts) — the
+      ridge_fit/BPE-distributed pattern: only O(k·dim) doubles ever
+      reach the driver, per round.
+
+    Empty cells keep their previous centroid (the standard degenerate-
+    cell rule, matching the sample trainer). The projected (id, vec)
+    frame is persisted for the duration of the rounds and unpersisted
+    before returning. Consumers: `kmeans_assign` (cluster column for
+    `dedup.semantic_dedup`), IVF cell tables, corpus bucketing.
+    """
+    from pyspark import StorageLevel
+
+    if k < 1:
+        raise ValueError("kmeans_fit_distributed: k must be >= 1")
+    v = F.col(vec_col).cast("array<double>")
+    d = corpus.select(F.col(corpus_id).alias("__kid"), v.alias("__kv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        seed = d.orderBy("__kid").limit(k).collect()
+        if not seed:
+            raise ValueError("kmeans_fit_distributed: empty corpus")
+        centroids = [list(map(float, r["__kv"])) for r in seed]
+        dim = len(centroids[0])
+        for _ in range(iters):
+            cell = _argmin_cell(F.col("__kv"), centroids)
+            rows = (
+                d.groupBy(cell.alias("__cell"))
+                .agg(
+                    F.count(F.lit(1)).alias("__cn"),
+                    *[
+                        F.sum(F.element_at("__kv", i + 1)).alias(f"__s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            for r in rows:
+                n = r["__cn"]
+                if n > 0:
+                    centroids[r["__cell"]] = [
+                        r[f"__s{i}"] / n for i in range(dim)
+                    ]
+        return centroids
+    finally:
+        d.unpersist()
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2 argmin over
+    broadcast literals — map-only, zero shuffles at any scale). Returns
+    (id, cell); pair with `dedup.semantic_duplicates`' cluster input or
+    group-wise corpus statistics."""
+    v = F.col(vec_col).cast("array<double>")
+    return corpus.select(
+        F.col(corpus_id).alias("id"),
+        _argmin_cell(v, centroids).alias("cell"),
+    )

@@ -655,3 +655,169 @@ def neardup_candidates_stream(
         lambda key, pdf: next(kernel(key, [pdf], _BatchNoState())),
         schema=_NEARDUP_OUTPUT_SCHEMA,
     )
+
+
+_ZSCORE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("base_n", LongType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+def _zscore_state_schema():
+    from pyspark.sql.types import ArrayType
+
+    return StructType(
+        [
+            StructField("vals", ArrayType(DoubleType())),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+
+
+def _empty_zscore_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "base_n": pd.Series([], dtype="int64"),
+            "z": pd.Series([], dtype="float64"),
+            "is_anomaly": pd.Series([], dtype="bool"),
+        }
+    )
+
+
+def _zscore_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state,
+    window: int,
+    threshold: float,
+    min_periods: int,
+    ttl_seconds: int,
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful kernel: standardize each event against the mean /
+    sample-stddev of the user's previous ``window`` values (strictly
+    earlier), carrying the bounded value tail in state — O(window) doubles
+    per user. Rows inside a batch process in (ts, event_id) order; an
+    out-of-order event ACROSS micro-batches standardizes against the
+    state as-of arrival (the sessionize first-seen divergence class).
+    State expires once the watermark passes ``last_ts + ttl`` — an idle
+    user's baseline is forgotten and rebuilds cold on return (base_n
+    restarts at 0), which bounds state by ACTIVE users, not lifetime
+    users."""
+    import math
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield _empty_zscore_pdf()
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = rows["ts"].astype("int64") // 1000
+
+    if state.exists:
+        vals, last_ts_us = state.get
+        tail = list(vals)
+    else:
+        tail, last_ts_us = [], None
+
+    ns, zs, flags = [], [], []
+    for v in rows["value"]:
+        frame = tail[-window:]
+        n = len(frame)
+        ns.append(n)
+        z = None
+        if n >= min_periods and n >= 2:
+            m = sum(frame) / n
+            sd = math.sqrt(sum((x - m) ** 2 for x in frame) / (n - 1))
+            if sd >= 1e-9:
+                z = (float(v) - m) / sd
+        zs.append(round(z, 4) + 0.0 if z is not None else None)
+        flags.append(bool(z is not None and abs(z) > threshold))
+        tail.append(float(v))
+        if len(tail) > window:
+            tail = tail[-window:]
+
+    if len(ts_us):
+        t_max = int(ts_us.max())
+        last_ts_us = t_max if last_ts_us is None else max(last_ts_us, t_max)
+    state.update((tail, last_ts_us))
+    state.setTimeoutTimestamp(
+        max(
+            (last_ts_us or 0) // 1000 + ttl_seconds * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "event_id": rows["event_id"].to_numpy(),
+            "user_id": [user_id] * len(rows),
+            "base_n": ns,
+            "z": pd.array(zs, dtype="Float64"),
+            "is_anomaly": flags,
+        }
+    )
+
+
+def zscore_stream(
+    events: DataFrame,
+    window: int = 20,
+    threshold: float = 3.0,
+    min_periods: int = 5,
+    watermark_delay: str = "1 hour",
+    state_ttl_seconds: int = 86400,
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.rolling_zscore``: per user,
+    flag events whose value deviates more than ``threshold`` sample
+    standard deviations from the trailing ``window``-value baseline
+    (strictly earlier values only). ``applyInPandasWithState`` with a
+    bounded per-user value tail and EVENT-TIME TIMEOUT (state expires
+    ``state_ttl_seconds`` after the user's last event passes the
+    watermark — see `_zscore_group` for the cold-restart contract).
+
+    Batch parity: on a batch DataFrame the SAME kernel runs via
+    ``applyInPandas`` with the no-state shim, and matches the
+    window-frame formulation (`temporal.rolling_zscore`) row-for-row on
+    (base_n, z, is_anomaly) — the stream=batch parity test and the
+    contract oracle both pin it. z rounds at 4 decimals with −0.0
+    normalized (the batch operator's display contract); the flag
+    compares the raw z.
+    """
+    from functools import partial
+
+    kernel = partial(
+        _zscore_group,
+        window=window,
+        threshold=threshold,
+        min_periods=min_periods,
+        ttl_seconds=state_ttl_seconds,
+    )
+    if events.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return (
+            events.withWatermark("ts", watermark_delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                kernel,
+                outputStructType=_ZSCORE_OUTPUT_SCHEMA,
+                stateStructType=_zscore_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    def _batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return next(kernel(key, [pdf], _BatchNoState()))
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_batch_fn, schema=_ZSCORE_OUTPUT_SCHEMA)
+    )

@@ -1357,3 +1357,62 @@ def test_soft_dedup_weights_cluster_mass(spark):
     out2 = {r.doc_id: r.sample_weight
             for r in D.soft_dedup_weights(df, pairs=pairs).collect()}
     assert out2[4] == 0.5 and out2[5] == 0.5 and out2[1] == 1.0
+
+
+def test_snapshot_diff_four_statuses(spark):
+    """r08: added/removed/changed/unchanged classification on crafted
+    snapshots; ids unique per side; digests compared, not texts."""
+    from quackosm_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma EDITED"), (4, "delta")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_kmeans_distributed_matches_numpy_lloyd(spark):
+    """r08: full-corpus Lloyd — same init (k lowest ids), same rounds,
+    same degenerate-cell rule as an independent numpy Lloyd; centroids
+    agree to 1e-9 and assignments exactly, on well-separated clusters."""
+    import numpy as np
+
+    from quackosm_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit_distributed,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0, 0, 0], [10, 10, 10], [-10, 5, 0]], dtype=float)
+    pts = np.vstack([c + rng.randn(40, 3) * 0.5 for c in centers])
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    got = kmeans_fit_distributed(df, k=3, iters=4)
+
+    cent = pts[:3].copy()
+    for _ in range(4):
+        dist = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cells = dist.argmin(axis=1)
+        for c in range(3):
+            m = pts[cells == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    assert np.allclose(np.array(got), cent, atol=1e-9)
+
+    assign = {r.id: r.cell for r in kmeans_assign(df, got).collect()}
+    ref = ((pts[:, None, :] - np.array(got)[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert all(assign[i] == ref[i] for i in range(len(pts)))
+    # validation + degenerate input
+    with pytest.raises(ValueError):
+        kmeans_fit_distributed(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_fit_distributed(df.where("vec_id < 0"), k=2)
+    # k > n: seeds cap at the corpus, every vector its own cell
+    tiny = df.where("vec_id < 2")
+    cents = kmeans_fit_distributed(tiny, k=5, iters=1)
+    assert len(cents) == 2

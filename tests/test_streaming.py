@@ -680,3 +680,60 @@ def test_sessionize_batch_matches_kernel_shim(spark):
         for r in sessionize_batch(ev, 1800).collect()
     }
     assert window == kernel
+
+
+def test_zscore_stream_matches_batch_window(spark, events_batch, events_dir):
+    from quackosm_spark.operators.temporal import rolling_zscore
+    from quackosm_spark.streaming import zscore_stream
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        zscore_stream(stream, window=10, threshold=1.5, min_periods=3)
+        .writeStream.format("memory")
+        .queryName("zscores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: (r.base_n, r.z, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM zscores").collect()
+    }
+
+    batch = rolling_zscore(
+        events_batch.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], ["ts", "event_id"],
+        window=10, threshold=1.5, min_periods=3,
+    )
+    expect = {
+        r.event_id: (r.base_n, r.z, bool(r.is_anomaly))
+        for r in batch.collect()
+    }
+    assert len(got) == len(expect) > 0
+    assert sum(1 for _, _, f in got.values() if f) > 0  # anomalies fire
+    assert got == expect
+
+
+def test_zscore_kernel_batch_shim_matches_window_operator(spark, events_batch):
+    """The same kernel on a batch DataFrame (no-state shim) must equal the
+    window-frame operator row-for-row — the parity that makes the q127
+    oracle a valid pin for the streaming kernel."""
+    from quackosm_spark.operators.temporal import rolling_zscore
+    from quackosm_spark.streaming import zscore_stream
+
+    got = {
+        r.event_id: (r.base_n, r.z, bool(r.is_anomaly))
+        for r in zscore_stream(
+            events_batch, window=10, threshold=1.5, min_periods=3
+        ).collect()
+    }
+    expect = {
+        r.event_id: (r.base_n, r.z, bool(r.is_anomaly))
+        for r in rolling_zscore(
+            events_batch.select("event_id", "user_id", "ts", "value"),
+            ["user_id"], ["ts", "event_id"],
+            window=10, threshold=1.5, min_periods=3,
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
