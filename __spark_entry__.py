@@ -2646,15 +2646,15 @@ _DRIVER_PRIORITY = [
     "q45_event_quantiles", "q82_winsorize", "q120_global_quantiles",
     "q60_quality_deciles", "q43_unigram_logprob", "q106_logprob_band",
     "q117_hybrid_mapped", "q105_hybrid_rrf",
-    # (c) fill to 50: oldest of the r6 window; the remainder of the r6
-    # cohort rotates in next round
-    "q19_embedding_neardup", "q21_text_analysis", "q22_langid",
-    "q23_fingerprint", "q24_events_window", "q38_pii_scan",
-    "q39_repetition_ratio", "q40_pack_sequences",
-    "q49_ivf_fullprobe",
-    # (d) new queries need first driver evidence (q121/q122 precedent);
-    # q41_deterministic_sample / q54_event_deltas yield their fill slots
-    # and rotate next round
+    # (c) fill: oldest of the r6 window — trimmed to TWO slots this round
+    # so every NEW query fits inside the driver's 50-query hash window
+    # (the rest of the r6 cohort has r6 rows, i.e. <=2 rounds old after
+    # r8, and rotates next round)
+    "q19_embedding_neardup", "q21_text_analysis",
+    # (d) new r8 queries need first driver evidence (q121/q122
+    # precedent): the token-budget pair, then the second-wave operators
+    # (temperature mixing, soft-dedup, rolling z-score, percent-rank
+    # normalization, the streaming z-kernel, snapshot diff, k-means)
     "q123_token_budget", "q124_token_budget_grouped",
     "q125_temperature_mix", "q126_soft_dedup", "q127_rolling_zscore",
     "q128_percent_rank_norm", "q129_zscore_kernel", "q130_snapshot_diff",

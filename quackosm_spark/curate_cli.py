@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(DSIR importance weights over hashed unigrams)")
     p.add_argument("--dsir-keep-fraction", type=float, default=0.5)
     p.add_argument("--budgets", help='Per-source token budgets as JSON, e.g. \'{"web": 1000000}\'')
+    p.add_argument("--temperature-total-docs", type=int,
+                   help="Temperature-scaled source mixing: rebalance the "
+                        "surviving corpus to ~N docs with per-source quotas "
+                        "proportional to n**alpha (mix.temperature_sample)")
+    p.add_argument("--temperature-alpha", type=float, default=0.5)
+    p.add_argument("--temperature-group-col", default="source")
     p.add_argument("--default-budget", type=int, default=10_000)
     p.add_argument("--pack-capacity", type=int, help="Sequence-packing token capacity")
     p.add_argument("--shard-target-tokens", type=int,
@@ -114,6 +120,9 @@ def main(argv: Optional[list[str]] = None) -> str:
         dsir_keep_fraction=args.dsir_keep_fraction,
         budgets=budgets,
         default_budget=args.default_budget,
+        temperature_total_docs=args.temperature_total_docs,
+        temperature_alpha=args.temperature_alpha,
+        temperature_group_col=args.temperature_group_col,
         pack_capacity=args.pack_capacity,
         shard_target_tokens=args.shard_target_tokens,
         bpe_merges=merges,

@@ -55,6 +55,9 @@ def curate_corpus(
     dsir_keep_fraction: float = 0.5,
     budgets: dict[str, int] | None = None,
     default_budget: int = 10_000,
+    temperature_total_docs: int | None = None,
+    temperature_alpha: float = 0.5,
+    temperature_group_col: str = "source",
     total_token_budget: int | None = None,
     pack_capacity: int | None = None,
     shard_target_tokens: int | None = None,
@@ -255,6 +258,24 @@ def curate_corpus(
             F.col("doc_id").alias(id_col)
         )
         out = _note("decontaminated", out.join(flagged, id_col, "left_anti"))
+
+    # 4b. temperature-scaled source mixing (mix.temperature_sample):
+    # rebalance the SURVIVING corpus across sources by the n**alpha rule
+    # before token budgeting — the standard fix for head-source
+    # domination (upsample the tail without replacement). Runs after
+    # dedup/filters/decontamination so quotas reflect what actually
+    # remains.
+    if temperature_total_docs is not None:
+        out = _note(
+            "temperature_mix",
+            X.temperature_sample(
+                out,
+                temperature_total_docs,
+                alpha=temperature_alpha,
+                group_col=temperature_group_col,
+                id_col=id_col,
+            ),
+        )
 
     # 5. per-source token budgets in deterministic shuffle order
     if budgets is not None:

@@ -253,3 +253,30 @@ def test_curate_corpus_total_token_budget_stage(spark):
         F.sum(token_count("text").cast("bigint"))
     ).collect()[0][0]
     assert kept_tokens <= 5_000
+
+
+def test_curate_corpus_temperature_mix_stage(spark):
+    """r08: the temperature stage rebalances SURVIVING docs across sources
+    (quota ∝ n**alpha, md5 selection) and composes with the downstream
+    token budget; deterministic across runs."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out, report = curate_corpus(
+        docs, near_dup=False,
+        temperature_total_docs=150, temperature_alpha=0.0,
+    )
+    assert list(report) == ["input", "exact_dedup", "quality", "temperature_mix"]
+    assert report["temperature_mix"] <= 150
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    # alpha=0 → equal quotas: every surviving source contributes the same
+    # count unless it saturated (smaller than its quota)
+    quotas = set(per.values())
+    assert len(quotas) <= 2  # the common quota + possibly saturated groups
+    # deterministic
+    out2, report2 = curate_corpus(
+        docs, near_dup=False,
+        temperature_total_docs=150, temperature_alpha=0.0,
+    )
+    assert report2 == report
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
