@@ -2491,6 +2491,30 @@ def q131_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics (skew.key_skew_report): the 20 hottest
+    join keys with count + corpus fraction — the read-before-salting
+    report. One groupBy + broadcast grand total; the ordered limit plans
+    as TakeOrderedAndProject (only top_k rows leave the aggregate)."""
+    from quackosm_spark.operators.skew import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_report(li, ["l_suppkey"], top_k=20)
+
+
+def q133_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture epoch planner (mix.epoch_plan): target weights + a token
+    budget → per-source target tokens and implied EPOCHS (>1 = the
+    source repeats). One sufficient-stats groupBy; the rest is literal
+    arithmetic over a sources-sized frame."""
+    from quackosm_spark.operators.mix import epoch_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_plan(
+        docs, {"src0": 2.0, "src1": 1.0, "src3": 1.0}, total_tokens=1_000_000
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2646,11 +2670,9 @@ _DRIVER_PRIORITY = [
     "q45_event_quantiles", "q82_winsorize", "q120_global_quantiles",
     "q60_quality_deciles", "q43_unigram_logprob", "q106_logprob_band",
     "q117_hybrid_mapped", "q105_hybrid_rrf",
-    # (c) fill: oldest of the r6 window — trimmed to TWO slots this round
-    # so every NEW query fits inside the driver's 50-query hash window
-    # (the rest of the r6 cohort has r6 rows, i.e. <=2 rounds old after
-    # r8, and rotates next round)
-    "q19_embedding_neardup", "q21_text_analysis",
+    # (c) fill slots all yielded to new queries this round (the r6
+    # cohort incl. q19/q21 has r6 driver rows — <=2 rounds old after r8 —
+    # and leads the r9 rotation)
     # (d) new r8 queries need first driver evidence (q121/q122
     # precedent): the token-budget pair, then the second-wave operators
     # (temperature mixing, soft-dedup, rolling z-score, percent-rank
@@ -2658,8 +2680,8 @@ _DRIVER_PRIORITY = [
     "q123_token_budget", "q124_token_budget_grouped",
     "q125_temperature_mix", "q126_soft_dedup", "q127_rolling_zscore",
     "q128_percent_rank_norm", "q129_zscore_kernel", "q130_snapshot_diff",
-    "q131_kmeans_cells",
-]
+    "q131_kmeans_cells", "q132_key_skew", "q133_epoch_plan",
+]  # exactly 50: the driver hash-checks the first 50 in this order
 
 
 def _driver_order(d: dict) -> dict:
@@ -2801,6 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_zscore_kernel": q129_zscore_kernel,
         "q130_snapshot_diff": q130_snapshot_diff,
         "q131_kmeans_cells": q131_kmeans_cells,
+        "q132_key_skew": q132_key_skew,
+        "q133_epoch_plan": q133_epoch_plan,
     })
 
 
@@ -4492,6 +4516,33 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rn
             FROM v CROSS JOIN c2 c
         ) WHERE rn = 1
+    """
+    out["q132_key_skew"] = """
+        SELECT l_suppkey, n, round(n / tot, 6) AS frac FROM (
+            SELECT l_suppkey, count(*) AS n,
+                   sum(count(*)) OVER () AS tot
+            FROM lineitem GROUP BY l_suppkey
+        ) ORDER BY n DESC, l_suppkey ASC LIMIT 20
+    """
+    out["q133_epoch_plan"] = """
+        WITH avail AS (
+            SELECT source,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END::BIGINT) AS BIGINT) AS available_tokens
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src3')
+            GROUP BY source
+        )
+        SELECT source, available_tokens,
+               round(w, 6) AS weight,
+               CAST(floor(w * 1000000) AS BIGINT) AS target_tokens,
+               CASE WHEN available_tokens > 0
+                    THEN round(floor(w * 1000000) / available_tokens, 4)
+               END AS epochs
+        FROM (SELECT source, available_tokens,
+                     CASE source WHEN 'src0' THEN 0.5::DOUBLE WHEN 'src1' THEN 0.25::DOUBLE WHEN 'src3' THEN 0.25::DOUBLE END AS w
+              FROM avail)
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

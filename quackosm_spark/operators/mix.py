@@ -716,3 +716,69 @@ def temperature_sample(
         .where(F.col("__off") + F.col("__rn") <= F.col("__quota"))
         .select(*docs.columns)
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Mixture EPOCH planner (the GPT-3-style "weight in training mix vs
+    epochs elapsed" table): given target mixture ``weights`` and a total
+    token budget, compute per-source target tokens and the number of
+    EPOCHS of each source that budget implies — ``epochs > 1`` means the
+    source repeats (upsampling), ``< 1`` means it's subsampled. The
+    planning complement of `temperature_sample` (which selects docs) and
+    `budget_sample` (which enforces caps): run the plan first, then pick
+    the enforcement operator.
+
+    Weights are normalized over the sources present in ``weights``;
+    sources absent from the dict are excluded (plan only what you mix).
+    Returns one row per weighted source: (source, available_tokens,
+    weight, target_tokens, epochs) — ``epochs = round(target/available,
+    4)``, NULL for a source with zero available tokens. One groupBy
+    shuffle of (source, token-sum) sufficient stats; everything after is
+    literal Column arithmetic over a sources-sized frame.
+    """
+    if not weights:
+        raise ValueError("epoch_plan: weights must be non-empty")
+    if total_tokens < 0:
+        raise ValueError("epoch_plan: total_tokens must be >= 0")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("epoch_plan: weights must be >= 0")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("epoch_plan: weights must sum to > 0")
+    tokens = (
+        token_count(text_col) if tokens_col is None else F.col(tokens_col)
+    ).cast("bigint")
+    avail = docs.groupBy(group_col).agg(F.sum(tokens).alias("available_tokens"))
+
+    norm = {s: w / wsum for s, w in weights.items()}
+    wcol = None
+    for s, w in sorted(norm.items()):
+        wcol = (
+            F.when(F.col(group_col) == s, F.lit(w))
+            if wcol is None
+            else wcol.when(F.col(group_col) == s, F.lit(w))
+        )
+    out = avail.where(
+        F.col(group_col).isin(list(weights))
+    ).select(
+        group_col,
+        "available_tokens",
+        F.round(wcol, 6).alias("weight"),
+        F.floor(wcol * F.lit(float(total_tokens))).alias("target_tokens"),
+    )
+    return out.withColumn(
+        "epochs",
+        F.when(
+            F.col("available_tokens") > 0,
+            F.round(
+                F.col("target_tokens") / F.col("available_tokens"), 4
+            ),
+        ),
+    )

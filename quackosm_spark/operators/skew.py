@@ -88,3 +88,34 @@ def salted_count_distinct(
         .groupBy(group_col)
         .agg(F.sum("__n").alias("n_distinct"))
     )
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/shuffle-skew diagnostics: the ``top_k`` hottest key tuples with
+    row count and corpus fraction — the table you read BEFORE deciding a
+    join needs `salted_join` or AQE skew hints (a single key holding >1%
+    of a 100 TB fact table is the difference between 32 even tasks and
+    one 3-hour straggler).
+
+    One groupBy shuffle on the keys; the grand total rides a 1-row
+    broadcast; ordering (count DESC, keys ASC — deterministic under ties)
+    + LIMIT plans as TakeOrderedAndProject, so only ``top_k`` rows ever
+    leave the aggregate. ``frac`` rounds at 6 (the engine-portability
+    contract). NULL keys count as real groups, like any groupBy.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("frac"),
+        )
+        .orderBy(F.col("n").desc(), *[F.asc(k) for k in keys])
+        .limit(top_k)
+    )

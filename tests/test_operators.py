@@ -1416,3 +1416,34 @@ def test_kmeans_distributed_matches_numpy_lloyd(spark):
     tiny = df.where("vec_id < 2")
     cents = kmeans_fit_distributed(tiny, k=5, iters=1)
     assert len(cents) == 2
+
+
+def test_epoch_plan_targets_and_epochs(spark):
+    """r08: normalized weights, floor targets, epochs = target/available;
+    unweighted sources excluded; zero-available -> NULL epochs."""
+    from quackosm_spark.operators.mix import epoch_plan
+
+    rows = [
+        (1, "a b c d", "web"),        # 4 tokens
+        (2, "a b", "web"),            # 2
+        (3, "x y z", "books"),        # 3
+        (4, "", "empty"),             # 0
+        (5, "q r s t u", "ignored"),  # not in weights
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    got = {
+        r.source: (r.available_tokens, r.weight, r.target_tokens, r.epochs)
+        for r in epoch_plan(
+            df, {"web": 3.0, "books": 1.0, "empty": 0.0}, total_tokens=12
+        ).collect()
+    }
+    assert set(got) == {"web", "books", "empty"}
+    assert got["web"] == (6, 0.75, 9, 1.5)
+    assert got["books"] == (3, 0.25, 3, 1.0)
+    assert got["empty"][0] == 0 and got["empty"][3] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        epoch_plan(df, {}, 10)
+    with _pytest.raises(ValueError):
+        epoch_plan(df, {"web": -1.0, "books": 1.0}, 10)

@@ -62,3 +62,21 @@ def test_salted_count_distinct_exact(spark):
     )
     got = {r.g: r.n_distinct for r in salted_count_distinct(df, "g", "v").collect()}
     assert got == {"g1": 7, "g2": 13}
+
+
+def test_key_skew_report_ranks_hot_keys(spark):
+    """r08: counts, fractions, deterministic tie order, NULL-key group."""
+    from pyspark.sql import functions as F
+
+    from quackosm_spark.operators.skew import key_skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5
+    rows += [(None,)] * 0
+    df = spark.createDataFrame(rows, "k: string")
+    got = key_skew_report(df, ["k"], top_k=3).collect()
+    assert [(r.k, r.n, r.frac) for r in got] == [
+        ("hot", 60, 0.6), ("warm", 30, 0.3), ("a", 5, 0.05)]
+    # NULL keys are a real group
+    df2 = df.union(spark.createDataFrame([(None,)] * 70, "k: string"))
+    top = key_skew_report(df2, ["k"], top_k=1).collect()[0]
+    assert top.k is None and top.n == 70
