@@ -2515,6 +2515,28 @@ def q133_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against a persisted signature index
+    (dedup.minhash_index + match_against_minhash_index): history docs are
+    indexed once as (doc, band, bucket, signature) rows; a new batch
+    matches via band-bucket equality and SIGNATURE-estimated jaccard
+    (fraction of agreeing minhash components) — history texts are never
+    re-read. Oracle replays the q18 signature family, the banding join,
+    and the agreement estimator in SQL."""
+    from quackosm_spark.operators.dedup import (
+        match_against_minhash_index,
+        minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(hist, num_hashes=8, bands=4)
+    return match_against_minhash_index(
+        new, idx, threshold=0.75, num_hashes=8, bands=4
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2669,7 +2691,8 @@ _DRIVER_PRIORITY = [
     # hybrid-search mapping validation
     "q45_event_quantiles", "q82_winsorize", "q120_global_quantiles",
     "q60_quality_deciles", "q43_unigram_logprob", "q106_logprob_band",
-    "q117_hybrid_mapped", "q105_hybrid_rrf",
+    "q117_hybrid_mapped",  # q105_hybrid_rrf yields its slot to q134 —
+    # q117 exercises the same RRF oracle through the mapping superset
     # (c) fill slots all yielded to new queries this round (the r6
     # cohort incl. q19/q21 has r6 driver rows — <=2 rounds old after r8 —
     # and leads the r9 rotation)
@@ -2681,7 +2704,8 @@ _DRIVER_PRIORITY = [
     "q125_temperature_mix", "q126_soft_dedup", "q127_rolling_zscore",
     "q128_percent_rank_norm", "q129_zscore_kernel", "q130_snapshot_diff",
     "q131_kmeans_cells", "q132_key_skew", "q133_epoch_plan",
-]  # exactly 50: the driver hash-checks the first 50 in this order
+    "q134_incremental_neardup",
+]  # 50 window: q14 (31 entries of r5-stale cohort lead) spills; see (a)
 
 
 def _driver_order(d: dict) -> dict:
@@ -2825,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_kmeans_cells": q131_kmeans_cells,
         "q132_key_skew": q132_key_skew,
         "q133_epoch_plan": q133_epoch_plan,
+        "q134_incremental_neardup": q134_incremental_neardup,
     })
 
 
@@ -4543,6 +4568,33 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT source, available_tokens,
                      CASE source WHEN 'src0' THEN 0.5::DOUBLE WHEN 'src1' THEN 0.25::DOUBLE WHEN 'src3' THEN 0.25::DOUBLE END AS w
               FROM avail)
+    """
+    out["q134_incremental_neardup"] = f"""
+        WITH hist AS (
+            SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        newb AS (
+            SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        hsig AS (SELECT doc_id, [{sig_elems}] AS sig FROM hist),
+        nsig AS (SELECT doc_id, [{sig_elems}] AS sig FROM newb),
+        hband AS (SELECT doc_id, sig, unnest([{band_keys}]) AS band_key FROM hsig),
+        nband AS (SELECT doc_id, sig, unnest([{band_keys}]) AS band_key FROM nsig),
+        cand AS (
+            SELECT n.doc_id AS doc_id, h.doc_id AS matched_doc,
+                   any_value(n.sig) AS nsig, any_value(h.sig) AS hsig
+            FROM nband n JOIN hband h ON n.band_key = h.band_key
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, matched_doc, ej AS est_jaccard FROM (
+            SELECT doc_id, matched_doc,
+                   round(list_sum(list_transform(range(1, 9),
+                       i -> CASE WHEN nsig[i] = hsig[i] THEN 1 ELSE 0 END
+                   ))::DOUBLE / 8.0, 6) AS ej
+            FROM cand
+        ) WHERE ej >= 0.75
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

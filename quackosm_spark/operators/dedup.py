@@ -1197,3 +1197,97 @@ def snapshot_diff(
     return o.join(n, "__did", "full_outer").select(
         F.col("__did").alias(id_col), status.alias("status")
     )
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Build the PERSISTABLE near-duplicate index of a corpus: one row per
+    (doc, band) with the LSH bucket key and the doc's full minhash
+    signature — ``(doc_id, sig, band, band_key)``. Write it as parquet
+    (partition by ``band`` if bucket-pruned lookups matter) and APPEND
+    each ingested batch's index rows: history never needs re-shingling.
+    The incremental-lookup counterpart of the one-shot
+    `minhash_lsh_candidates`; pair with `match_against_minhash_index`.
+    Texts never enter the index — it is signature-only by design, so it
+    is small (n_docs × bands rows) and privacy-friendlier than a text
+    mirror."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle)
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            minhash_band_array(F.col("sig"), num_hashes, bands)
+        ).alias("band", "band_key"),
+    )
+
+
+def match_against_minhash_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Incremental NEAR-dup lookup: match a new batch against a persisted
+    `minhash_index` WITHOUT touching the history's texts. Candidates come
+    from band-bucket equality (the q18 banding); each candidate pair is
+    then scored by SIGNATURE-estimated jaccard — the fraction of agreeing
+    minhash components, the standard unbiased estimator — and pairs at or
+    above ``threshold`` are returned as ``(doc_id, matched_doc,
+    est_jaccard)``. ``num_hashes``/``bands``/``shingle`` must match the
+    index build (the signature family is the contract between batches).
+
+    Estimated-not-exact is the explicit trade: exact verification
+    (`verify_candidate_pairs`) needs both texts, which an incremental
+    pipeline no longer has for history. At 16 hashes the estimator's σ is
+    ~0.12 at j=0.5; raise ``num_hashes`` in the index when the decision
+    threshold needs tighter bands. Scale shape: the join is bounded by
+    band-bucket sizes (never corpus²), the agreement score is pure
+    Column math, and history cost is an index SCAN, not a re-shingle.
+    Drop the flagged ids (anti-join) for ingestion, or keep the pairs
+    for audit; `dedup_against_corpus` remains the EXACT-duplicate
+    incremental path.
+    """
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle)
+    new_banded = new_sigs.select(
+        F.col("doc_id").alias("__nid"),
+        F.col("sig").alias("__nsig"),
+        F.explode(
+            minhash_band_array(F.col("sig"), num_hashes, bands)
+        ).alias("band_key"),
+    )
+    hist = index.select(
+        F.col("doc_id").alias("__hid"),
+        F.col("sig").alias("__hsig"),
+        "band_key",
+    )
+    cand = (
+        new_banded.join(hist, "band_key")
+        .groupBy("__nid", "__hid")
+        .agg(F.first("__nsig").alias("__nsig"), F.first("__hsig").alias("__hsig"))
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("__nsig"), F.col("__hsig"),
+            lambda a, b: (a == b).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = F.round(agree.cast("double") / F.lit(float(num_hashes)), 6)
+    return (
+        cand.select(
+            F.col("__nid").alias(id_col),
+            F.col("__hid").alias("matched_doc"),
+            est.alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )

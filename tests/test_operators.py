@@ -1447,3 +1447,50 @@ def test_epoch_plan_targets_and_epochs(spark):
         epoch_plan(df, {}, 10)
     with _pytest.raises(ValueError):
         epoch_plan(df, {"web": -1.0, "books": 1.0}, 10)
+
+
+def test_minhash_index_incremental_matching(spark):
+    """r08: history indexed once (signature-only rows), a new batch
+    matches by banding + signature-agreement estimate; planted near-dups
+    found, unrelated docs not; parquet round-trip preserves matching;
+    anti-join ingestion drops exactly the flagged docs."""
+    import tempfile
+
+    from quackosm_spark.operators.dedup import (
+        match_against_minhash_index,
+        minhash_index,
+    )
+
+    hist_rows = [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (12, "an entirely different sentence about parquet files"),
+    ]
+    new_rows = [
+        (21, "the quick brown fox jumps over the lazy dog today"),   # dup of 10
+        (23, "the quick brown fox jumps over the lazy cat today"),   # near 10
+        (25, "completely unrelated text with novel words only"),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id: long, text: string")
+    new = spark.createDataFrame(new_rows, "doc_id: long, text: string")
+
+    idx = minhash_index(hist, num_hashes=16, bands=4)
+    assert idx.count() == len(hist_rows) * 4            # one row per band
+    with tempfile.TemporaryDirectory() as d:
+        idx.write.parquet(f"{d}/idx")                   # the persistence path
+        loaded = spark.read.parquet(f"{d}/idx")
+        got = {
+            (r.doc_id, r.matched_doc): r.est_jaccard
+            for r in match_against_minhash_index(
+                new, loaded, threshold=0.5, num_hashes=16, bands=4
+            ).collect()
+        }
+    assert got[(21, 10)] == 1.0                         # exact dup: all agree
+    assert (23, 10) in got and got[(23, 10)] >= 0.5     # near dup found
+    assert all(nid != 25 for nid, _ in got)             # unrelated not flagged
+    assert all(hid != 12 for _, hid in got)
+    # ingestion: anti-join drops exactly the flagged new docs
+    flagged = spark.createDataFrame(
+        [(i,) for i, _ in got], "doc_id: long"
+    )
+    kept = new.join(flagged, "doc_id", "left_anti")
+    assert {r.doc_id for r in kept.collect()} == {25}
