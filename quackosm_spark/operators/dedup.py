@@ -1181,17 +1181,27 @@ def snapshot_diff(
     Scale shape: both sides reduce map-side to (id, md5 digest) — the
     full texts never meet the join — then ONE full-outer hash join on
     the id key. No windows, no skew surface (ids are unique per side).
+
+    Presence is carried as an explicit flag per side (NOT inferred from
+    digest nullness): a document with NULL text still *exists* on its
+    side, so it classifies by id presence, and the changed/unchanged
+    split compares digests null-safely (NULL text == NULL text is
+    unchanged; NULL vs non-NULL is changed).
     """
     o = old.select(
-        F.col(id_col).alias("__did"), F.md5(F.col(text_col)).alias("__od")
+        F.col(id_col).alias("__did"),
+        F.md5(F.col(text_col)).alias("__od"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("__did"), F.md5(F.col(text_col)).alias("__nd")
+        F.col(id_col).alias("__did"),
+        F.md5(F.col(text_col)).alias("__nd"),
+        F.lit(True).alias("__in_new"),
     )
     status = (
-        F.when(F.col("__od").isNull(), F.lit("added"))
-        .when(F.col("__nd").isNull(), F.lit("removed"))
-        .when(F.col("__od") == F.col("__nd"), F.lit("unchanged"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__od").eqNullSafe(F.col("__nd")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return o.join(n, "__did", "full_outer").select(
@@ -1235,6 +1245,7 @@ def match_against_minhash_index(
     num_hashes: int = 16,
     bands: int = 4,
     shingle: int = DEFAULT_SHINGLE,
+    exact_verify_new: bool = False,
 ) -> DataFrame:
     """Incremental NEAR-dup lookup: match a new batch against a persisted
     `minhash_index` WITHOUT touching the history's texts. Candidates come
@@ -1255,6 +1266,18 @@ def match_against_minhash_index(
     Drop the flagged ids (anti-join) for ingestion, or keep the pairs
     for audit; `dedup_against_corpus` remains the EXACT-duplicate
     incremental path.
+
+    TWO-TIER semantics with ``exact_verify_new=True``: matched pairs
+    whose ``matched_doc`` is itself in the new batch (its text IS
+    available — the index may already contain the batch's appended
+    rows, or the batch self-collides) are re-scored with the TRUE
+    shingle jaccard (`verify_candidate_pairs`) and kept only when the
+    exact score clears ``threshold``; new×history pairs stay
+    estimator-gated, since history texts are gone by design. Output
+    gains two columns: ``jaccard`` (exact, NULL on the estimated tier)
+    and ``tier`` ('exact' | 'estimated'). The extra cost is one
+    shingle pass over the new batch joined to ONLY the already-matched
+    pairs — no new pair surface.
     """
     new_sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle)
     new_banded = new_sigs.select(
@@ -1283,11 +1306,45 @@ def match_against_minhash_index(
         lambda acc, x: acc + x,
     )
     est = F.round(agree.cast("double") / F.lit(float(num_hashes)), 6)
-    return (
-        cand.select(
-            F.col("__nid").alias(id_col),
-            F.col("__hid").alias("matched_doc"),
-            est.alias("est_jaccard"),
-        )
-        .where(F.col("est_jaccard") >= threshold)
+    matches = cand.select(
+        F.col("__nid").alias(id_col),
+        F.col("__hid").alias("matched_doc"),
+        est.alias("est_jaccard"),
+    ).where(F.col("est_jaccard") >= threshold)
+    if not exact_verify_new:
+        return matches
+    # no broadcast hint: the ids side is batch-sized (can be large);
+    # let AQE pick broadcast vs shuffle from observed size.
+    new_ids = new_docs.select(F.col(id_col).alias("matched_doc")).distinct()
+    nn = matches.join(new_ids, "matched_doc", "left_semi")
+    nh = matches.join(new_ids, "matched_doc", "left_anti")
+    exact = verify_candidate_pairs(
+        new_docs,
+        nn.select(
+            F.col(id_col).alias("__va"), F.col("matched_doc").alias("__vb")
+        ),
+        id_col=id_col,
+        text_col=text_col,
+        a_col="__va",
+        b_col="__vb",
+        min_jaccard=threshold,
+        shingle=shingle,
     )
+    verified = nn.join(
+        exact.select(
+            F.col("__va").alias(id_col),
+            F.col("__vb").alias("matched_doc"),
+            "jaccard",
+        ),
+        [id_col, "matched_doc"],
+        "inner",
+    ).select(
+        id_col, "matched_doc", "est_jaccard", "jaccard",
+        F.lit("exact").alias("tier"),
+    )
+    estimated = nh.select(
+        id_col, "matched_doc", "est_jaccard",
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit("estimated").alias("tier"),
+    )
+    return verified.unionByName(estimated)

@@ -15,6 +15,42 @@ from pyspark.sql import functions as F
 
 from quackosm_spark.operators.text import token_count
 
+# Driver-collect cardinality contract for the quota-table operators
+# (temperature_sample / token_budget_filter / interleave_sources): the
+# group column must be a genuinely low-cardinality mixture key (source,
+# domain, language — dozens to a few hundred values). The quota table
+# they collect is groups×256 rows; past this bound a mistakenly-passed
+# high-cardinality key (e.g. doc_id) would OOM the driver silently.
+MAX_QUOTA_GROUPS = 10_000
+
+
+def _collect_quota_rows(counts_df: DataFrame, group_col: str, op_name: str):
+    """Enforce the MAX_QUOTA_GROUPS contract, then collect the quota
+    table. The aggregate is persisted so the base table is scanned ONCE:
+    the distinct-group count runs executor-side over the cached
+    aggregate (a violating aggregate is large but spillable — it never
+    reaches the driver), and only a contract-respecting table is
+    collected."""
+    from pyspark import StorageLevel
+
+    counts_df = counts_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = counts_df.agg(
+            F.countDistinct(F.col(group_col)).alias("n")
+        ).collect()[0]["n"]
+        if n > MAX_QUOTA_GROUPS:
+            raise ValueError(
+                f"{op_name}: group column {group_col!r} has {n} distinct "
+                f"values — over the driver-collect contract of "
+                f"<= {MAX_QUOTA_GROUPS} mixture groups (these operators "
+                "collect a groups×256 quota table to the driver). Pass a "
+                "low-cardinality source/domain key, not a row id; for "
+                "high-cardinality grouping use assign_token_shards."
+            )
+        return counts_df.collect()
+    finally:
+        counts_df.unpersist()
+
 
 def pack_sequences(
     docs: DataFrame,
@@ -305,11 +341,13 @@ def interleave_sources(
     # each source (bucket-ascending ≡ md5-ascending) + per-source sizes
     counts = sorted(
         ((r["src"], r["b"]), r["n"])
-        for r in d.groupBy(
-            F.col(source_col).alias("src"), F.col("_bkt").alias("b")
+        for r in _collect_quota_rows(
+            d.groupBy(
+                F.col(source_col).alias("src"), F.col("_bkt").alias("b")
+            ).agg(F.count("*").alias("n")),
+            "src",
+            "interleave_sources",
         )
-        .agg(F.count("*").alias("n"))
-        .collect()
     )
     offset_rows = []
     sizes_map: dict = {}
@@ -508,10 +546,13 @@ def token_budget_filter(
     # prefix + total on the driver (groups×257 rows — same collect
     # contract as interleave's sources×256 table). Invalid rows weigh 0.
     weff = F.when(F.col("_bkt") < n_range, F.col("n_tokens")).otherwise(F.lit(0))
+    counts_df = d.groupBy(*groups, F.col("_bkt").alias("b")).agg(
+        F.sum(weff).alias("s")
+    )
     rows = (
-        d.groupBy(*groups, F.col("_bkt").alias("b"))
-        .agg(F.sum(weff).alias("s"))
-        .collect()
+        _collect_quota_rows(counts_df, group_col, "token_budget_filter")
+        if group_col is not None
+        else counts_df.collect()  # ungrouped: at most 257 rows
     )
     per_group: dict = {}
     for r in rows:
@@ -680,7 +721,11 @@ def temperature_sample(
     # pass 1: per-(group, bucket) counts -> driver (groups x 256 rows, the
     # token_budget_filter collect contract). Group totals, temperature
     # shares, quotas, and exclusive bucket offsets all derive from it.
-    rows = d.groupBy(group_col, "__bkt").agg(F.count(F.lit(1)).alias("__c")).collect()
+    rows = _collect_quota_rows(
+        d.groupBy(group_col, "__bkt").agg(F.count(F.lit(1)).alias("__c")),
+        group_col,
+        "temperature_sample",
+    )
     per_group: dict = {}
     for r in rows:
         per_group.setdefault(r[group_col], {})[r["__bkt"]] = r["__c"]
@@ -737,11 +782,16 @@ def epoch_plan(
 
     Weights are normalized over the sources present in ``weights``;
     sources absent from the dict are excluded (plan only what you mix).
-    Returns one row per weighted source: (source, available_tokens,
-    weight, target_tokens, epochs) — ``epochs = round(target/available,
-    4)``, NULL for a source with zero available tokens. One groupBy
-    shuffle of (source, token-sum) sufficient stats; everything after is
-    literal Column arithmetic over a sources-sized frame.
+    Returns one row per weighted source — INCLUDING a weighted source
+    with ZERO documents in ``docs`` (available_tokens=0, epochs=NULL):
+    that is exactly the misconfigured-source signal the plan exists to
+    surface, so it must not vanish from the output. Columns: (source,
+    available_tokens, weight, target_tokens, epochs) — ``epochs =
+    round(target/available, 4)``, NULL for a source with zero available
+    tokens. One groupBy shuffle of (source, token-sum) sufficient stats
+    joined against a weights-sized literal frame (broadcast);
+    everything after is literal Column arithmetic over a sources-sized
+    frame.
     """
     if not weights:
         raise ValueError("epoch_plan: weights must be non-empty")
@@ -765,11 +815,20 @@ def epoch_plan(
             if wcol is None
             else wcol.when(F.col(group_col) == s, F.lit(w))
         )
-    out = avail.where(
-        F.col(group_col).isin(list(weights))
-    ).select(
-        group_col,
-        "available_tokens",
+    # Anchor the output on the weight keys, not on the groups present in
+    # the data: a weighted source with zero documents must still get a
+    # row (available_tokens=0, epochs=NULL). Filtering avail to the
+    # weight keys first bounds the join's right side to weights-size so
+    # it broadcasts (left-outer can only broadcast the right side).
+    keys = docs.sparkSession.createDataFrame(
+        [(s,) for s in sorted(weights)], schema=f"{group_col} string"
+    )
+    avail = avail.where(F.col(group_col).isin(list(weights)))
+    out = keys.join(avail, group_col, "left").select(
+        F.col(group_col),
+        F.coalesce(F.col("available_tokens"), F.lit(0)).alias(
+            "available_tokens"
+        ),
         F.round(wcol, 6).alias("weight"),
         F.floor(wcol * F.lit(float(total_tokens))).alias("target_tokens"),
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -604,7 +606,13 @@ def pq_topk_reranked(
 def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 (ties → lowest index) —
     an array-of-structs min over k broadcast literal expressions, the
-    ``pq_encode`` argmin pattern. Pure Column math, map-only."""
+    ``pq_encode`` argmin pattern. Pure Column math, map-only.
+
+    Plan-size bound: the expression inlines k×dim literals, so analysis/
+    codegen cost grows with k·dim — measured usable through k·dim ≈ 2^17
+    (k=1024·dim=128 compiles but analysis alone takes ~tens of seconds;
+    see SCALE.md "k-means argmin bound"). Callers auto-switch to
+    `_argmin_cell_gemm` above `ARGMIN_LITERAL_LIMIT`."""
     scored = F.array(
         *[
             F.struct(_sub_l2(vec, c).alias("d"), F.lit(i).alias("cell"))
@@ -612,6 +620,62 @@ def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
         ]
     )
     return F.sort_array(scored)[0]["cell"]
+
+
+# Above this k×dim product the literal-expression argmin's plan
+# analysis/codegen dominates wall-clock; switch to the Arrow-batched
+# GEMM kernel (still map-only, centroids ride the closure as one numpy
+# array). 2^14 = k=128·dim=128 — the literal path is comfortably fast
+# below this, measurably degrading above (SCALE.md).
+ARGMIN_LITERAL_LIMIT = 16_384
+
+
+def _argmin_cell_gemm(centroids: list[list[float]]):
+    """Large-k argmin fallback: one Arrow-batched pandas UDF computing
+    ``argmin_c(||c||² − 2·x·cᵀ)`` per batch — a (batch×dim)·(dim×k) GEMM
+    instead of k×dim inlined literal expressions, so plan size is O(1)
+    in k and the numpy work is BLAS-vectorized. Ties break to the lowest
+    centroid index (np.argmin first-occurrence), matching the literal
+    path's sort_array contract up to last-ulp distance differences
+    (GEMM expands the square; the literal path sums (a−b)²)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    dim = C.shape[1]
+
+    @pandas_udf("int")
+    def argmin(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="Int32")
+        rows, keep = [], []
+        for i, vec in enumerate(vecs):
+            if vec is None:
+                continue
+            a = np.asarray(vec, dtype=np.float64)
+            if a.shape != (dim,) or np.isnan(a).any():
+                continue
+            rows.append(a)
+            keep.append(i)
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if rows:
+            X = np.stack(rows)
+            d = c_sq[None, :] - 2.0 * (X @ C.T)
+            out[keep] = d.argmin(axis=1).astype("int32")
+        return pd.Series(out)
+
+    return argmin
+
+
+def _argmin_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Dispatch: literal Column argmin below ARGMIN_LITERAL_LIMIT, the
+    GEMM pandas-UDF kernel above it. Both are map-only (zero shuffles)."""
+    k, dim = len(centroids), len(centroids[0])
+    if k * dim <= ARGMIN_LITERAL_LIMIT:
+        return _argmin_cell(vec, centroids)
+    return _argmin_cell_gemm(centroids)(vec)
 
 
 def kmeans_fit_distributed(
@@ -638,23 +702,45 @@ def kmeans_fit_distributed(
     frame is persisted for the duration of the rounds and unpersisted
     before returning. Consumers: `kmeans_assign` (cluster column for
     `dedup.semantic_dedup`), IVF cell tables, corpus bucketing.
+
+    Input contract: all vectors must share one dimensionality — the
+    MODAL vector size in the corpus is taken as that dimension (one
+    cheap size-only aggregate; ties break to the larger size). NULL
+    vectors, vectors of any other length, and vectors containing NULL
+    elements are FILTERED OUT before seeding and before every Lloyd
+    round (a malformed vector would otherwise produce a NULL assignment
+    cell and NULL element sums that silently poison the update). Above
+    ``ARGMIN_LITERAL_LIMIT`` (k·dim) the assignment switches from the
+    inlined-literal Column argmin to the Arrow-batched GEMM kernel.
     """
     from pyspark import StorageLevel
 
     if k < 1:
         raise ValueError("kmeans_fit_distributed: k must be >= 1")
     v = F.col(vec_col).cast("array<double>")
-    d = corpus.select(F.col(corpus_id).alias("__kid"), v.alias("__kv")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    d0 = corpus.select(F.col(corpus_id).alias("__kid"), v.alias("__kv"))
+    modal = (
+        d0.where(F.col("__kv").isNotNull())
+        .groupBy(F.size("__kv").alias("__dim"))
+        .count()
+        .orderBy(F.desc("count"), F.desc("__dim"))
+        .first()
     )
+    if modal is None:
+        raise ValueError("kmeans_fit_distributed: empty corpus")
+    dim = int(modal["__dim"])
+    d = d0.where(
+        F.col("__kv").isNotNull()
+        & (F.size("__kv") == dim)
+        & ~F.exists("__kv", lambda x: x.isNull())
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         seed = d.orderBy("__kid").limit(k).collect()
         if not seed:
             raise ValueError("kmeans_fit_distributed: empty corpus")
         centroids = [list(map(float, r["__kv"])) for r in seed]
-        dim = len(centroids[0])
         for _ in range(iters):
-            cell = _argmin_cell(F.col("__kv"), centroids)
+            cell = _argmin_expr(F.col("__kv"), centroids)
             rows = (
                 d.groupBy(cell.alias("__cell"))
                 .agg(
@@ -684,11 +770,13 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (squared-L2 argmin over
-    broadcast literals — map-only, zero shuffles at any scale). Returns
-    (id, cell); pair with `dedup.semantic_duplicates`' cluster input or
-    group-wise corpus statistics."""
+    broadcast literals — map-only, zero shuffles at any scale; the GEMM
+    kernel takes over above ARGMIN_LITERAL_LIMIT, where malformed
+    vectors assign NULL cell). Returns (id, cell); pair with
+    `dedup.semantic_duplicates`' cluster input or group-wise corpus
+    statistics."""
     v = F.col(vec_col).cast("array<double>")
     return corpus.select(
         F.col(corpus_id).alias("id"),
-        _argmin_cell(v, centroids).alias("cell"),
+        _argmin_expr(v, centroids).alias("cell"),
     )

@@ -729,18 +729,25 @@ def _zscore_group(
 
     ns, zs, flags = [], [], []
     for v in rows["value"]:
+        # NULL/NaN values match the batch ROWS-frame contract exactly:
+        # the row occupies a positional frame slot (it displaces an older
+        # value, so it stays in the tail as a NaN placeholder) but is
+        # EXCLUDED from count/avg/stddev — Spark's frame aggregates
+        # ignore NULLs — and its own z is NULL / never flagged.
+        fv = math.nan if pd.isna(v) else float(v)
         frame = tail[-window:]
-        n = len(frame)
+        finite = [x for x in frame if math.isfinite(x)]
+        n = len(finite)
         ns.append(n)
         z = None
-        if n >= min_periods and n >= 2:
-            m = sum(frame) / n
-            sd = math.sqrt(sum((x - m) ** 2 for x in frame) / (n - 1))
+        if math.isfinite(fv) and n >= min_periods and n >= 2:
+            m = sum(finite) / n
+            sd = math.sqrt(sum((x - m) ** 2 for x in finite) / (n - 1))
             if sd >= 1e-9:
-                z = (float(v) - m) / sd
+                z = (fv - m) / sd
         zs.append(round(z, 4) + 0.0 if z is not None else None)
         flags.append(bool(z is not None and abs(z) > threshold))
-        tail.append(float(v))
+        tail.append(fv)
         if len(tail) > window:
             tail = tail[-window:]
 

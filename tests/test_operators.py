@@ -1494,3 +1494,216 @@ def test_minhash_index_incremental_matching(spark):
     )
     kept = new.join(flagged, "doc_id", "left_anti")
     assert {r.doc_id for r in kept.collect()} == {25}
+
+
+# ---------------------------------------------------------------------------
+# round 9: ADVICE fixes + driver-collect guards + large-k argmin fallback
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_null_text(spark):
+    """r09 (ADVICE): presence classifies by id, not digest nullness — a
+    NULL-text doc only in old is 'removed' (was misreported 'added');
+    NULL-vs-NULL digests compare null-safely as 'unchanged'."""
+    from quackosm_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, None), (5, "same")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(2, "now set"), (3, None), (4, None), (5, "same"), (6, None)],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "removed",    # only in old, NULL text — presence wins
+        2: "changed",    # NULL -> value
+        3: "changed",    # value -> NULL
+        4: "unchanged",  # NULL == NULL (null-safe)
+        5: "unchanged",
+        6: "added",      # only in new, NULL text
+    }
+
+
+def test_epoch_plan_zero_doc_source_row(spark):
+    """r09 (ADVICE): a weighted source with ZERO documents still gets its
+    plan row (available_tokens=0, epochs NULL) — the misconfigured-source
+    signal must not vanish from the output."""
+    from quackosm_spark.operators.mix import epoch_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "web")], "doc_id: long, text: string, source: string"
+    )
+    got = {
+        r.source: (r.available_tokens, r.weight, r.target_tokens, r.epochs)
+        for r in epoch_plan(
+            df, {"web": 1.0, "missing": 1.0}, total_tokens=8
+        ).collect()
+    }
+    assert set(got) == {"web", "missing"}
+    assert got["web"] == (4, 0.5, 4, 1.0)
+    assert got["missing"] == (0, 0.5, 4, None)
+
+
+def test_kmeans_malformed_vector_filtering(spark):
+    """r09 (ADVICE): NULL vectors, wrong-length vectors, and vectors with
+    NULL elements are filtered before seeding and before every Lloyd
+    round — the fit matches a numpy Lloyd over only the valid rows."""
+    import numpy as np
+
+    from quackosm_spark.operators.similarity import kmeans_fit_distributed
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[0.0, 0.0], [8.0, 8.0]])
+    pts = np.vstack([c + rng.randn(20, 2) * 0.3 for c in centers])
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    # malformed rows interleaved at ids that WOULD otherwise seed
+    bad = [
+        (-3, None),                    # NULL vector
+        (-2, [1.0]),                   # wrong length
+        (-1, [1.0, None]),             # NULL element
+    ]
+    df = spark.createDataFrame(
+        rows + bad, "vec_id: long, embedding: array<double>"
+    )
+    got = kmeans_fit_distributed(df, k=2, iters=3)
+
+    cent = pts[:2].copy()
+    for _ in range(3):
+        dist = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cells = dist.argmin(axis=1)
+        for c in range(2):
+            m = pts[cells == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    assert np.allclose(np.array(got), cent, atol=1e-9)
+
+
+def test_kmeans_gemm_fallback_matches_literal_argmin(spark, monkeypatch):
+    """r09: above ARGMIN_LITERAL_LIMIT the assignment switches to the
+    Arrow-batched GEMM kernel; on the same data it must agree with the
+    literal-expression path cell-for-cell (well-separated data — no
+    last-ulp tie surface), and malformed vectors assign NULL."""
+    import numpy as np
+
+    from quackosm_spark.operators import similarity as S
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 4) * 10
+    pts = np.vstack([c + rng.randn(15, 4) * 0.2 for c in centers])
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = [[float(x) for x in c] for c in centers]
+
+    lit = {r.id: r.cell for r in S.kmeans_assign(df, cents).collect()}
+    monkeypatch.setattr(S, "ARGMIN_LITERAL_LIMIT", 1)  # force GEMM path
+    gemm = {r.id: r.cell for r in S.kmeans_assign(df, cents).collect()}
+    assert gemm == lit and len(lit) == len(pts)
+
+    badf = spark.createDataFrame(
+        [(100, None), (101, [1.0, 2.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    bad = {r.id: r.cell for r in S.kmeans_assign(badf, cents).collect()}
+    assert bad == {100: None, 101: None}
+
+    # and the full fit still works end-to-end on the GEMM path
+    got = S.kmeans_fit_distributed(df, k=6, iters=2)
+    assert len(got) == 6 and all(len(c) == 4 for c in got)
+
+
+def test_quota_ops_cardinality_guard(spark, monkeypatch):
+    """r09: the driver-collect quota operators raise a contract-naming
+    ValueError on a high-cardinality group column instead of collecting a
+    groups x 256 table (the silent-driver-OOM class)."""
+    import pytest as _pytest
+
+    from quackosm_spark.operators import mix as M
+
+    df = spark.createDataFrame(
+        [(i, "tok " * 3, f"g{i}") for i in range(60)],
+        "doc_id: long, text: string, source: string",
+    )
+    monkeypatch.setattr(M, "MAX_QUOTA_GROUPS", 50)
+    with _pytest.raises(ValueError, match="driver-collect contract"):
+        M.temperature_sample(df, 10, group_col="source")
+    with _pytest.raises(ValueError, match="driver-collect contract"):
+        M.token_budget_filter(df, budget_tokens=5, group_col="source")
+    with _pytest.raises(ValueError, match="driver-collect contract"):
+        M.interleave_sources(df, source_col="source").collect()
+    # within contract: all three still work
+    ok = spark.createDataFrame(
+        [(i, "tok " * 3, "a" if i % 2 else "b") for i in range(40)],
+        "doc_id: long, text: string, source: string",
+    )
+    assert M.temperature_sample(ok, 10, group_col="source").count() == 10
+    assert M.token_budget_filter(ok, budget_tokens=5, group_col="source").count() > 0
+    assert M.interleave_sources(ok, source_col="source").count() == 40
+
+
+def test_match_index_exact_verify_two_tier(spark):
+    """r09: exact_verify_new=True re-scores matched pairs whose matched
+    side is in the new batch with TRUE shingle jaccard (dropping
+    estimator false positives), keeps new x history pairs estimator-gated,
+    and tags each pair with its tier."""
+    from quackosm_spark.operators.dedup import (
+        match_against_minhash_index,
+        minhash_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id: long, text: string",
+    )
+    # a batch with a PROBED estimator false positive: pair (20, 21) has
+    # est_jaccard 0.75 at 16 hashes but TRUE shingle jaccard 0.689655 —
+    # flagged at threshold 0.7 by the estimator, rejected by exact verify.
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    fp = (
+        "alphaQ beta gamma delta epsilon zeta etaQ theta iota kappa "
+        "lam mu nuQ xi omicron pi rho sigma tauQ upsilon"
+    )
+    new_rows = [
+        (20, base),
+        (21, fp),
+        (40, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id: long, text: string")
+
+    # index = history + the new batch's own appended rows (the documented
+    # incremental protocol), so new x new collisions surface
+    idx = minhash_index(hist, num_hashes=16, bands=4).unionByName(
+        minhash_index(new, num_hashes=16, bands=4)
+    )
+    est_only = match_against_minhash_index(
+        new, idx, threshold=0.7, num_hashes=16, bands=4
+    )
+    two_tier = match_against_minhash_index(
+        new, idx, threshold=0.7, num_hashes=16, bands=4,
+        exact_verify_new=True,
+    )
+    est_pairs = {(r.doc_id, r.matched_doc) for r in est_only.collect()}
+    rows = two_tier.collect()
+    got_pairs = {(r.doc_id, r.matched_doc) for r in rows}
+    # self-matches (a doc against its own index rows) count as exact 1.0
+    assert got_pairs <= est_pairs
+    tiers = {(r.doc_id, r.matched_doc): r.tier for r in rows}
+    # the history match survives on the estimated tier with NULL jaccard
+    hist_pairs = [r for r in rows if r.matched_doc == 10]
+    assert hist_pairs and all(
+        r.tier == "estimated" and r.jaccard is None for r in hist_pairs
+    )
+    # every exact-tier pair carries a true jaccard >= threshold
+    assert all(
+        r.jaccard is not None and r.jaccard >= 0.7
+        for r in rows if r.tier == "exact"
+    )
+    # at least one estimator-flagged new x new pair was dropped by the
+    # exact verify (the false-positive class the flag exists for)
+    nn_est = {p for p in est_pairs if p[1] != 10}
+    nn_exact = {p for p in got_pairs if tiers.get(p) == "exact"}
+    assert nn_exact < nn_est

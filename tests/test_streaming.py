@@ -737,3 +737,48 @@ def test_zscore_kernel_batch_shim_matches_window_operator(spark, events_batch):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_zscore_kernel_null_values_match_batch(spark):
+    """r09 (ADVICE): NULL values must not poison the streaming baseline —
+    the batch window's count/avg/stddev ignore NULLs while the row still
+    occupies a positional frame slot; the kernel mirrors both, so parity
+    holds on nullable value columns."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from quackosm_spark.operators.temporal import rolling_zscore
+    from quackosm_spark.streaming import zscore_stream
+
+    base = datetime(2024, 1, 1)
+    vals = [1.0, 2.0, None, 3.0, None, 100.0, 2.0, None, 1.5, 2.5,
+            None, None, 3.5, 0.5, 50.0]
+    rows = [
+        Row(event_id=i, user_id=7, ts=base + timedelta(seconds=30 * i),
+            event_type="e", value=v)
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, "
+              "event_type: string, value: double",
+    )
+    got = {
+        r.event_id: (r.base_n, r.z, bool(r.is_anomaly))
+        for r in zscore_stream(
+            ev, window=5, threshold=1.5, min_periods=3
+        ).collect()
+    }
+    expect = {
+        r.event_id: (r.base_n, r.z, bool(r.is_anomaly))
+        for r in rolling_zscore(
+            ev.select("event_id", "user_id", "ts", "value"),
+            ["user_id"], ["ts", "event_id"],
+            window=5, threshold=1.5, min_periods=3,
+        ).collect()
+    }
+    assert got == expect and len(got) == len(vals)
+    # the NULL rows themselves: z NULL, never flagged
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i][1] is None and got[i][2] is False
