@@ -2672,39 +2672,33 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q15, q16, q26–q28, q30, q34–q36, q46, q48, q50 — they lead r7's window
 # (q46/q48 yielded their r6 slots to q118/q119).
 _DRIVER_PRIORITY = [
-    # r8 rotation (VERDICT r7 "Next round" #4): (a) the 31 queries whose
-    # last driver row is r5 — stalest first, every one leads this window
-    "q14_way_assembly", "q17_ngram_jaccard", "q18_minhash_lsh",
-    "q20_ann_topk", "q29_langid_quality_join", "q31_media_stats",
-    "q33_drop_exact_duplicates", "q37_neardup_clusters",
-    "q42_decontamination", "q44_asof_previous_event", "q47_budget_mixture",
-    "q51_rollup_stats", "q52_segment_dedup", "q56_edit_distance_pairs",
-    "q65_stat_moments", "q66_chunk_documents", "q67_prefix_jaccard",
-    "q69_weighted_sample", "q71_funnel", "q74_profile_table",
-    "q77_session_window", "q78_geohash_cells", "q86_repeated_spans",
-    "q101_gopher_rules", "q102_dsir_weights", "q109_contamination_report",
-    "q110_curriculum_order", "q112_ridge_normal_eq", "q113_feature_corr",
-    "q114_groupwise_trend", "q116_calibration",
-    # (b) kernels changed in r8: the re-fixed quantile family (the r7
-    # __n/__N case-collision reds — __tot rename), the quality_deciles
-    # defensive rename, the unigram-LM cache refactor, and the
-    # hybrid-search mapping validation
-    "q45_event_quantiles", "q82_winsorize", "q120_global_quantiles",
-    "q60_quality_deciles", "q43_unigram_logprob", "q106_logprob_band",
-    "q117_hybrid_mapped",  # q105_hybrid_rrf yields its slot to q134 —
-    # q117 exercises the same RRF oracle through the mapping superset
-    # (c) fill slots all yielded to new queries this round (the r6
-    # cohort incl. q19/q21 has r6 driver rows — <=2 rounds old after r8 —
-    # and leads the r9 rotation)
-    # (d) new r8 queries need first driver evidence (q121/q122
-    # precedent): the token-budget pair, then the second-wave operators
-    # (temperature mixing, soft-dedup, rolling z-score, percent-rank
-    # normalization, the streaming z-kernel, snapshot diff, k-means)
-    "q123_token_budget", "q124_token_budget_grouped",
-    "q125_temperature_mix", "q126_soft_dedup", "q127_rolling_zscore",
-    "q128_percent_rank_norm", "q129_zscore_kernel", "q130_snapshot_diff",
-    "q131_kmeans_cells", "q132_key_skew", "q133_epoch_plan",
-    "q134_incremental_neardup",
+    # r9 rotation (VERDICT r8 "Next round" #3): the 40 queries whose last
+    # driver row is r6 — after this window every contract query has a
+    # driver row <=2 rounds old (histogram r9:50 / r8:44 / r7:40)
+    "q19_embedding_neardup", "q21_text_analysis", "q22_langid",
+    "q23_fingerprint", "q24_events_window", "q38_pii_scan",
+    "q39_repetition_ratio", "q40_pack_sequences",
+    "q41_deterministic_sample", "q49_ivf_fullprobe", "q54_event_deltas",
+    "q55_revenue_by_nation", "q57_stratified_fixed_n",
+    "q58_latest_event_per_user", "q59_value_spikes", "q61_pivot_counts",
+    "q62_event_history", "q64_event_paths", "q68_resample_ffill",
+    "q70_cohort_retention", "q79_near_pairs", "q80_incremental_dedup",
+    "q81_novelty_score", "q83_makevalid", "q85_slippy_tiles",
+    "q87_relation_makevalid", "q88_relation_union_holes",
+    "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
+    "q92_oov_rate", "q93_bigram_logprob",
+    "q94_embedding_neardup_blocked", "q95_relation_inner_union",
+    "q96_relation_shared_edge", "q97_relation_geometrycollection",
+    "q98_quality_psi", "q108_hashed_tfidf", "q111_spatial_join",
+    "q118_weighted_sample_global",
+    # fill to 50 with the newest ops: kernels touched in r9 (epoch-plan
+    # zero-source rows, snapshot-diff presence flags, k-means vector
+    # filtering + GEMM argmin, quota-guarded mixing trio, the two-tier
+    # near-dup index) — fresh driver evidence for changed code first
+    "q133_epoch_plan", "q130_snapshot_diff", "q131_kmeans_cells",
+    "q125_temperature_mix", "q123_token_budget",
+    "q124_token_budget_grouped", "q134_incremental_neardup",
+    "q126_soft_dedup", "q128_percent_rank_norm", "q132_key_skew",
 ]  # 50 window: q14 (31 entries of r5-stale cohort lead) spills; see (a)
 
 

@@ -625,9 +625,13 @@ def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
 # Above this k×dim product the literal-expression argmin's plan
 # analysis/codegen dominates wall-clock; switch to the Arrow-batched
 # GEMM kernel (still map-only, centroids ride the closure as one numpy
-# array). 2^14 = k=128·dim=128 — the literal path is comfortably fast
-# below this, measurably degrading above (SCALE.md).
-ARGMIN_LITERAL_LIMIT = 16_384
+# array). Measured on 20k×dim rows, best-of-2 (SCALE.md "k-means argmin
+# bound"): literal vs GEMM = 3.6 s / 0.5 s at k·dim=1024, 5.5 / 0.7 at
+# 2048, then a codegen cliff — 45 / 1.1 at k=100·dim=32, 38 / 4.0 at
+# k=128·dim=128, 220 / 7.7 at k=1024·dim=128. 2048 keeps small-k IVF
+# shapes JVM-side (no Python worker in otherwise pure-JVM pipelines)
+# and hands everything larger to BLAS.
+ARGMIN_LITERAL_LIMIT = 2_048
 
 
 def _argmin_cell_gemm(centroids: list[list[float]]):
