@@ -2537,6 +2537,54 @@ def q134_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q135_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup (dedup.canonical_url + url_duplicates): four
+    deterministic raw-URL variants per page — mixed-case scheme/host with
+    www. and an explicit :443, unsorted query params, tracking params
+    (utm_source/fbclid/gclid), fragments, trailing slashes — must
+    collapse to ONE canonical key; keep-smallest-id groups with the
+    sorted dup list. Oracle computes the EXPECTED canonical key directly
+    from the id arithmetic (a semantic pin on the canonicalization rules,
+    not a reimplementation). Map-only string math + one groupBy."""
+    from quackosm_spark.operators.dedup import url_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    page = (F.floor(F.col("doc_id") / 4) % 100).cast("string")
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(variant == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".EXAMPLE.COM:443/page/"), page,
+            F.lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(variant == 1, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/page/"),
+            page, F.lit("?b=2&a=1")))
+        .when(variant == 2, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/page/"),
+            page, F.lit("/?a=1&fbclid=ZZZ&b=2")))
+        .otherwise(F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".example.com:443/page/"), page,
+            F.lit("?a=1&b=2&gclid=123")))
+    )
+    return url_duplicates(docs.withColumn("url", url))
+
+
+def q136_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user activity scores
+    (temporal.time_decay_scores): each event weighs 0.5^(age/7d) back
+    from the corpus-max timestamp — freshness-weighted volume for
+    ranking sources/users. ONE global max(ts) broadcast by 1-row
+    crossJoin + one groupBy; transcendental terms make the 6-dp rounding
+    boundary-safe (engine-portability contract)."""
+    from quackosm_spark.operators.temporal import time_decay_scores
+
+    return time_decay_scores(
+        _events(spark, sf_dir), key_cols=["user_id"], ts_col="ts",
+        half_life_days=7.0,
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2844,6 +2892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_key_skew": q132_key_skew,
         "q133_epoch_plan": q133_epoch_plan,
         "q134_incremental_neardup": q134_incremental_neardup,
+        "q135_url_dedup": q135_url_dedup,
+        "q136_time_decay": q136_time_decay,
     })
 
 
@@ -4589,6 +4639,33 @@ def oracle_sql() -> dict[str, str]:
                    ))::DOUBLE / 8.0, 6) AS ej
             FROM cand
         ) WHERE ej >= 0.75
+    """
+    out["q135_url_dedup"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/page/' ||
+                   CAST((doc_id // 4) % 100 AS VARCHAR) || '?a=1&b=2'
+                       AS canonical_url
+            FROM documents
+        )
+        SELECT canonical_url, keep_id, all_ids[2:] AS dup_ids,
+               CAST(len(all_ids) - 1 AS INTEGER) AS n_dups
+        FROM (
+            SELECT canonical_url, min(doc_id) AS keep_id,
+                   list_sort(list(doc_id)) AS all_ids
+            FROM c GROUP BY canonical_url
+        ) WHERE len(all_ids) > 1
+    """
+    out["q136_time_decay"] = """
+        WITH ref AS (SELECT max(ts) AS r FROM events)
+        SELECT user_id,
+               round(sum(pow(0.5,
+                   (epoch(r) - epoch(ts)) / 86400.0 / 7.0)), 6)
+                   AS decayed_score,
+               count(*) AS n_events,
+               max(ts) AS last_ts
+        FROM events, ref
+        GROUP BY user_id
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -67,11 +67,19 @@ def main() -> None:
     spark.range(100_000).groupBy((F.col("id") % 7).alias("g")).count().count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # scale-point runs extend the fixed list (e.g. the sf1 10x refresh adds
+    # the round-8/9 mixing + dedup shapes) without touching the headline
+    # contract the driver records round-over-round.
+    headline = HEADLINE + [
+        q for q in os.environ.get("SPARK_GRAFT_EXTRA_QUERIES", "").split(",")
+        if q
+    ]
+
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = qmap[name]
         best, n = None, 0
         # best-of-2: drops scheduler/GC noise and reports repeated-query

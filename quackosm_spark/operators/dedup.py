@@ -16,6 +16,8 @@ exactly (md5 is identical in both engines).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1348,3 +1350,109 @@ def match_against_minhash_index(
         F.lit("estimated").alias("tier"),
     )
     return verified.unionByName(estimated)
+
+
+# Query-string parameters that never change page CONTENT — the standard
+# web-crawl canonicalization strip list (analytics/click attribution).
+DEFAULT_TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref", "referrer",
+)
+
+
+def canonical_url(
+    url: Column | str,
+    tracking_params: Sequence[str] = DEFAULT_TRACKING_PARAMS,
+) -> Column:
+    """Canonical form of a URL for crawl-level deduplication — the same
+    page fetched through different tracking links / fragment anchors /
+    default ports must collapse to ONE key. Rules (each a pure string
+    transform, deliberately reproducible in ANSI SQL so the oracle can
+    pin them):
+
+    - scheme and host lowercase; a leading ``www.`` dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https)
+    - the ``#fragment`` dropped (client-side only — same resource)
+    - tracking query parameters dropped (``utm_*`` etc., case-insensitive
+      on the NAME), remaining params sorted byte-wise so param order
+      doesn't split a page into two keys; ``?`` dropped when nothing
+      survives
+    - a single trailing ``/`` dropped from a non-root path
+
+    Pure Column math (regexp + array ops, JVM-side, map-only at any
+    scale). Returns NULL for NULL input; a string with no ``://`` is
+    returned trimmed-lowercase-host-rules-unapplied (treat as already
+    canonical — garbage-in passthrough keeps the operator total).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.substring(rest, F.length(authority) + 1, F.lit(2_147_483_647))
+    host = F.lower(authority)
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).otherwise(host)
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.regexp_replace(path, r"/$", ""),
+    ).otherwise(path)
+    query = F.when(
+        tail.contains("?"), F.regexp_replace(tail, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    drop = [p.lower() for p in tracking_params]
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (F.length(kv) > 0)
+        & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).isin(drop),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.length(qcanon) > 0, F.concat(F.lit("?"), qcanon)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(u.isNull(), F.lit(None).cast("string")).when(
+        ~u.contains("://"), u
+    ).otherwise(canon)
+
+
+def url_duplicates(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    tracking_params: Sequence[str] = DEFAULT_TRACKING_PARAMS,
+) -> DataFrame:
+    """Crawl-level URL dedup: group documents by `canonical_url` and keep
+    the smallest id per canonical key (the `drop_exact_duplicates`
+    keep-rule, applied to the URL instead of the content digest — the
+    cheap FIRST pass of web-pipeline dedup, before any text hashing).
+    Returns (canonical_url, keep_id, dup_ids sorted, n_dups) for groups
+    with at least one duplicate. One groupBy shuffle on the canonical
+    key; the canonicalization itself is map-only Column math.
+    """
+    c = canonical_url(F.col(url_col), tracking_params).alias("canonical_url")
+    return (
+        docs.select(c, F.col(id_col).alias("__uid"))
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min("__uid").alias("keep_id"),
+            F.array_sort(F.collect_list("__uid")).alias("__all"),
+        )
+        .where(F.size("__all") > 1)
+        .select(
+            "canonical_url",
+            "keep_id",
+            F.expr("slice(__all, 2, size(__all) - 1)").alias("dup_ids"),
+            (F.size("__all") - 1).alias("n_dups"),
+        )
+    )

@@ -453,3 +453,47 @@ def rolling_zscore(
             "is_anomaly", F.coalesce(F.abs(z) > threshold, F.lit(False))
         )
     )
+
+
+def time_decay_scores(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-decayed activity score per key — the freshness
+    weighting used to rank sources/users/domains by RECENT volume
+    instead of lifetime counts: each event contributes
+    ``0.5 ^ (age / half_life)`` (times ``value_col`` if given), where
+    age is measured back from the corpus-wide latest timestamp, so the
+    score is reproducible from the data alone (no wall-clock, no RNG).
+    Returns (key…, decayed_score, n_events, last_ts).
+
+    ``decayed_score`` rounds at 6 decimals: each term is a transcendental
+    ``2^(-age/h)`` — never pinned to a rounding half-boundary — so the
+    engines' sum-order last-ulp differences can't flip the digit (the
+    engine-portability rounding contract, see `rolling_zscore`).
+
+    Scale shape: ONE global max(ts) aggregate broadcast back via a
+    1-row crossJoin (the `key_skew_report` pattern), then one groupBy
+    on the key — no windows, no driver collect of data rows.
+    """
+    if half_life_days <= 0:
+        raise ValueError("time_decay_scores: half_life_days must be > 0")
+    ref = events.agg(F.max(F.col(ts_col)).alias("__ref"))
+    age_days = (
+        F.col("__ref").cast("double") - F.col(ts_col).cast("double")
+    ) / 86400.0
+    weight = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days)))
+    if value_col is not None:
+        weight = weight * F.col(value_col)
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.round(F.sum(weight), 6).alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+        )
+    )

@@ -1707,3 +1707,96 @@ def test_match_index_exact_verify_two_tier(spark):
     nn_est = {p for p in est_pairs if p[1] != 10}
     nn_exact = {p for p in got_pairs if tiers.get(p) == "exact"}
     assert nn_exact < nn_est
+
+
+def test_canonical_url_rules(spark):
+    """r09: every canonicalization rule individually — case, www, default
+    ports, fragments, tracking params, param sort, trailing slash,
+    NULL/garbage passthrough."""
+    from quackosm_spark.operators.dedup import canonical_url
+
+    cases = [
+        # (raw, expected)
+        ("HTTPS://WWW.Example.COM:443/A/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/A?a=1&b=2"),
+        ("http://example.com:80/path", "http://example.com/path"),
+        ("http://example.com:8080/path", "http://example.com:8080/path"),
+        ("https://example.com:80/path", "https://example.com:80/path"),
+        ("https://example.com/", "https://example.com/"),  # root slash kept
+        ("https://example.com/a/b/", "https://example.com/a/b"),
+        ("https://example.com/p?fbclid=1&gclid=2&UTM_TERM=3",
+         "https://example.com/p"),
+        ("https://example.com/p?z=1&a=2", "https://example.com/p?a=2&z=1"),
+        ("not a url", "not a url"),            # garbage passthrough
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i: int, url: string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_duplicates_groups(spark):
+    """r09: variants of one page collapse to one canonical key with
+    keep-smallest-id and a sorted dup list; distinct pages don't."""
+    from quackosm_spark.operators.dedup import url_duplicates
+
+    rows = [
+        (3, "https://www.site.com/p?b=2&a=1"),
+        (1, "HTTPS://SITE.com:443/p/?a=1&b=2#x"),
+        (2, "https://site.com/p?a=1&utm_medium=m&b=2"),
+        (9, "https://site.com/other"),
+        (8, "https://site.com/other/"),
+        (7, "https://unique.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string")
+    got = {
+        r.canonical_url: (r.keep_id, list(r.dup_ids), r.n_dups)
+        for r in url_duplicates(df).collect()
+    }
+    assert got == {
+        "https://site.com/p?a=1&b=2": (1, [2, 3], 2),
+        "https://site.com/other": (8, [9], 1),
+    }
+
+
+def test_time_decay_scores_semantics(spark):
+    """r09: decayed score = sum(0.5^(age/half_life)) back from the corpus
+    max ts; checked against a python computation; value weighting and
+    half-life validation."""
+    import math
+    from datetime import datetime, timedelta
+
+    from quackosm_spark.operators.temporal import time_decay_scores
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 2.0),
+        (1, t0 + timedelta(days=7), 1.0),
+        (1, t0 + timedelta(days=14), 4.0),
+        (2, t0 + timedelta(days=14), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, value: double")
+    got = {
+        r.user_id: (r.decayed_score, r.n_events, r.last_ts)
+        for r in time_decay_scores(df, half_life_days=7.0).collect()
+    }
+    # ref = t0+14d: ages 14d, 7d, 0d -> weights 0.25, 0.5, 1.0
+    assert got[1] == (round(0.25 + 0.5 + 1.0, 6), 3, t0 + timedelta(days=14))
+    assert got[2] == (1.0, 1, t0 + timedelta(days=14))
+    weighted = {
+        r.user_id: r.decayed_score
+        for r in time_decay_scores(
+            df, half_life_days=7.0, value_col="value"
+        ).collect()
+    }
+    assert weighted[1] == round(0.25 * 2.0 + 0.5 * 1.0 + 1.0 * 4.0, 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        time_decay_scores(df, half_life_days=0)
