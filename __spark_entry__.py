@@ -2585,6 +2585,29 @@ def q136_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_ivf_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN against a persisted IVF index (similarity.ivf_index
+    + match_against_ivf_index): history vectors are cell-assigned ONCE
+    as (vec_id, cell, embedding) rows; a new batch probes its nearest
+    cells and ranks exact cosine within them — the ANN counterpart of
+    q134's minhash index. Run at nprobe == num_cells, where IVF
+    degenerates to exact search (the q49 oracle pin), so the oracle is
+    a plain ranked cross join of new×history."""
+    from quackosm_spark.operators.similarity import (
+        ivf_index,
+        match_against_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 20 == 1)
+    cents = train_ivf_centroids(hist, num_cells=8)
+    idx = ivf_index(hist, cents)
+    out = match_against_ivf_index(new, idx, cents, k=5, nprobe=8)
+    return out.select("query_id", "match_id", "rank")
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2894,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_incremental_neardup": q134_incremental_neardup,
         "q135_url_dedup": q135_url_dedup,
         "q136_time_decay": q136_time_decay,
+        "q137_ivf_index_match": q137_ivf_index_match,
     })
 
 
@@ -4666,6 +4690,20 @@ def oracle_sql() -> dict[str, str]:
                max(ts) AS last_ts
         FROM events, ref
         GROUP BY user_id
+    """
+    out["q137_ivf_index_match"] = """
+        SELECT query_id, match_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id % 20 = 1 AND c.vec_id % 2 = 0
+        ) WHERE rank <= 5
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -784,3 +784,98 @@ def kmeans_assign(
         F.col(corpus_id).alias("id"),
         _argmin_expr(v, centroids).alias("cell"),
     )
+
+
+def _nearest_cells(
+    vec: Column, centroids: list[list[float]], n: int
+) -> Column:
+    """The first ``n`` cell ids by descending cosine to ``vec`` (ties →
+    lowest cell id) — the shared probe-routing expression of `ivf_topk`,
+    `ivf_topk_sweep`, `ivf_index`, and `match_against_ivf_index`."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine_similarity(
+                    vec, F.array(*[F.lit(x) for x in cv])
+                )).alias("neg"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cv in enumerate(centroids)
+        ]
+    )
+    return F.slice(
+        F.transform(F.sort_array(scored), lambda s: s["cell"]), 1, n
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the PERSISTABLE IVF index of a corpus: one row per vector —
+    ``(vec_id, cell, embedding)`` with ``cell`` the nearest centroid by
+    cosine. Write it as parquet ``partitionBy("cell")`` so probes scan
+    only the probed cells (partition pruning), and APPEND each ingested
+    batch's rows: history is never re-assigned. The ANN counterpart of
+    `minhash_index` / `match_against_minhash_index`; the centroid list
+    is the model contract between batches — persist it next to the
+    index and pass the SAME list to every build and every match.
+    Map-only Column math (argmin over broadcast centroid literals), no
+    shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    return corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        _nearest_cells(v, centroids, 1)[0].alias("cell"),
+        v.alias("embedding"),
+    )
+
+
+def match_against_ivf_index(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental ANN lookup: top-``k`` matches of a query batch against
+    a persisted `ivf_index` WITHOUT re-assigning (or even re-reading the
+    unprobed cells of) the history corpus. Each query probes its
+    ``nprobe`` nearest cells; candidates come from the index rows of
+    those cells only (partition-pruned when the index is written
+    ``partitionBy("cell")``); exact cosine + rank window within the
+    probed set. ``nprobe = num_cells`` degenerates to exact search —
+    the oracle pin, same as `ivf_topk`'s q49.
+
+    Returns (query_id, match_id, cosine, rank). Self-pairs (same id on
+    both sides, when the index already contains the query batch) are
+    excluded. The query side broadcasts — the canonical regime is a
+    small new batch against a big history; for a huge query batch,
+    pre-split it and loop (the probe join on ~num_cells keys would
+    otherwise cap parallelism at num_cells)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe))
+    )
+    scored = (
+        index.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -1800,3 +1800,60 @@ def test_time_decay_scores_semantics(spark):
 
     with _pytest.raises(ValueError):
         time_decay_scores(df, half_life_days=0)
+
+
+def test_ivf_index_matches_ivf_topk_and_persists(spark, tmp_path):
+    """r09: match_against_ivf_index over an ivf_index equals ivf_topk
+    bit-for-bit when built from the same centroid model (any nprobe), the
+    index survives a cell-partitioned parquet round-trip, and appended
+    batches extend matching without re-assigning history."""
+    import numpy as np
+
+    from quackosm_spark.operators import similarity as S
+
+    rng = np.random.RandomState(5)
+    pts = rng.randn(120, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id: long, embedding: array<double>",
+    )
+    queries = df.where("vec_id % 17 = 0")
+    cents = S.train_ivf_centroids(df, num_cells=4)
+
+    for nprobe in (1, 2, 4):
+        want = {
+            (r.query_id, r.match_id, r.rank, r.cosine)
+            for r in S.ivf_topk(
+                df, queries, k=3, num_cells=4, nprobe=nprobe
+            ).collect()
+        }
+        idx = S.ivf_index(df, cents)
+        got = {
+            (r.query_id, r.match_id, r.rank, r.cosine)
+            for r in S.match_against_ivf_index(
+                queries, idx, cents, k=3, nprobe=nprobe
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    # persistence: cell-partitioned write, read back, same matches
+    p = str(tmp_path / "ivfidx")
+    S.ivf_index(df.where("vec_id < 100"), cents).write.partitionBy(
+        "cell"
+    ).parquet(p)
+    # append a new batch's index rows — history untouched
+    S.ivf_index(df.where("vec_id >= 100"), cents).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(p)
+    loaded = spark.read.parquet(p)
+    got = {
+        (r.query_id, r.match_id, r.rank)
+        for r in S.match_against_ivf_index(
+            queries, loaded, cents, k=3, nprobe=4
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.match_id, r.rank)
+        for r in S.ivf_topk(df, queries, k=3, num_cells=4, nprobe=4).collect()
+    }
+    assert got == want
