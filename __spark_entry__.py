@@ -2608,6 +2608,20 @@ def q137_ivf_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "match_id", "rank")
 
 
+def q138_decay_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming decay-counter kernel on batch input
+    (streaming.decay_counter_stream via the applyInPandas shim — the
+    q119 sessionize-kernel precedent): per-key exponentially-decayed
+    counters maintained as ONE (score, n, anchor) state row, final
+    scores anchored at each key's max event time. The oracle is the
+    closed-form Σ 0.5^((key_max−ts)/h) in SQL — incremental
+    decay-multiply vs direct pow-sum agree inside the 6-dp display
+    rounding."""
+    from quackosm_spark.streaming import decay_counter_stream
+
+    return decay_counter_stream(_events(spark, sf_dir), half_life_days=7.0)
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2918,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_url_dedup": q135_url_dedup,
         "q136_time_decay": q136_time_decay,
         "q137_ivf_index_match": q137_ivf_index_match,
+        "q138_decay_kernel": q138_decay_kernel,
     })
 
 
@@ -4704,6 +4719,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings q JOIN embeddings c
               ON q.vec_id % 20 = 1 AND c.vec_id % 2 = 0
         ) WHERE rank <= 5
+    """
+    out["q138_decay_kernel"] = """
+        WITH km AS (
+            SELECT user_id, max(ts) AS kref FROM events GROUP BY user_id
+        )
+        SELECT e.user_id,
+               round(sum(pow(0.5,
+                   (epoch(kref) - epoch(e.ts)) / 86400.0 / 7.0)), 6)
+                   AS decayed_score,
+               count(*) AS n_events,
+               max(e.ts) AS last_ts
+        FROM events e JOIN km USING (user_id)
+        GROUP BY e.user_id
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

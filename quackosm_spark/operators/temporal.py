@@ -461,6 +461,7 @@ def time_decay_scores(
     ts_col: str = "ts",
     half_life_days: float = 7.0,
     value_col: str | None = None,
+    anchor: str = "corpus_max",
 ) -> DataFrame:
     """Exponentially-decayed activity score per key — the freshness
     weighting used to rank sources/users/domains by RECENT volume
@@ -475,19 +476,55 @@ def time_decay_scores(
     engines' sum-order last-ulp differences can't flip the digit (the
     engine-portability rounding contract, see `rolling_zscore`).
 
+    ``anchor`` picks the decay reference: ``'corpus_max'`` (default)
+    measures every key back from the ONE corpus-wide latest timestamp —
+    scores are directly comparable across keys; ``'key_max'`` anchors
+    each key at ITS OWN latest event (``score = Σ 0.5^((last_ts_key −
+    ts)/h)``) — the incrementally-maintainable form, exactly what
+    `streaming.decay_counter_stream` carries in state (one
+    ``(score, last_ts)`` pair per key, updated as ``score·decay + w``
+    per event), so stream and batch agree row-for-row on final scores.
+
     Scale shape: ONE global max(ts) aggregate broadcast back via a
-    1-row crossJoin (the `key_skew_report` pattern), then one groupBy
-    on the key — no windows, no driver collect of data rows.
+    1-row crossJoin (the `key_skew_report` pattern) for corpus_max —
+    key_max needs no second pass at all (the anchor is an agg of the
+    same groupBy) — then one groupBy on the key; no windows, no driver
+    collect of data rows.
     """
     if half_life_days <= 0:
         raise ValueError("time_decay_scores: half_life_days must be > 0")
+    if anchor not in ("corpus_max", "key_max"):
+        raise ValueError(
+            "time_decay_scores: anchor must be 'corpus_max' or 'key_max'"
+        )
+    val = F.col(value_col) if value_col is not None else F.lit(1.0)
+    if anchor == "key_max":
+        # the per-key anchor must exist before rows can be weighted
+        # (rebasing Σ v·0.5^(−ts/h) to epoch 0 overflows doubles for
+        # real timestamps), so: one agg for the key max, join back on
+        # the same key (co-partitioned — AQE reuses the exchange), one
+        # weighted agg. No windows.
+        per_key_max = events.groupBy(*[F.col(c) for c in key_cols]).agg(
+            F.max(F.col(ts_col)).alias("__kref"),
+        )
+        joined = events.join(per_key_max, list(key_cols))
+        age_days = (
+            F.col("__kref").cast("double") - F.col(ts_col).cast("double")
+        ) / 86400.0
+        weight = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days))) * val
+        return (
+            joined.groupBy(*[F.col(c) for c in key_cols])
+            .agg(
+                F.round(F.sum(weight), 6).alias("decayed_score"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.max(F.col(ts_col)).alias("last_ts"),
+            )
+        )
     ref = events.agg(F.max(F.col(ts_col)).alias("__ref"))
     age_days = (
         F.col("__ref").cast("double") - F.col(ts_col).cast("double")
     ) / 86400.0
-    weight = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days)))
-    if value_col is not None:
-        weight = weight * F.col(value_col)
+    weight = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days))) * val
     return (
         events.crossJoin(F.broadcast(ref))
         .groupBy(*[F.col(c) for c in key_cols])

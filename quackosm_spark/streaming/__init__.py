@@ -828,3 +828,165 @@ def zscore_stream(
         .groupBy("user_id")
         .applyInPandas(_batch_fn, schema=_ZSCORE_OUTPUT_SCHEMA)
     )
+
+
+def _decay_output_schema() -> StructType:
+    # NTZ, matching the events table's ts column: a zoned TimestampType
+    # here would re-interpret the kernel's naive pandas datetimes in the
+    # session timezone and shift last_ts on non-UTC sessions.
+    from pyspark.sql.types import TimestampNTZType
+
+    return StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("decayed_score", DoubleType()),
+            StructField("n_events", LongType()),
+            StructField("last_ts", TimestampNTZType()),
+        ]
+    )
+
+_DECAY_STATE_SCHEMA = StructType(
+    [
+        StructField("score", DoubleType()),
+        StructField("n_events", LongType()),
+        StructField("anchor_us", LongType()),
+    ]
+)
+
+
+def _empty_decay_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "decayed_score": pd.Series([], dtype="float64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "last_ts": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+
+
+def _decay_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state,
+    half_life_days: float,
+    use_value: bool,
+    ttl_seconds: int,
+) -> Iterator[pd.DataFrame]:
+    """Per-key exponentially-decayed counter kernel. State is ONE
+    (score, n, anchor) triple per key — the score is always expressed
+    at the key's max-seen event time (the anchor), so an out-of-order
+    event at ``ts < anchor`` contributes ``v·0.5^((anchor−ts)/h)``
+    WITHOUT re-anchoring, and a newer event first decays the whole
+    score forward: ``score·0.5^(Δ/h) + v``. The final per-key score is
+    algebraically Σ v·0.5^((key_max−ts)/h) — identical to
+    `temporal.time_decay_scores(anchor='key_max')` up to fp
+    associativity, inside the 6-dp display rounding (parity
+    test-locked). State expires ``ttl`` after the anchor passes the
+    watermark — idle keys stop costing memory and restart cold."""
+    import math
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield _empty_decay_pdf()
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = rows["ts"].astype("int64") // 1000
+    half_us = half_life_days * 86400.0 * 1e6
+
+    if state.exists:
+        score, n, anchor_us = state.get
+    else:
+        score, n, anchor_us = 0.0, 0, None
+
+    vals = rows["value"] if use_value else None
+    for i, t in enumerate(ts_us.to_numpy()):
+        v = float(vals.iloc[i]) if use_value else 1.0
+        t = int(t)
+        if anchor_us is None:
+            score, anchor_us = v, t
+        elif t >= anchor_us:
+            score = score * math.pow(0.5, (t - anchor_us) / half_us) + v
+            anchor_us = t
+        else:
+            score = score + v * math.pow(0.5, (anchor_us - t) / half_us)
+        n += 1
+
+    state.update((float(score), int(n), int(anchor_us)))
+    state.setTimeoutTimestamp(
+        max(
+            anchor_us // 1000 + ttl_seconds * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id], dtype="int64"),
+            "decayed_score": pd.Series([round(score, 6)], dtype="float64"),
+            "n_events": pd.Series([n], dtype="int64"),
+            "last_ts": pd.to_datetime([anchor_us], unit="us"),
+        }
+    )
+
+
+def decay_counter_stream(
+    events: DataFrame,
+    half_life_days: float = 7.0,
+    value_col: str | None = None,
+    watermark_delay: str = "1 hour",
+    state_ttl_seconds: int = 86400,
+) -> DataFrame:
+    """Streaming twin of ``temporal.time_decay_scores(anchor='key_max')``:
+    maintain per-key exponentially-decayed activity counters (trending
+    scores, freshness-weighted rate limits) with ONE (score, n, anchor)
+    state row per key — no event history retained, so state is O(active
+    keys) regardless of stream length. Emits the updated (user_id,
+    decayed_score, n_events, last_ts) row per touched key per
+    micro-batch (update mode — downstream upserts by user_id).
+
+    Batch parity: on a batch DataFrame the SAME kernel runs via
+    ``applyInPandas`` and the FINAL scores equal the batch operator's
+    key_max-anchored output row-for-row at the shared 6-dp rounding
+    (test-locked; fp associativity of incremental decay-multiply vs
+    batch pow-sum differs at ~1e-13 relative, far below the display
+    contract)."""
+    from functools import partial
+
+    if half_life_days <= 0:
+        raise ValueError("decay_counter_stream: half_life_days must be > 0")
+    use_value = value_col is not None
+    cols = ["user_id", "event_id", "ts"] + (["value"] if use_value else [])
+    if use_value and value_col != "value":
+        events = events.withColumn("value", F.col(value_col))
+    kernel = partial(
+        _decay_group,
+        half_life_days=half_life_days,
+        use_value=use_value,
+        ttl_seconds=state_ttl_seconds,
+    )
+    if events.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return (
+            events.withWatermark("ts", watermark_delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                kernel,
+                outputStructType=_decay_output_schema(),
+                stateStructType=_DECAY_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    def _batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return next(kernel(key, [pdf], _BatchNoState()))
+
+    return (
+        events.select(*cols)
+        .groupBy("user_id")
+        .applyInPandas(_batch_fn, schema=_decay_output_schema())
+    )
