@@ -453,3 +453,38 @@ def test_exact_quantiles_no_exact_percentile_aggregate(events):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)__val#\d+ ASC", plan):
         assert "_bkt#" in m.group(1)
     assert "global=true" not in plan
+
+
+def test_ivf_index_probe_scan_is_dynamically_pruned(spark, tmp_path):
+    """r09: matching against a cell-partitioned persisted ivf_index must
+    read ONLY the probed cells — Spark's dynamic partition pruning
+    attaches a dynamicpruning subquery to the scan's PartitionFilters
+    (the probe keys come from a join, so a static filter can't express
+    it). This is the property that makes the index an INDEX at 100 TB:
+    nprobe/num_cells of the history is scanned, not all of it."""
+    import numpy as np
+
+    from quackosm_spark.operators import similarity as S
+
+    rng = np.random.RandomState(5)
+    pts = rng.randn(200, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = S.train_ivf_centroids(df, num_cells=8)
+    p = str(tmp_path / "ivfidx")
+    S.ivf_index(df, cents).write.partitionBy("cell").parquet(p)
+    idx = spark.read.parquet(p)
+    out = S.match_against_ivf_index(
+        df.where("vec_id = 3"), idx, cents, k=3, nprobe=2
+    )
+    plan = _plan(out)
+    # locations are abbreviated in toString(), so key on the scan whose
+    # PartitionFilters mention the cell column
+    scan = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "PartitionFilters" in ln
+        and "cell#" in ln
+    ]
+    assert scan and "dynamicpruning" in scan[0]
