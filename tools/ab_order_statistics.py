@@ -353,6 +353,50 @@ def run(op, variant, n, spark):
         ).collect()[0]
         return [int(chk["c1"]), float(chk["c2"])]
 
+    if op == "timedecay":
+        # time_decay_scores(anchor='key_max'): tiny per-key max agg +
+        # co-partitioned join-back + one weighted agg (map-side combine
+        # absorbs the hot key) vs the naive unordered-window formulation
+        # (max(ts) OVER (PARTITION BY key)) — the window buffers the
+        # dominant key's entire partition in ONE task's window exec.
+        from quackosm_spark.operators.temporal import time_decay_scores
+
+        d = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 100 < 97, F.lit(0))
+            .otherwise((F.col("id") % 1_000_000) + 1)
+            .alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_704_067_200) + (F.col("id") * 7919) % (90 * 86400)
+            ).alias("ts"),
+        )
+        if variant == "new":
+            out = time_decay_scores(
+                d, ["user_id"], "ts", half_life_days=7.0, anchor="key_max"
+            )
+        else:
+            w = Window.partitionBy("user_id")
+            kref = F.max(F.col("ts")).over(w)
+            age_days = (
+                kref.cast("double") - F.col("ts").cast("double")
+            ) / 86400.0
+            weight = F.pow(F.lit(0.5), age_days / F.lit(7.0))
+            out = (
+                d.withColumn("__w", weight)
+                .groupBy("user_id")
+                .agg(
+                    F.round(F.sum("__w"), 6).alias("decayed_score"),
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.max("ts").alias("last_ts"),
+                )
+            )
+        chk = out.agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.round(F.sum("decayed_score"), 2).alias("c2"),
+            F.sum(F.col("n_events") % 997).alias("c3"),
+        ).collect()[0]
+        return [int(chk["c1"]), float(chk["c2"]), int(chk["c3"])]
+
     raise SystemExit(f"unknown op {op}")
 
 
