@@ -2622,6 +2622,28 @@ def q138_decay_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decay_counter_stream(_events(spark, sf_dir), half_life_days=7.0)
 
 
+def q139_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift audit (similarity.embedding_drift): the even
+    half of the embeddings table vs the odd half pushed through a
+    deterministic affine re-embed (x·1.1 + 0.01 — a scale+bias encoder
+    change). Sufficient-statistics aggregation: (count, per-dim sums)
+    per side, ONE map-side-combined groupBy each; only 2×(dim+1)
+    doubles meet the final join. Oracle mirrors with per-dim AVG over a
+    range(1,65) lateral and the same cosine/L2 arithmetic."""
+    from quackosm_spark.operators.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.1) + F.lit(0.01),
+        ),
+    )
+    return embedding_drift(old, new)
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2933,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_time_decay": q136_time_decay,
         "q137_ivf_index_match": q137_ivf_index_match,
         "q138_decay_kernel": q138_decay_kernel,
+        "q139_embedding_drift": q139_embedding_drift,
     })
 
 
@@ -4732,6 +4755,33 @@ def oracle_sql() -> dict[str, str]:
                max(e.ts) AS last_ts
         FROM events e JOIN km USING (user_id)
         GROUP BY e.user_id
+    """
+    out["q139_embedding_drift"] = """
+        WITH o AS (
+            SELECT embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 2 = 0
+        ),
+        nw AS (
+            SELECT list_transform(embedding::DOUBLE[],
+                                  x -> x * 1.1 + 0.01) AS v
+            FROM embeddings WHERE vec_id % 2 = 1
+        ),
+        oc AS (SELECT i, avg(v[i]) AS c FROM o, range(1, 65) t(i) GROUP BY i),
+        nc AS (SELECT i, avg(v[i]) AS c FROM nw, range(1, 65) t(i) GROUP BY i),
+        onn AS (SELECT count(*) AS n_old FROM o),
+        nnn AS (SELECT count(*) AS n_new FROM nw),
+        agg AS (
+            SELECT sum(oc.c * nc.c) AS dot,
+                   sqrt(sum(oc.c * oc.c)) AS no,
+                   sqrt(sum(nc.c * nc.c)) AS nn2,
+                   sqrt(sum((oc.c - nc.c) * (oc.c - nc.c))) AS l2
+            FROM oc JOIN nc USING (i)
+        )
+        SELECT n_old, n_new,
+               round(CASE WHEN no > 0 AND nn2 > 0
+                          THEN dot / (no * nn2) END, 6) AS centroid_cosine,
+               round(l2, 6) AS centroid_l2
+        FROM agg, onn, nnn
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -879,3 +879,78 @@ def match_against_ivf_index(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_cols: Sequence[str] = (),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space DRIFT audit between two corpus snapshots (new
+    encoder version, new crawl, re-embedded shard): per group — or
+    globally with no group — the cosine between the two snapshots'
+    centroid vectors and the L2 centroid shift, plus both counts. A
+    centroid_cosine well below 1 means the re-embed moved the space and
+    every persisted ANN index / cached neighbor list over it is stale;
+    the vector-space complement of `dedup.snapshot_diff` (which audits
+    membership, not geometry).
+
+    Scale shape: the k-means sufficient-statistics pattern — each side
+    aggregates (count, per-dim sums) in ONE groupBy with map-side
+    combine (groups×dim doubles cross the shuffle, never vectors), then
+    the two tiny aggregates join on the group. NULL and wrong-length
+    vectors are excluded (the `kmeans_fit_distributed` modal-dim
+    contract). Outputs round at 6 dp (ratios through sqrt — never
+    boundary-pinned)."""
+    gcols = list(group_cols)
+
+    def _suff(df: DataFrame, tag: str):
+        v = F.col(vec_col).cast("array<double>")
+        d0 = df.select(*gcols, v.alias("__v"))
+        modal = (
+            d0.where(F.col("__v").isNotNull())
+            .groupBy(F.size("__v").alias("__dim"))
+            .count()
+            .orderBy(F.desc("count"), F.desc("__dim"))
+            .first()
+        )
+        if modal is None:
+            raise ValueError("embedding_drift: empty snapshot")
+        dim = int(modal["__dim"])
+        d = d0.where(
+            F.col("__v").isNotNull()
+            & (F.size("__v") == dim)
+            & ~F.exists("__v", lambda x: x.isNull())
+        )
+        agg = d.groupBy(*[F.col(c) for c in gcols]).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            *[
+                F.sum(F.element_at("__v", i + 1)).alias(f"__{tag}{i}")
+                for i in range(dim)
+            ],
+        )
+        return agg, dim
+
+    o, dim_o = _suff(old, "old")
+    n, dim_n = _suff(new, "new")
+    if dim_o != dim_n:
+        raise ValueError(
+            f"embedding_drift: snapshot dims differ ({dim_o} vs {dim_n}) — "
+            "centroid geometry is not comparable across dimensionalities"
+        )
+    joined = o.join(n, gcols) if gcols else o.crossJoin(n)
+    co = [F.col(f"__old{i}") / F.col("n_old") for i in range(dim_o)]
+    cn = [F.col(f"__new{i}") / F.col("n_new") for i in range(dim_o)]
+    dot = sum((a * b for a, b in zip(co, cn)), F.lit(0.0))
+    no = F.sqrt(sum((a * a for a in co), F.lit(0.0)))
+    nn = F.sqrt(sum((b * b for b in cn), F.lit(0.0)))
+    l2 = F.sqrt(sum(((a - b) * (a - b) for a, b in zip(co, cn)), F.lit(0.0)))
+    cos = F.when((no > 0) & (nn > 0), dot / (no * nn))
+    return joined.select(
+        *gcols,
+        "n_old",
+        "n_new",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(l2, 6).alias("centroid_l2"),
+    )

@@ -1857,3 +1857,46 @@ def test_ivf_index_matches_ivf_topk_and_persists(spark, tmp_path):
         for r in S.ivf_topk(df, queries, k=3, num_cells=4, nprobe=4).collect()
     }
     assert got == want
+
+
+def test_embedding_drift_semantics(spark):
+    """r09: centroid cosine/L2 vs numpy on crafted snapshots — grouped and
+    global modes; malformed vectors excluded; dim-mismatch raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from quackosm_spark.operators.similarity import embedding_drift
+
+    rng = np.random.RandomState(2)
+    o = rng.randn(30, 4)
+    nv = o * 0.9 + 0.5  # shifted/rescaled "re-embed"
+    old = spark.createDataFrame(
+        [("a" if i < 20 else "b", [float(x) for x in v]) for i, v in enumerate(o)],
+        "src: string, embedding: array<double>",
+    )
+    new = spark.createDataFrame(
+        [("a" if i < 20 else "b", [float(x) for x in v]) for i, v in enumerate(nv)]
+        + [("a", None), ("a", [1.0, 2.0])],  # malformed: excluded
+        "src: string, embedding: array<double>",
+    )
+    got = {
+        r.src: (r.n_old, r.n_new, r.centroid_cosine, r.centroid_l2)
+        for r in embedding_drift(old, new, group_cols=["src"]).collect()
+    }
+    for src, sl in (("a", slice(0, 20)), ("b", slice(20, 30))):
+        co, cn = o[sl].mean(axis=0), nv[sl].mean(axis=0)
+        cos = float(co @ cn / (np.linalg.norm(co) * np.linalg.norm(cn)))
+        l2 = float(np.linalg.norm(co - cn))
+        n = sl.stop - sl.start
+        assert got[src] == (n, n, round(cos, 6), round(l2, 6))
+    # global mode: one row
+    g = embedding_drift(old, new).collect()
+    assert len(g) == 1 and g[0].n_old == 30 and g[0].n_new == 30
+    # dim mismatch raises
+    with _pytest.raises(ValueError, match="dims differ"):
+        embedding_drift(
+            old,
+            spark.createDataFrame(
+                [("a", [1.0, 2.0])], "src: string, embedding: array<double>"
+            ),
+        )
