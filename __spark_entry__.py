@@ -2644,6 +2644,18 @@ def q139_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift(old, new)
 
 
+def q140_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution
+    (text.unigram_kl_by_group) — the token-space drift audit (q98 PSI =
+    score space, q139 = vector space). One tokenize+explode shuffle to
+    (group, word) counts; corpus totals re-aggregate that table; KL is
+    closed-form with NO smoothing because every group token is a corpus
+    token (Q > 0 on P's support)."""
+    from quackosm_spark.operators.text import unigram_kl_by_group
+
+    return unigram_kl_by_group(_t(spark, sf_dir, "documents"))
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2956,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_ivf_index_match": q137_ivf_index_match,
         "q138_decay_kernel": q138_decay_kernel,
         "q139_embedding_drift": q139_embedding_drift,
+        "q140_unigram_kl": q140_unigram_kl,
     })
 
 
@@ -4782,6 +4795,27 @@ def oracle_sql() -> dict[str, str]:
                           THEN dot / (no * nn2) END, 6) AS centroid_cosine,
                round(l2, 6) AS centroid_l2
         FROM agg, onn, nnn
+    """
+    out["q140_unigram_kl"] = """
+        WITH gw AS (
+            SELECT grp, w, count(*) AS c FROM (
+                SELECT source AS grp,
+                       unnest(list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '')) AS w
+                FROM documents
+            ) GROUP BY grp, w
+        ),
+        corpus AS (SELECT w, sum(c)::DOUBLE AS cw FROM gw GROUP BY w),
+        totals AS (SELECT grp, sum(c)::DOUBLE AS ng FROM gw GROUP BY grp),
+        grand AS (SELECT sum(c)::DOUBLE AS n FROM gw)
+        SELECT grp AS source,
+               CAST(max(ng) AS BIGINT) AS n_tokens,
+               count(*) AS vocab,
+               round(sum((c / ng) * ln((c / ng) / (cw / n))), 6)
+                   AS kl_divergence
+        FROM gw JOIN corpus USING (w) JOIN totals USING (grp), grand
+        GROUP BY grp
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -1400,3 +1400,66 @@ def contamination_overlap_report(
             "overlap_frac"
         ),
     )
+
+
+def unigram_kl_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group unigram-distribution divergence from the corpus — the
+    TEXT-space drift/mixture audit completing the triad: `quality_psi`
+    (score distributions), `similarity.embedding_drift` (vector space),
+    this (token space). For each group, ``KL(P_group ‖ P_corpus)`` over
+    whitespace-lowered unigrams; a high-KL source is lexically unlike
+    the rest of the mix (different language/register/boilerplate) and a
+    near-zero one is redundant. Returns (group, n_tokens, vocab,
+    kl_divergence) — nats, 6-dp.
+
+    No smoothing is needed BY CONSTRUCTION: KL(P‖Q) sums over P's
+    support, and every group token is a corpus token, so Q(w) > 0
+    wherever P(w) > 0 (the group-vs-corpus direction is what makes the
+    estimator closed-form; the reverse direction would need smoothing).
+
+    Scale shape: ONE tokenize+explode pass → (group, word) counts (the
+    only corpus-sized shuffle); corpus word totals RE-AGGREGATE that
+    table (vocab-sized input, not corpus-sized); the final join is
+    co-keyed on word and the KL reduce is a groups-sized aggregate. No
+    driver-side data, no broadcast that grows with the corpus.
+    """
+    gw = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("w"),
+        )
+        .groupBy("grp", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark import StorageLevel
+
+    gw = gw.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = gw.groupBy("w").agg(F.sum("c").alias("cw"))
+    totals = gw.groupBy("grp").agg(F.sum("c").alias("ng"))
+    grand = gw.agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("ng")
+    q = F.col("cw") / F.col("n")
+    return (
+        gw.join(corpus, "w")
+        .join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("grp")
+        .agg(
+            F.max("ng").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_tokens", "vocab",
+            "kl_divergence",
+        )
+    )

@@ -1900,3 +1900,41 @@ def test_embedding_drift_semantics(spark):
                 [("a", [1.0, 2.0])], "src: string, embedding: array<double>"
             ),
         )
+
+
+def test_unigram_kl_by_group(spark):
+    """r09: KL(P_group || P_corpus) vs a python computation; the
+    identical-to-corpus group scores ~0 and the lexically-distinct group
+    scores higher; empty-text docs contribute nothing."""
+    import math
+    from collections import Counter
+
+    from quackosm_spark.operators.text import unigram_kl_by_group
+
+    rows = [
+        (1, "a b c a b", "mixed"),
+        (2, "a b c", "mixed"),
+        (3, "x y z x y z", "weird"),
+        (4, "", "weird"),
+        (5, "a b c a b c a b", "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.kl_divergence)
+        for r in unigram_kl_by_group(df).collect()
+    }
+    groups: dict = {}
+    for _, t, s in rows:
+        groups.setdefault(s, Counter()).update(t.split())
+    corpus = Counter()
+    for c in groups.values():
+        corpus.update(c)
+    n = sum(corpus.values())
+    for s, cnt in groups.items():
+        ng = sum(cnt.values())
+        kl = sum(
+            (c / ng) * math.log((c / ng) / (corpus[w] / n))
+            for w, c in cnt.items()
+        )
+        assert got[s] == (ng, len(cnt), round(kl, 6)), s
+    assert got["weird"][2] > got["plain"][2] > 0
