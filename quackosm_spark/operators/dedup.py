@@ -1281,24 +1281,39 @@ def match_against_minhash_index(
     shingle pass over the new batch joined to ONLY the already-matched
     pairs — no new pair surface.
     """
-    new_sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle)
+    from pyspark import StorageLevel
+
+    # signatures are consumed twice (banding probe + the post-pair sig
+    # join) — persist so the md5 shingle transform runs ONCE (the
+    # novelty_score/oov_rate re-computation lesson)
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     new_banded = new_sigs.select(
         F.col("doc_id").alias("__nid"),
-        F.col("sig").alias("__nsig"),
         F.explode(
             minhash_band_array(F.col("sig"), num_hashes, bands)
         ).alias("band_key"),
     )
-    hist = index.select(
-        F.col("doc_id").alias("__hid"),
-        F.col("sig").alias("__hsig"),
-        "band_key",
+    hist_banded = index.select(F.col("doc_id").alias("__hid"), "band_key")
+    # the banded join carries ONLY ids — the signature arrays (the wide
+    # part of the row) never ride the band fan-out shuffle; they
+    # re-attach to the deduplicated pair list by id. Measured at sf0.1:
+    # 1.75M joined rows collapse to 1.5M pairs before any array moves.
+    pairs = (
+        new_banded.join(hist_banded, "band_key")
+        .select("__nid", "__hid")
+        .distinct()
     )
-    cand = (
-        new_banded.join(hist, "band_key")
-        .groupBy("__nid", "__hid")
-        .agg(F.first("__nsig").alias("__nsig"), F.first("__hsig").alias("__hsig"))
+    hist_sigs = index.groupBy(F.col("doc_id").alias("__hid")).agg(
+        F.first("sig").alias("__hsig")
     )
+    cand = pairs.join(
+        new_sigs.select(
+            F.col("doc_id").alias("__nid"), F.col("sig").alias("__nsig")
+        ),
+        "__nid",
+    ).join(hist_sigs, "__hid")
     agree = F.aggregate(
         F.zip_with(
             F.col("__nsig"), F.col("__hsig"),
