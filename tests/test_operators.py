@@ -1938,3 +1938,37 @@ def test_unigram_kl_by_group(spark):
         )
         assert got[s] == (ng, len(cnt), round(kl, 6)), s
     assert got["weird"][2] > got["plain"][2] > 0
+
+
+def test_canonical_url_idempotent(spark):
+    """r09: canonicalization must be IDEMPOTENT — canonical(canonical(u))
+    == canonical(u) — or a persisted URL-dedup key would diverge from a
+    re-derived one. Swept over a combinatorial grid of gnarly inputs."""
+    import itertools
+
+    from quackosm_spark.operators.dedup import canonical_url
+
+    schemes = ["http://", "HTTPS://", "https://"]
+    hosts = ["WWW.Site.COM", "site.com", "www.site.com:443", "Site.com:8080"]
+    paths = ["", "/", "/a/B/", "/a%20b", "/x"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=1&fbclid=2&z=9&A=3",
+               "?=v&a", "?a=1&a=0"]
+    frags = ["", "#f", "#a?b=1"]
+    urls = [
+        "".join(p)
+        for p in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    urls += ["no scheme here", "weird://x:80/p?a=1", ""]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i: int, url: string")
+    rows = df.select(
+        "url",
+        canonical_url("url").alias("c1"),
+        canonical_url(canonical_url("url")).alias("c2"),
+    ).collect()
+    bad = [(r.url, r.c1, r.c2) for r in rows if r.c1 != r.c2]
+    assert not bad, bad[:5]
+    for r in rows:
+        if "://" in r.url:
+            assert "#" not in r.c1
+            assert "utm_source" not in r.c1 and "fbclid" not in r.c1
