@@ -40,6 +40,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    url_col: str | None = None,
     near_dup: bool = True,
     min_jaccard: float = 0.8,
     keep_best_quality: bool = False,
@@ -66,7 +67,10 @@ def curate_corpus(
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the curation chain; returns (curated_df, stage_report).
 
-    ``benchmark``: held-out eval docs whose word 5-grams must not leak into
+    ``url_col`` (r09): when set, a URL-dedup stage runs FIRST — all but
+    the smallest id per `dedup.canonical_url` key are dropped before any
+    text hashing (the cheap crawl-level pass). ``benchmark``: held-out
+    eval docs whose word 5-grams must not leak into
     training (drops any doc sharing one). ``budgets``: per-source token caps
     (see mix.budget_sample). ``total_token_budget`` (r08): a GLOBAL cap
     filled best-quality-first (mix.token_budget_filter) after all
@@ -104,6 +108,15 @@ def curate_corpus(
         return df
 
     out = _note("input", docs)
+
+    # 0. URL dedup (r09): the cheapest pass a crawl pipeline runs FIRST —
+    #    map-only canonicalization + one groupBy on the canonical key,
+    #    before any text hashing touches duplicate fetches of one page
+    if url_col is not None:
+        losers = D.url_duplicates(out, url_col=url_col, id_col=id_col).select(
+            F.explode("dup_ids").alias(id_col)
+        )
+        out = _note("url_dedup", out.join(losers, id_col, "left_anti"))
 
     # 1. exact dedup: keep smallest id per md5(text)
     out = _note("exact_dedup", D.drop_exact_duplicates(out, id_col, text_col))

@@ -280,3 +280,27 @@ def test_curate_corpus_temperature_mix_stage(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in out2.collect()
     )
+
+
+def test_curate_corpus_url_dedup_stage(spark):
+    """r09: url_col wires crawl-level URL dedup in as stage 0 — tracking-
+    param/case/fragment variants of one page collapse before text dedup,
+    and the stage report records the drop."""
+    from quackosm_spark.operators.recipes import curate_corpus
+
+    rows = [
+        (1, "the same page text fetched twice by the crawler today",
+         "https://site.com/p?a=1"),
+        (2, "completely different text that must survive the url stage",
+         "HTTPS://WWW.Site.com:443/p/?a=1&utm_source=x#frag"),  # same page
+        (3, "another unique document with its very own address",
+         "https://site.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, url: string")
+    out, report = curate_corpus(
+        df, url_col="url", near_dup=False, min_quality=0.0,
+        max_repetition=1.0, min_tokens=1,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 2 not in kept and {1, 3} <= kept
+    assert report["input"] == 3 and report["url_dedup"] == 2
