@@ -820,8 +820,13 @@ def epoch_plan(
     # row (available_tokens=0, epochs=NULL). Filtering avail to the
     # weight keys first bounds the join's right side to weights-size so
     # it broadcasts (left-outer can only broadcast the right side).
+    from pyspark.sql.types import StructType
+
+    # the keys frame inherits the group column's ACTUAL type from the
+    # input schema (a hardcoded string type would break int-keyed groups)
     keys = docs.sparkSession.createDataFrame(
-        [(s,) for s in sorted(weights)], schema=f"{group_col} string"
+        [(s,) for s in sorted(weights)],
+        StructType([docs.schema[group_col]]),
     )
     avail = avail.where(F.col(group_col).isin(list(weights)))
     out = keys.join(avail, group_col, "left").select(

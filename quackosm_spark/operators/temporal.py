@@ -507,7 +507,19 @@ def time_decay_scores(
         per_key_max = events.groupBy(*[F.col(c) for c in key_cols]).agg(
             F.max(F.col(ts_col)).alias("__kref"),
         )
-        joined = events.join(per_key_max, list(key_cols))
+        # null-SAFE join-back: a NULL group key is a real group to the
+        # aggregation (corpus_max keeps it), so the anchor join must not
+        # silently drop those rows via NULL != NULL
+        pm = per_key_max.select(
+            *[F.col(c).alias(f"__k_{c}") for c in key_cols], "__kref"
+        )
+        cond = None
+        for c in key_cols:
+            e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = e if cond is None else cond & e
+        joined = events.join(pm, cond).drop(
+            *[f"__k_{c}" for c in key_cols]
+        )
         age_days = (
             F.col("__kref").cast("double") - F.col(ts_col).cast("double")
         ) / 86400.0

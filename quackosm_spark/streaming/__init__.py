@@ -924,7 +924,9 @@ def _decay_group(
     )
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([user_id], dtype="int64"),
+            # plain list, not a forced int64 Series: a NULL group key is a
+            # legal pandas group and must emit (the zscore kernel idiom)
+            "user_id": [user_id],
             "decayed_score": pd.Series([round(score, 6)], dtype="float64"),
             "n_events": pd.Series([n], dtype="int64"),
             "last_ts": pd.to_datetime([anchor_us], unit="us"),

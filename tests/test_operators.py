@@ -1972,3 +1972,52 @@ def test_canonical_url_idempotent(spark):
         if "://" in r.url:
             assert "#" not in r.c1
             assert "utm_source" not in r.c1 and "fbclid" not in r.c1
+
+
+def test_epoch_plan_int_group_keys(spark):
+    """r09: the zero-source anchor frame inherits the group column's real
+    type — int-keyed source columns work."""
+    from quackosm_spark.operators.mix import epoch_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b", 10), (2, "c d e", 20)],
+        "doc_id: long, text: string, source: int",
+    )
+    got = {
+        r.source: (r.available_tokens, r.epochs)
+        for r in epoch_plan(
+            df, {10: 1.0, 20: 1.0, 30: 2.0}, total_tokens=8,
+            group_col="source",
+        ).collect()
+    }
+    assert got[10] == (2, 1.0) and got[20] == (3, round(2 / 3, 4))
+    assert got[30] == (0, None)
+
+
+def test_time_decay_null_key_parity(spark):
+    """r09: a NULL group key is a real group under BOTH anchors — the
+    key_max join-back must be null-safe, not silently drop those rows."""
+    from datetime import datetime, timedelta
+
+    from quackosm_spark.operators.temporal import time_decay_scores
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(None, t0), (None, t0 + timedelta(days=7)), (5, t0)],
+        "user_id: long, ts: timestamp",
+    )
+    for anchor in ("corpus_max", "key_max"):
+        got = {
+            r.user_id: r.n_events
+            for r in time_decay_scores(
+                df, ["user_id"], "ts", 7.0, anchor=anchor
+            ).collect()
+        }
+        assert got == {None: 2, 5: 1}, anchor
+    km = {
+        r.user_id: r.decayed_score
+        for r in time_decay_scores(
+            df, ["user_id"], "ts", 7.0, anchor="key_max"
+        ).collect()
+    }
+    assert km[None] == 1.5  # anchored at ITS OWN max: 0.5 + 1.0
