@@ -2656,6 +2656,20 @@ def q140_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_kl_by_group(_t(spark, sf_dir, "documents"))
 
 
+def q141_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (text.char_entropy): per-doc
+    Shannon entropy of the char distribution — the compression-ratio
+    proxy that catches degenerate repetition AND encoded junk. Explode
+    → one map-side-combined (doc, char) groupBy → co-partitioned
+    entropy reduce. Sliced to doc_id % 7 == 0 to keep the char
+    explosion proportionate at contract scale."""
+    from quackosm_spark.operators.text import char_entropy
+
+    return char_entropy(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2969,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_decay_kernel": q138_decay_kernel,
         "q139_embedding_drift": q139_embedding_drift,
         "q140_unigram_kl": q140_unigram_kl,
+        "q141_char_entropy": q141_char_entropy,
     })
 
 
@@ -4816,6 +4831,22 @@ def oracle_sql() -> dict[str, str]:
                    AS kl_divergence
         FROM gw JOIN corpus USING (w) JOIN totals USING (grp), grand
         GROUP BY grp
+    """
+    out["q141_char_entropy"] = """
+        WITH ch AS (
+            SELECT doc_id, c, count(*) AS cnt FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), ''),
+                           x -> x <> '')) AS c
+                FROM documents WHERE doc_id % 7 = 0
+            ) GROUP BY doc_id, c
+        ),
+        tot AS (SELECT doc_id, sum(cnt)::DOUBLE AS n FROM ch GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+               round(-sum((cnt / n) * log2(cnt / n)), 6) AS entropy
+        FROM ch JOIN tot USING (doc_id)
+        GROUP BY doc_id, n
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -1463,3 +1463,50 @@ def unigram_kl_by_group(
             "kl_divergence",
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the lowercased character
+    distribution — the compression-ratio proxy in web-scale quality
+    filtering: near-zero entropy is degenerate repetition
+    ("aaaa…", padded boilerplate), unusually HIGH entropy is
+    encoded/binary junk pretending to be text; both tails get cut. The
+    character-level complement of `repetition_ratio` (word level) and
+    `quality_score` (structural). Returns (doc_id, n_chars, entropy);
+    empty texts emit no row (no distribution to measure).
+
+    Scale shape: explode to (doc, char) → ONE groupBy with map-side
+    combine (per-task state collapses to ≤ alphabet-size rows per doc)
+    → per-doc entropy reduce keyed on the same id (co-partitioned —
+    AQE reuses the exchange). 6-dp rounding: entropy terms are ratios
+    through log2, never boundary-pinned.
+    """
+    ch = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), ""),
+                    lambda c: c != "",
+                )
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = ch.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        ch.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("n").cast("bigint").alias("n_chars"),
+            "entropy",
+        )
+    )

@@ -2021,3 +2021,34 @@ def test_time_decay_null_key_parity(spark):
         ).collect()
     }
     assert km[None] == 1.5  # anchored at ITS OWN max: 0.5 + 1.0
+
+
+def test_char_entropy_semantics(spark):
+    """r09: entropy vs python math on crafted docs — degenerate repetition
+    scores ~0, uniform alphabet scores log2(k); lowercasing merges case;
+    empty text emits no row."""
+    import math
+    from collections import Counter
+
+    from quackosm_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "aaaaaaaa"),            # zero entropy
+        (2, "abcdabcd"),            # uniform over 4 chars -> 2 bits
+        (3, "AaBb"),                # lowercased -> uniform over 2 -> 1 bit
+        (4, ""),                    # no row
+        (5, "hello world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_chars, r.entropy)
+        for r in char_entropy(df).collect()
+    }
+    assert 4 not in got
+    assert got[1] == (8, 0.0)
+    assert got[2] == (8, 2.0)
+    assert got[3] == (4, 1.0)
+    cnt = Counter("hello world")
+    n = sum(cnt.values())
+    h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+    assert got[5] == (n, round(h, 6))
