@@ -2824,14 +2824,16 @@ _DRIVER_PRIORITY = [
     "q96_relation_shared_edge", "q97_relation_geometrycollection",
     "q98_quality_psi", "q108_hashed_tfidf", "q111_spatial_join",
     "q118_weighted_sample_global",
-    # fill to 50 with the newest ops: kernels touched in r9 (epoch-plan
-    # zero-source rows, snapshot-diff presence flags, k-means vector
-    # filtering + GEMM argmin, quota-guarded mixing trio, the two-tier
-    # near-dup index) — fresh driver evidence for changed code first
-    "q133_epoch_plan", "q130_snapshot_diff", "q131_kmeans_cells",
-    "q125_temperature_mix", "q123_token_budget",
-    "q124_token_budget_grouped", "q134_incremental_neardup",
-    "q126_soft_dedup", "q128_percent_rank_norm", "q132_key_skew",
+    # fill to 50: first driver evidence for the SEVEN new r9 queries
+    # (q121/q122 precedent), then the three most-changed r9 kernels —
+    # the minhash-index pairs-only rewrite, the epoch-plan zero-source
+    # anchor, the snapshot-diff presence fix. (The other r9-touched
+    # kernels — quota guards, k-means filtering, percent-rank — were
+    # dual-session verified locally this round and rotate next window.)
+    "q135_url_dedup", "q136_time_decay", "q137_ivf_index_match",
+    "q138_decay_kernel", "q139_embedding_drift", "q140_unigram_kl",
+    "q141_char_entropy",
+    "q134_incremental_neardup", "q133_epoch_plan", "q130_snapshot_diff",
 ]  # 50 window: q14 (31 entries of r5-stale cohort lead) spills; see (a)
 
 
