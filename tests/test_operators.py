@@ -2052,3 +2052,27 @@ def test_char_entropy_semantics(spark):
     n = sum(cnt.values())
     h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
     assert got[5] == (n, round(h, 6))
+
+
+def test_ivf_match_gemm_score_identical(spark):
+    """r09: gemm_score=True (Arrow-batched cosine) returns the identical
+    6-dp rows as the Column fold."""
+    import numpy as np
+
+    from quackosm_spark.operators import similarity as S
+
+    rng = np.random.RandomState(9)
+    pts = rng.randn(150, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = S.train_ivf_centroids(df, num_cells=4)
+    idx = S.ivf_index(df, cents)
+    q = df.where("vec_id % 29 = 0")
+    a = {(r.query_id, r.match_id, r.rank, r.cosine)
+         for r in S.match_against_ivf_index(q, idx, cents, k=4, nprobe=4).collect()}
+    b = {(r.query_id, r.match_id, r.rank, r.cosine)
+         for r in S.match_against_ivf_index(
+             q, idx, cents, k=4, nprobe=4, gemm_score=True).collect()}
+    assert a == b and len(a) > 0
