@@ -20,7 +20,7 @@ import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from quackosm_spark.operators.dedup import cosine_similarity
+from quackosm_spark.operators.dedup import _spread, cosine_similarity
 
 
 def brute_force_topk(
@@ -34,10 +34,13 @@ def brute_force_topk(
     """Exact top-k by cosine: broadcast(queries) ⋈ corpus → window top-k.
 
     Returns (query_id, match_id, cosine, rank). The join is a broadcast
-    nested loop over the small query side — corpus stays partition-local;
-    the only shuffle is the final per-query top-k (tiny: k rows per query
-    after partial aggregation)."""
-    c = corpus.select(
+    nested loop over the small query side — the corpus never shuffles on
+    a key; a narrow corpus (single-file scan) is first spread to cluster
+    parallelism (`dedup._spread` — at-scale scans pass through), since
+    the broadcast join preserves the stream side's partitioning and
+    would otherwise score every pair in one task. The only keyed
+    shuffle is the final per-query top-k."""
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("match_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     q = queries.select(
@@ -108,7 +111,7 @@ def lsh_bucket_topk(
     bucket at Hamming distance 1 from the query's signature (num_planes + 1
     buckets per query) — the standard recall/cost dial; the corpus side is
     never duplicated."""
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("bucket", hyperplane_signs(F.col("cv"), num_planes, dim))
@@ -190,7 +193,7 @@ def ivf_topk(
     """IVF ANN: spherical-k-means centroids (deterministic sample + Lloyd
     refinement), every vector assigned to its nearest centroid; queries
     probe the ``nprobe`` nearest cells. Exact within probed cells."""
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -257,7 +260,7 @@ def ivf_topk_sweep(
         raise ValueError("ivf_topk_sweep: nprobes must be non-empty")
     depths = sorted(set(int(n) for n in nprobes))
     max_probe = depths[-1]
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -383,7 +386,7 @@ def brute_force_topk_vectorized(
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, q_norm))
 
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(corpus_id).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -722,7 +725,11 @@ def kmeans_fit_distributed(
     if k < 1:
         raise ValueError("kmeans_fit_distributed: k must be >= 1")
     v = F.col(vec_col).cast("array<double>")
-    d0 = corpus.select(F.col(corpus_id).alias("__kid"), v.alias("__kv"))
+    # spread a narrow scan so each Lloyd round's argmin+sufficient-stats
+    # pass parallelizes (the persisted frame inherits this partitioning)
+    d0 = _spread(corpus).select(
+        F.col(corpus_id).alias("__kid"), v.alias("__kv")
+    )
     modal = (
         d0.where(F.col("__kv").isNotNull())
         .groupBy(F.size("__kv").alias("__dim"))
@@ -867,8 +874,6 @@ def match_against_ivf_index(
     # preserve the stream side's partitioning) would score EVERY pair in
     # a single task — spread it to cluster parallelism first (the
     # dedup._spread rule: at-scale scans pass through untouched).
-    from quackosm_spark.operators.dedup import _spread
-
     index = _spread(index)
     # gemm_score=True swaps the interpreted zip_with/aggregate cosine
     # fold (a dim-length array allocation PER PAIR) for one Arrow-batched
