@@ -2545,7 +2545,10 @@ def q135_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to ONE canonical key; keep-smallest-id groups with the
     sorted dup list. Oracle computes the EXPECTED canonical key directly
     from the id arithmetic (a semantic pin on the canonicalization rules,
-    not a reimplementation). Map-only string math + one groupBy."""
+    not a reimplementation). Map-only string math + one groupBy. dup_ids
+    is emitted as CSV (the q05 engine-neutral convention — raw array
+    columns break the harness's pandas canonicalizer, the r9 driver
+    red)."""
     from quackosm_spark.operators.dedup import url_duplicates
 
     docs = _t(spark, sf_dir, "documents")
@@ -2567,7 +2570,10 @@ def q135_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".example.com:443/page/"), page,
             F.lit("?a=1&b=2&gclid=123")))
     )
-    return url_duplicates(docs.withColumn("url", url))
+    return url_duplicates(docs.withColumn("url", url)).withColumn(
+        "dup_ids",
+        F.array_join(F.transform(F.col("dup_ids"), lambda i: i.cast("string")), ","),
+    )
 
 
 def q136_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4740,11 +4746,12 @@ def oracle_sql() -> dict[str, str]:
                        AS canonical_url
             FROM documents
         )
-        SELECT canonical_url, keep_id, all_ids[2:] AS dup_ids,
+        SELECT canonical_url, keep_id,
+               array_to_string(all_ids[2:], ',') AS dup_ids,
                CAST(len(all_ids) - 1 AS INTEGER) AS n_dups
         FROM (
             SELECT canonical_url, min(doc_id) AS keep_id,
-                   list_sort(list(doc_id)) AS all_ids
+                   list_sort(list(DISTINCT doc_id)) AS all_ids
             FROM c GROUP BY canonical_url
         ) WHERE len(all_ids) > 1
     """

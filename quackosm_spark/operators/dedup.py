@@ -1453,6 +1453,14 @@ def url_duplicates(
     Returns (canonical_url, keep_id, dup_ids sorted, n_dups) for groups
     with at least one duplicate. One groupBy shuffle on the canonical
     key; the canonicalization itself is map-only Column math.
+
+    Ids are DEDUPLICATED per canonical key (`collect_set`), so a doc id
+    that appears twice under one URL (re-crawled row, upstream join
+    fan-out) never lists itself as its own duplicate — `dup_ids` holds
+    only ids strictly distinct from `keep_id`, and a key whose rows all
+    share one id emits nothing (ADVICE r9: the old collect_list shape
+    put keep_id into dup_ids, so a downstream anti-join deleted every
+    copy of the kept page).
     """
     c = canonical_url(F.col(url_col), tracking_params).alias("canonical_url")
     return (
@@ -1461,7 +1469,7 @@ def url_duplicates(
         .groupBy("canonical_url")
         .agg(
             F.min("__uid").alias("keep_id"),
-            F.array_sort(F.collect_list("__uid")).alias("__all"),
+            F.array_sort(F.collect_set("__uid")).alias("__all"),
         )
         .where(F.size("__all") > 1)
         .select(

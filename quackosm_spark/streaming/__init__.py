@@ -850,8 +850,14 @@ _DECAY_STATE_SCHEMA = StructType(
         StructField("score", DoubleType()),
         StructField("n_events", LongType()),
         StructField("anchor_us", LongType()),
+        StructField("n_contrib", LongType()),
     ]
 )
+
+# anchor sentinel for "no valid timestamp seen yet" — the state store's
+# LongType can't hold None, and any real µs epoch (including negative,
+# pre-1970) is a legal anchor, so use LONG_MIN
+_DECAY_NO_ANCHOR = -(2**63)
 
 
 def _empty_decay_pdf() -> pd.DataFrame:
@@ -883,7 +889,29 @@ def _decay_group(
     `temporal.time_decay_scores(anchor='key_max')` up to fp
     associativity, inside the 6-dp display rounding (parity
     test-locked). State expires ``ttl`` after the anchor passes the
-    watermark — idle keys stop costing memory and restart cold."""
+    watermark — idle keys stop costing memory and restart cold.
+
+    NULL handling mirrors the batch twin row-for-row (ADVICE r9 medium —
+    the old kernel let a NULL value become float NaN and permanently
+    poison the key's score, and raised on a NaT timestamp):
+
+    - NULL/NaN value, valid ts: counts in ``n_events`` (batch
+      ``F.count(lit(1))``), contributes 0 to the score (batch ``F.sum``
+      skips NULL weights), and still advances the anchor/last_ts (batch
+      ``max(ts)`` sees the row). Spark NULL doubles arrive in pandas as
+      float64 NaN, so NULL and literal NaN are indistinguishable here —
+      both are skipped; the batch twin propagates a literal NaN into the
+      sum, the one knowingly-unmirrorable case (Arrow erases the
+      distinction). ±inf IS distinguishable and propagates like batch.
+    - NaT timestamp: counts in ``n_events``, touches nothing else (batch:
+      NULL age → NULL weight → skipped by sum; max(ts) ignores NULL).
+    - a key that has only ever seen NaT timestamps has no anchor: it
+      emits (NULL score, n, NULL last_ts) exactly like the batch twin's
+      all-NULL-weight group, and times out ttl past the current watermark.
+    - a key whose every valid-ts row had a NULL value emits score NULL
+      (batch sum over zero non-NULL weights is NULL), tracked in state by
+      an ``n_contrib`` count.
+    """
     import math
 
     (user_id,) = key
@@ -893,18 +921,29 @@ def _decay_group(
         return
 
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
-    ts_us = rows["ts"].astype("int64") // 1000
+    valid = rows[rows["ts"].notna()]
+    n_nat = len(rows) - len(valid)
+    valid = valid.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = valid["ts"].astype("int64") // 1000
     half_us = half_life_days * 86400.0 * 1e6
 
     if state.exists:
-        score, n, anchor_us = state.get
+        score, n, anchor_us, n_contrib = state.get
     else:
-        score, n, anchor_us = 0.0, 0, None
+        score, n, anchor_us, n_contrib = 0.0, 0, None, 0
+    if anchor_us is not None and anchor_us == _DECAY_NO_ANCHOR:
+        anchor_us = None
 
-    vals = rows["value"] if use_value else None
+    vals = valid["value"] if use_value else None
     for i, t in enumerate(ts_us.to_numpy()):
-        v = float(vals.iloc[i]) if use_value else 1.0
+        if use_value:
+            v = float(vals.iloc[i])
+            if math.isnan(v):  # Spark NULL (or literal NaN) over Arrow
+                v = 0.0
+            else:
+                n_contrib += 1
+        else:
+            v, n_contrib = 1.0, n_contrib + 1
         t = int(t)
         if anchor_us is None:
             score, anchor_us = v, t
@@ -914,11 +953,24 @@ def _decay_group(
         else:
             score = score + v * math.pow(0.5, (anchor_us - t) / half_us)
         n += 1
+    n += n_nat
 
-    state.update((float(score), int(n), int(anchor_us)))
+    state.update(
+        (
+            float(score),
+            int(n),
+            _DECAY_NO_ANCHOR if anchor_us is None else int(anchor_us),
+            int(n_contrib),
+        )
+    )
     state.setTimeoutTimestamp(
         max(
-            anchor_us // 1000 + ttl_seconds * 1000,
+            (
+                state.getCurrentWatermarkMs()
+                if anchor_us is None
+                else anchor_us // 1000
+            )
+            + ttl_seconds * 1000,
             state.getCurrentWatermarkMs() + 1,
         )
     )
@@ -927,9 +979,15 @@ def _decay_group(
             # plain list, not a forced int64 Series: a NULL group key is a
             # legal pandas group and must emit (the zscore kernel idiom)
             "user_id": [user_id],
-            "decayed_score": pd.Series([round(score, 6)], dtype="float64"),
+            # nullable Float64: NULL score (no contributions yet) must
+            # reach Spark as NULL, not NaN — plain float64 can't hold one
+            "decayed_score": pd.array(
+                [round(score, 6) if n_contrib > 0 else None], dtype="Float64"
+            ),
             "n_events": pd.Series([n], dtype="int64"),
-            "last_ts": pd.to_datetime([anchor_us], unit="us"),
+            "last_ts": pd.to_datetime(
+                [anchor_us if anchor_us is not None else None], unit="us"
+            ),
         }
     )
 
@@ -943,9 +1001,9 @@ def decay_counter_stream(
 ) -> DataFrame:
     """Streaming twin of ``temporal.time_decay_scores(anchor='key_max')``:
     maintain per-key exponentially-decayed activity counters (trending
-    scores, freshness-weighted rate limits) with ONE (score, n, anchor)
-    state row per key — no event history retained, so state is O(active
-    keys) regardless of stream length. Emits the updated (user_id,
+    scores, freshness-weighted rate limits) with ONE (score, n, anchor,
+    n_contrib) state row per key — no event history retained, so state is
+    O(active keys) regardless of stream length. Emits the updated (user_id,
     decayed_score, n_events, last_ts) row per touched key per
     micro-batch (update mode — downstream upserts by user_id).
 

@@ -1765,6 +1765,30 @@ def test_url_duplicates_groups(spark):
     }
 
 
+def test_url_duplicates_repeated_id_not_its_own_dup(spark):
+    """r10 (ADVICE r9): the same doc_id appearing twice under one
+    canonical URL must NOT list keep_id in dup_ids (a downstream
+    left_anti on dup_ids would otherwise delete every copy of the kept
+    page), and a key whose rows all share one id emits nothing."""
+    from quackosm_spark.operators.dedup import url_duplicates
+
+    rows = [
+        # id 1 crawled twice + a genuine dup id 2
+        (1, "https://site.com/p"),
+        (1, "https://site.com/p/"),
+        (2, "https://www.site.com/p"),
+        # id 9 crawled twice, no other id: no duplicate group at all
+        (9, "https://site.com/solo"),
+        (9, "https://site.com/solo#frag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string")
+    got = {
+        r.canonical_url: (r.keep_id, list(r.dup_ids), r.n_dups)
+        for r in url_duplicates(df).collect()
+    }
+    assert got == {"https://site.com/p": (1, [2], 1)}
+
+
 def test_time_decay_scores_semantics(spark):
     """r09: decayed score = sum(0.5^(age/half_life)) back from the corpus
     max ts; checked against a python computation; value weighting and

@@ -878,3 +878,57 @@ def test_decay_counter_out_of_order_is_anchor_stable(spark):
         0.25 + 0.5 + 1.0, 6
     )
     assert out["n_events"].iloc[0] == 3
+
+
+def test_decay_counter_null_value_and_nat_ts_parity(spark):
+    """r10 (ADVICE r9 medium): NULL values and NULL timestamps must not
+    poison the decayed score — the kernel mirrors the batch twin
+    row-for-row: NULL value counts in n_events, contributes 0, still
+    advances last_ts; NULL ts only counts; an all-NULL-value or
+    all-NULL-ts key emits a NULL score like batch F.sum over zero
+    non-NULL weights."""
+    from datetime import datetime, timedelta
+
+    from quackosm_spark.operators.temporal import time_decay_scores
+    from quackosm_spark.streaming import decay_counter_stream
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # key 1: NULL value mid-stream, NULL value at the key max ts
+        (0, 1, t0, "e", 2.0),
+        (1, 1, t0 + timedelta(days=7), "e", None),
+        (2, 1, t0 + timedelta(days=14), "e", None),
+        # key 2: a NULL ts row among valid ones
+        (3, 2, t0, "e", 1.0),
+        (4, 2, None, "e", 5.0),
+        (5, 2, t0 + timedelta(days=7), "e", 1.0),
+        # key 3: every value NULL (valid ts) -> NULL score, real last_ts
+        (6, 3, t0, "e", None),
+        (7, 3, t0 + timedelta(days=7), "e", None),
+        # key 4: every ts NULL -> NULL score, NULL last_ts, n counted
+        (8, 4, None, "e", 1.0),
+        (9, 4, None, "e", 1.0),
+    ]
+    cols = (
+        "event_id: long, user_id: long, ts: timestamp, "
+        "event_type: string, value: double"
+    )
+    df = spark.createDataFrame(rows, cols)
+    got = {
+        r.user_id: (r.decayed_score, r.n_events, r.last_ts)
+        for r in decay_counter_stream(
+            df, half_life_days=7.0, value_col="value"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.decayed_score, r.n_events, r.last_ts)
+        for r in time_decay_scores(
+            df, half_life_days=7.0, value_col="value", anchor="key_max"
+        ).collect()
+    }
+    assert got == want
+    # pin the semantics, not just the parity
+    assert got[1] == (round(2.0 * 0.25, 6), 3, t0 + timedelta(days=14))
+    assert got[2] == (round(1.0 * 0.5 + 1.0, 6), 3, t0 + timedelta(days=7))
+    assert got[3] == (None, 2, t0 + timedelta(days=7))
+    assert got[4] == (None, 2, None)
