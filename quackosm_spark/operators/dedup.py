@@ -494,14 +494,22 @@ def simhash(
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine of two array<float|double> Columns — pure ``aggregate`` +
-    ``zip_with``, JVM-side."""
+    ``zip_with``, JVM-side. A zero-norm vector yields NULL (not a
+    DIVIDE_BY_ZERO under ANSI mode — Spark 4's default — and not ±inf/NaN
+    under non-ANSI, which would outrank every real match in a
+    desc-cosine window); NULL input propagates to NULL as before. A NaN
+    component likewise masks to NULL — Spark orders NaN ABOVE every real
+    number, so a NaN cosine would take rank 1 in every desc-cosine
+    top-k; the check is free (any NaN component makes the already-computed
+    dot NaN)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     norm = lambda v: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    return dot / (norm(a) * norm(b))
+    denom = norm(a) * norm(b)
+    return F.when((denom > 0) & ~F.isnan(dot), dot / denom)
 
 
 def embedding_near_duplicates(

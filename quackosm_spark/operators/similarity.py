@@ -985,21 +985,49 @@ def _cosine_pairs_udf():
     per batch (stacked rowwise dot/norms) instead of the interpreted
     ``zip_with``+``aggregate`` fold, which allocates a dim-length array
     per pair. Same 6-dp rounded values (float64 sum-order last-ulp
-    differences sit far below the display rounding)."""
+    differences sit far below the display rounding).
+
+    Malformed rows — a NULL vector on either side, a pair whose dims
+    disagree, or NaN components — score NULL instead of crashing the
+    stack (ADVICE r9: the old blind ``np.stack`` raised on the data the
+    default Column path tolerates). NULL, not NaN, on purpose: the
+    consumer ranks ``desc(cosine)`` and Spark orders NaN ABOVE every real
+    number, so a NaN mask would put garbage rows at rank 1; NULLs sort
+    last, exactly like the Column path's NULL output on NULL input.
+    Valid pairs vectorize in per-dim buckets (one GEMM-style pass per
+    distinct dim, which is one pass for any sane corpus)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        dots = (A * B).sum(axis=1)
-        na = np.sqrt((A * A).sum(axis=1))
-        nb = np.sqrt((B * B).sum(axis=1))
-        denom = na * nb
-        out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan)
+        n = len(a)
+        out = pd.array([None] * n, dtype="Float64")
+        if not n:
+            return pd.Series(out)
+        buckets: dict[int, list[tuple[int, object, object]]] = {}
+        for i in range(n):
+            va, vb = a.iloc[i], b.iloc[i]
+            if va is None or vb is None:
+                continue
+            aa = np.asarray(va, dtype=np.float64)
+            bb = np.asarray(vb, dtype=np.float64)
+            if aa.ndim != 1 or aa.shape != bb.shape:
+                continue
+            if np.isnan(aa).any() or np.isnan(bb).any():
+                continue
+            buckets.setdefault(aa.shape[0], []).append((i, aa, bb))
+        for rows in buckets.values():
+            idx = [r[0] for r in rows]
+            A = np.stack([r[1] for r in rows])
+            B = np.stack([r[2] for r in rows])
+            dots = (A * B).sum(axis=1)
+            denom = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            ok = denom > 0
+            vals = dots[ok] / denom[ok]
+            # zero-norm pairs stay NULL (the Column path's F.when with no
+            # otherwise), positive-denominator pairs get real scores
+            out[np.asarray(idx)[ok]] = vals
         return pd.Series(out)
 
     return cos

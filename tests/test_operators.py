@@ -2100,3 +2100,35 @@ def test_ivf_match_gemm_score_identical(spark):
          for r in S.match_against_ivf_index(
              q, idx, cents, k=4, nprobe=4, gemm_score=True).collect()}
     assert a == b and len(a) > 0
+
+
+def test_gemm_score_tolerates_malformed_vectors(spark):
+    """r10 (ADVICE r9): a NULL, ragged, or NaN-holding embedding in the
+    index must not crash the Arrow cosine kernel (np.stack ValueError) —
+    malformed rows score NULL like the Column path and NEVER outrank real
+    matches (a NaN mask would sort first under desc)."""
+    import numpy as np
+
+    from quackosm_spark.operators import similarity as S
+
+    rng = np.random.RandomState(10)
+    pts = rng.randn(60, 6)
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    rows += [
+        (100, None),                      # NULL vector
+        (101, [1.0, 2.0]),                # ragged dim
+        (102, [float("nan")] * 6),        # NaN components
+        (103, [0.0] * 6),                 # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    clean = df.where("vec_id < 100")
+    cents = S.train_ivf_centroids(clean, num_cells=2)
+    idx = S.ivf_index(df, cents)  # malformed rows ride into the index
+    q = clean.where("vec_id % 17 = 0")
+    a = {(r.query_id, r.match_id, r.rank, r.cosine)
+         for r in S.match_against_ivf_index(q, idx, cents, k=3, nprobe=2).collect()}
+    b = {(r.query_id, r.match_id, r.rank, r.cosine)
+         for r in S.match_against_ivf_index(
+             q, idx, cents, k=3, nprobe=2, gemm_score=True).collect()}
+    assert a == b and len(a) > 0
+    assert not any(m in (100, 101, 102, 103) for _, m, _, _ in b)
