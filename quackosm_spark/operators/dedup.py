@@ -1288,6 +1288,12 @@ def match_against_minhash_index(
     and ``tier`` ('exact' | 'estimated'). The extra cost is one
     shingle pass over the new batch joined to ONLY the already-matched
     pairs — no new pair surface.
+
+    Leaves ONE caller-owned cached frame (the new batch's signatures,
+    consumed by both the banding probe and the post-pair sig join) —
+    lifecycle per README "Cache lifecycle": LRU-evicted, or
+    `spark.catalog.clearCache()` at a safe point in long sessions
+    (hygiene test-locked).
     """
     from pyspark import StorageLevel
 

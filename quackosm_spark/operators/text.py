@@ -1426,6 +1426,11 @@ def unigram_kl_by_group(
     table (vocab-sized input, not corpus-sized); the final join is
     co-keyed on word and the KL reduce is a groups-sized aggregate. No
     driver-side data, no broadcast that grows with the corpus.
+
+    Leaves ONE caller-owned cached frame (the (group, word) counts feed
+    four exchanges Catalyst can't deduplicate) — lifecycle per README
+    "Cache lifecycle": LRU-evicted, or `spark.catalog.clearCache()` at a
+    safe point in long sessions (hygiene test-locked).
     """
     gw = (
         docs.select(

@@ -108,3 +108,31 @@ def test_dsir_logweights_leaves_one_cache(clean_cache):
     docs = spark.read.parquet(DOCS)
     dsir_logweights(docs, target_source="src0").count()
     _assert_leaks_at_most_one(spark, "dsir_logweights")
+
+
+def test_match_against_minhash_index_leaves_one_cache(clean_cache):
+    """r10 (ADVICE r9): repeated incremental lookups must not accumulate
+    MEMORY_AND_DISK blocks beyond the one caller-owned signature cache
+    per call (and a clearCache fully releases them)."""
+    spark = clean_cache
+    from quackosm_spark.operators.dedup import (
+        match_against_minhash_index,
+        minhash_index,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    idx = minhash_index(docs.where("doc_id % 2 = 0"), num_hashes=8, bands=4)
+    new = docs.where("doc_id % 2 = 1")
+    match_against_minhash_index(new, idx, num_hashes=8, bands=4).count()
+    _assert_leaks_at_most_one(spark, "match_against_minhash_index")
+    spark.catalog.clearCache()
+    assert _cached_rdd_count(spark) == 0
+
+
+def test_unigram_kl_by_group_leaves_one_cache(clean_cache):
+    spark = clean_cache
+    from quackosm_spark.operators.text import unigram_kl_by_group
+
+    docs = spark.read.parquet(DOCS)
+    unigram_kl_by_group(docs).count()
+    _assert_leaks_at_most_one(spark, "unigram_kl_by_group")
