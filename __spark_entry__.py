@@ -2676,6 +2676,20 @@ def q141_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q142_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (text.pmi_collocations): top-50 word pairs by
+    pointwise mutual information over the corpus bigram stream, marginals
+    from the same stream, min_count=5 floor BEFORE ranking (raw PMI
+    degenerates to hapax pairs). One corpus count shuffle; marginals are
+    word-partitioned windows over the vocabulary-bounded pair table; the
+    rank window sorts only the floored table."""
+    from quackosm_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=50
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2992,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_embedding_drift": q139_embedding_drift,
         "q140_unigram_kl": q140_unigram_kl,
         "q141_char_entropy": q141_char_entropy,
+        "q142_pmi_collocations": q142_pmi_collocations,
     })
 
 
@@ -4856,6 +4871,34 @@ def oracle_sql() -> dict[str, str]:
                round(-sum((cnt / n) * log2(cnt / n)), 6) AS entropy
         FROM ch JOIN tot USING (doc_id)
         GROUP BY doc_id, n
+    """
+    out["q142_pmi_collocations"] = """
+        WITH t AS (
+            SELECT list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x <> '') AS toks
+            FROM documents
+        ),
+        d AS (SELECT toks FROM t WHERE len(toks) >= 2),
+        bg AS (
+            SELECT toks[i] AS a, toks[i + 1] AS b
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)
+        ),
+        pc AS (SELECT a, b, count(*)::DOUBLE AS c_ab FROM bg GROUP BY a, b),
+        pa AS (SELECT a, count(*)::DOUBLE AS c_a FROM bg GROUP BY a),
+        pb AS (SELECT b, count(*)::DOUBLE AS c_b FROM bg GROUP BY b),
+        n AS (SELECT count(*)::DOUBLE AS nb FROM bg)
+        SELECT w1, w2, n_pair, pmi, rank FROM (
+            SELECT pc.a AS w1, pc.b AS w2,
+                   CAST(pc.c_ab AS BIGINT) AS n_pair,
+                   round(ln((pc.c_ab * n.nb) / (pa.c_a * pb.c_b)), 6) AS pmi,
+                   row_number() OVER (
+                       ORDER BY round(ln((pc.c_ab * n.nb)
+                           / (pa.c_a * pb.c_b)), 6) DESC,
+                           pc.a, pc.b) AS rank
+            FROM pc JOIN pa USING (a) JOIN pb USING (b) CROSS JOIN n
+            WHERE pc.c_ab >= 5
+        ) WHERE rank <= 50
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -1515,3 +1515,77 @@ def char_entropy(
             "entropy",
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` two-word collocations by pointwise mutual
+    information over the corpus bigram stream — the phrase-mining signal
+    (Church & Hanks 1990) used to pick merge candidates for tokenizer
+    vocabularies and to surface templated boilerplate ("all rights
+    reserved") that per-doc signals miss. PMI = ln(c_ab·N / (c_a·c_b))
+    with all marginals taken over the bigram stream (c_a = count of ``a``
+    as a prefix, c_b = count of ``b`` as a suffix, N = total bigrams), so
+    one bigram count table feeds everything. Pairs below ``min_count``
+    are dropped BEFORE ranking — raw PMI otherwise degenerates to
+    hapax pairs (c_ab=1 scores highest by construction).
+
+    Returns (w1, w2, n_pair, pmi, rank), rank 1 = strongest collocation;
+    ties on the 6-dp pmi break to (w1, w2) ascending so the ranking is
+    engine-portable.
+
+    Scale shape: tokenization/bigrams are scan-stage Column ops (the
+    `bigram_logprob` idiom); ONE corpus-sized count shuffle to the
+    (a, b) pair table; both marginals are windows PARTITIONED on a word
+    over that vocabulary-bounded table (never a second corpus pass); N is
+    a 1-row broadcast. The final rank window sorts only the
+    min_count-FILTERED pair table — at web scale the floor is what keeps
+    that table small, so raise it with the corpus (it is a statistical
+    floor first, a perf knob second).
+    """
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError("pmi_collocations: min_count must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    d = docs.select(toks.alias("toks")).where(F.size("toks") >= 2)
+    bigrams = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("a"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("b"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    pc = bigrams.groupBy("a", "b").agg(F.count("*").cast("double").alias("c_ab"))
+    pc = pc.withColumn(
+        "c_a", F.sum("c_ab").over(Window.partitionBy("a"))
+    ).withColumn("c_b", F.sum("c_ab").over(Window.partitionBy("b")))
+    tot = pc.agg(F.sum("c_ab").alias("__N"))
+    scored = (
+        pc.where(F.col("c_ab") >= float(min_count))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            F.col("c_ab").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("__N"))
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
+    )

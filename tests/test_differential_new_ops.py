@@ -491,3 +491,50 @@ def test_ivf_topk_sweep_matches_per_depth_ivf_topk(spark):
             for r in ivf_topk(emb, qs, k=5, num_cells=8, nprobe=n).collect()
         )
         assert got[n] == ref, f"nprobe={n}"
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_pmi_collocations_matches_python(spark, seed):
+    """r10: PMI over the bigram stream vs a plain-Python computation —
+    marginals from the same stream, min_count floor, rank determinism."""
+    from collections import Counter
+
+    from quackosm_spark.operators.text import pmi_collocations
+
+    docs = _random_docs(seed, n=80)
+    # python reference
+    pair, pref, suff, total = Counter(), Counter(), Counter(), 0
+    for _, text in docs:
+        toks = [t for t in text.lower().strip().split() if t]
+        for a, b in zip(toks, toks[1:]):
+            pair[(a, b)] += 1
+            pref[a] += 1
+            suff[b] += 1
+            total += 1
+    want = []
+    for (a, b), c in pair.items():
+        if c >= 3:
+            pmi = round(math.log((c * float(total)) / (pref[a] * float(suff[b]))), 6)
+            want.append((-pmi, a, b, c))
+    want.sort()
+    want_ranked = [
+        (a, b, c, -negpmi, i + 1)
+        for i, (negpmi, a, b, c) in enumerate(want[:10])
+    ]
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = [
+        (r.w1, r.w2, r.n_pair, r.pmi, r.rank)
+        for r in pmi_collocations(df, min_count=3, top_k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want_ranked and len(got) > 0
+
+
+def test_pmi_collocations_validates_min_count(spark):
+    from quackosm_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)
