@@ -2690,6 +2690,59 @@ def q142_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_domain_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic skewed URL synthesis shared by q143/q144: site index
+    s = floor(sqrt(doc_id % 400)) (0..19, quadratically skewed toward
+    high s), every 5th site on a two-level ccTLD suffix, rotating
+    www./blog./bare subdomains. The oracle recomputes the REGISTERED
+    domain directly from the arithmetic — a semantic pin on subdomain
+    stripping and the public-suffix rules, not a reimplementation."""
+    s = F.floor(F.sqrt((F.col("doc_id") % 400).cast("double"))).cast("long")
+    tld = F.when(s % 5 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("blog."))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("site"), s.cast("string"), tld,
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn("url", url)
+
+
+_SYNTH_DOMAIN_SQL = (
+    "'site' || CAST(CAST(floor(sqrt((doc_id % 400)::DOUBLE)) AS BIGINT)"
+    " AS VARCHAR) || (CASE WHEN CAST(floor(sqrt((doc_id % 400)::DOUBLE))"
+    " AS BIGINT) % 5 = 0 THEN '.co.uk' ELSE '.com' END)"
+)
+
+
+def q143_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl composition audit (mix.domain_mix_report +
+    dedup.registered_domain): per-registered-domain doc/token counts,
+    corpus shares, cumulative token share in desc-token order — the
+    top-heaviness report that decides domain capping. One domain groupBy;
+    shares via 1-row broadcast; rank window over the domains-bounded
+    aggregate."""
+    from quackosm_spark.operators.mix import domain_mix_report
+
+    return domain_mix_report(_synth_domain_urls(_t(spark, sf_dir, "documents")))
+
+
+def q144_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (mix.cap_per_domain): keep at most 15 docs per
+    registered domain by the deterministic md5 keep-rule (a uniform
+    in-domain slice, not earliest-crawled). ONE window partitioned on
+    the domain — partition size is the thing being capped."""
+    from quackosm_spark.operators.mix import cap_per_domain
+
+    capped = cap_per_domain(
+        _synth_domain_urls(_t(spark, sf_dir, "documents")), 15
+    )
+    return capped.select("doc_id", "url")
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -3007,6 +3060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_unigram_kl": q140_unigram_kl,
         "q141_char_entropy": q141_char_entropy,
         "q142_pmi_collocations": q142_pmi_collocations,
+        "q143_domain_mix": q143_domain_mix,
+        "q144_domain_cap": q144_domain_cap,
     })
 
 
@@ -4899,6 +4954,54 @@ def oracle_sql() -> dict[str, str]:
             FROM pc JOIN pa USING (a) JOIN pb USING (b) CROSS JOIN n
             WHERE pc.c_ab >= 5
         ) WHERE rank <= 50
+    """
+    out["q143_domain_mix"] = f"""
+        WITH d AS (
+            SELECT {_SYNTH_DOMAIN_SQL} AS domain,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS tok
+            FROM documents
+        ),
+        per AS (
+            SELECT domain, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
+            FROM d GROUP BY domain
+        ),
+        tot AS (
+            SELECT sum(n_docs)::DOUBLE AS td, sum(n_tokens)::DOUBLE AS tt
+            FROM per
+        )
+        SELECT domain, n_docs, n_tokens,
+               round(n_docs / td, 6) AS doc_share,
+               round(n_tokens / tt, 6) AS token_share,
+               round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, domain)
+                   / tt, 6) AS cum_token_share,
+               row_number() OVER (ORDER BY n_tokens DESC, domain) AS rank
+        FROM per CROSS JOIN tot
+    """
+    out["q144_domain_cap"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                                       WHEN doc_id % 3 = 1 THEN 'blog.'
+                                       ELSE '' END)
+                       || 'site'
+                       || CAST(CAST(floor(sqrt((doc_id % 400)::DOUBLE))
+                           AS BIGINT) AS VARCHAR)
+                       || (CASE WHEN CAST(floor(sqrt((doc_id % 400)::DOUBLE))
+                           AS BIGINT) % 5 = 0 THEN '.co.uk' ELSE '.com' END)
+                       || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+                   {_SYNTH_DOMAIN_SQL} AS domain
+            FROM documents
+        )
+        SELECT doc_id, url FROM (
+            SELECT doc_id, url,
+                   row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM d
+        ) WHERE rn <= 15
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -1493,3 +1493,70 @@ def url_duplicates(
             (F.size("__all") - 1).alias("n_dups"),
         )
     )
+
+
+# common two-level public suffixes for the registered-domain heuristic —
+# the well-known ccTLD second-level registries; a full Public Suffix List
+# is a data file callers can pass in via `two_level_suffixes`
+DEFAULT_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "ac.in",
+    "co.za", "org.za", "com.br", "net.br", "org.br",
+    "com.mx", "com.ar", "com.cn", "net.cn", "org.cn",
+    "com.tw", "com.sg", "com.hk", "com.my", "co.kr", "or.kr",
+    "com.tr", "com.pl", "co.il", "com.ua",
+)
+
+
+def registered_domain(
+    url: Column | str,
+    two_level_suffixes: Sequence[str] = DEFAULT_TWO_LEVEL_SUFFIXES,
+) -> Column:
+    """The REGISTERED domain of a URL (`example.co.uk` for
+    `https://a.b.example.co.uk/x`) — the crawl-curation grouping key for
+    domain capping, domain mixing, and per-site quality stats (C4 and
+    RefinedWeb both cap per registered domain, not per host, so
+    `a.blogspot.com` and `b.blogspot.com` don't evade the cap as
+    "different sites"... conversely the suffix list is what keeps
+    `example.co.uk` from collapsing into `co.uk`).
+
+    Heuristic, deliberately: the full Public Suffix List is a data file;
+    `two_level_suffixes` covers the common ccTLD second-level registries
+    and callers with the PSL can pass their own list. Rules — pure
+    Column math, map-only:
+
+    - host = lowercased authority, `www.` and any `:port` stripped
+    - IP hosts (all-numeric labels) return whole
+    - if the last TWO labels form a listed suffix and a third label
+      exists → last three labels; else last two; a dotless host returns
+      whole
+    - NULL stays NULL; a non-URL string (no `://`) is treated as a bare
+      host (garbage-in passthrough, same contract as `canonical_url`)
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":\d+$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    suffixes = F.array(*[F.lit(s) for s in two_level_suffixes])
+    dom = (
+        F.when(host.rlike(r"^\d+(\.\d+)+$"), host)
+        .when((n >= 3) & F.array_contains(suffixes, last2), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(dom)

@@ -846,3 +846,114 @@ def epoch_plan(
             ),
         ),
     )
+
+
+def domain_mix_report(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-registered-domain composition report for a crawl corpus: doc
+    and (whitespace) token counts, corpus shares, and the cumulative
+    token share in descending-token order — the "how top-heavy is this
+    crawl" audit that decides whether `cap_per_domain` is needed and at
+    what cap (a handful of domains holding half the tokens is the
+    classic C4-era pathology). Returns (domain, n_docs, n_tokens,
+    doc_share, token_share, cum_token_share, rank), rank 1 = largest
+    domain by tokens, ties to domain ascending; NULL urls are excluded
+    (no domain to attribute).
+
+    Scale shape: domain extraction and token counting are scan-stage
+    Column math; ONE groupBy on the domain; shares ride a 1-row
+    broadcast of the grand totals; the rank/cumsum window orders only
+    the DOMAIN-level aggregate (domains-bounded, never corpus-sized).
+    6-dp share rounding (ratios — not boundary-pinned).
+    """
+    from quackosm_spark.operators.dedup import registered_domain
+
+    per = (
+        docs.where(F.col(url_col).isNotNull())
+        .select(
+            registered_domain(F.col(url_col)).alias("domain"),
+            token_count(F.col(text_col)).alias("__tok"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("__td"),
+        F.sum("n_tokens").cast("double").alias("__tt"),
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("domain"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("__td"), 6).alias("doc_share"),
+            F.round(F.col("n_tokens") / F.col("__tt"), 6).alias("token_share"),
+            F.round(
+                F.sum(F.col("n_tokens")).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("__tt"),
+                6,
+            ).alias("cum_token_share"),
+            "rank",
+        )
+    )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Domain capping: keep at most ``max_per_domain`` documents per
+    registered domain — the anti-top-heaviness step (C4 / RefinedWeb
+    style) that stops a handful of mega-sites from dominating the
+    training mix. Keep rule, deterministic with no RNG:
+
+    - with ``quality_col``: the domain's BEST documents
+      (quality desc, id asc — NULL quality sorts last);
+    - without: a hash-shuffled slice (md5(id) asc, id asc), i.e. a
+      uniform deterministic sample of the domain rather than its
+      earliest-crawled ids (crawl order correlates with page type,
+      md5 doesn't).
+
+    Rows with a NULL url pass through UNCAPPED (no domain to attribute —
+    filter them upstream if that's not wanted; silently capping the NULL
+    group would lump every such row into one fake "domain"). Returns the
+    input columns unchanged. ONE window over (domain) — partition size
+    is bounded by per-domain doc count, the exact thing being capped.
+    """
+    if max_per_domain < 1:
+        raise ValueError("cap_per_domain: max_per_domain must be >= 1")
+    from quackosm_spark.operators.dedup import registered_domain
+
+    dom = docs.withColumn("__dom", registered_domain(F.col(url_col)))
+    if quality_col is not None:
+        order = [
+            F.desc_nulls_last(quality_col),
+            F.asc(id_col),
+        ]
+    else:
+        order = [
+            F.md5(F.col(id_col).cast("string")).asc(),
+            F.asc(id_col),
+        ]
+    w = Window.partitionBy("__dom").orderBy(*order)
+    kept = (
+        dom.where(F.col("__dom").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_per_domain)
+        .drop("__rn", "__dom")
+    )
+    return kept.unionByName(dom.where(F.col("__dom").isNull()).drop("__dom"))

@@ -2132,3 +2132,91 @@ def test_gemm_score_tolerates_malformed_vectors(spark):
              q, idx, cents, k=3, nprobe=2, gemm_score=True).collect()}
     assert a == b and len(a) > 0
     assert not any(m in (100, 101, 102, 103) for _, m, _, _ in b)
+
+
+def test_registered_domain_rules(spark):
+    """r10: registered-domain heuristic — two-level public suffixes,
+    subdomain stripping, www/port strip, IP and bare-host passthrough,
+    NULL stays NULL."""
+    from quackosm_spark.operators.dedup import registered_domain
+
+    cases = [
+        ("https://a.b.example.co.uk/x?q=1", "example.co.uk"),
+        ("https://www.example.com:8080/", "example.com"),
+        ("http://blog.example.com/post", "example.com"),
+        ("https://example.com", "example.com"),
+        ("https://co.uk/", "co.uk"),            # suffix itself: only 2 labels
+        ("https://192.168.0.1:443/admin", "192.168.0.1"),
+        ("https://localhost/x", "localhost"),
+        ("not-a-url", "not-a-url"),             # bare-host passthrough
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i: long, url: string"
+    )
+    got = {
+        r.i: r.d
+        for r in df.select("i", registered_domain("url").alias("d")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_domain_mix_report_shares(spark):
+    """r10: per-domain doc/token counts, shares, cumulative token share
+    in desc-token order; NULL urls excluded."""
+    from quackosm_spark.operators.mix import domain_mix_report
+
+    rows = [
+        (1, "https://big.com/a", "one two three four"),
+        (2, "https://www.big.com/b", "five six"),
+        (3, "https://sub.small.org/c", "seven"),
+        (4, None, "ignored text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, text: string")
+    got = {
+        r.domain: (r.n_docs, r.n_tokens, r.doc_share, r.token_share,
+                   r.cum_token_share, r.rank)
+        for r in domain_mix_report(df).collect()
+    }
+    assert got == {
+        "big.com": (2, 6, round(2 / 3, 6), round(6 / 7, 6),
+                    round(6 / 7, 6), 1),
+        "small.org": (1, 1, round(1 / 3, 6), round(1 / 7, 6), 1.0, 2),
+    }
+
+
+def test_cap_per_domain_keep_rules(spark):
+    """r10: quality mode keeps the domain's best docs; hash mode is a
+    deterministic md5 slice; NULL urls pass through uncapped; validation
+    raises on a nonpositive cap."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from quackosm_spark.operators.mix import cap_per_domain
+
+    rows = [
+        (1, "https://a.com/1", 0.9),
+        (2, "https://a.com/2", 0.5),
+        (3, "https://www.a.com/3", 0.7),
+        (4, "https://b.org/1", None),
+        (5, "https://b.org/2", 0.1),
+        (6, None, 0.99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, quality: double")
+    by_quality = sorted(
+        r.doc_id
+        for r in cap_per_domain(df, 2, quality_col="quality").collect()
+    )
+    # a.com keeps best two (1: .9, 3: .7); b.org keeps .1 then NULL-last
+    assert by_quality == [1, 3, 4, 5, 6]
+
+    by_hash = sorted(r.doc_id for r in cap_per_domain(df, 1).collect())
+    a_keep = min((hashlib.md5(str(i).encode()).hexdigest(), i) for i in (1, 2, 3))[1]
+    b_keep = min((hashlib.md5(str(i).encode()).hexdigest(), i) for i in (4, 5))[1]
+    assert by_hash == sorted([a_keep, b_keep, 6])
+    assert [c for c in cap_per_domain(df, 1).columns] == df.columns
+
+    with _pytest.raises(ValueError, match="max_per_domain"):
+        cap_per_domain(df, 0)
