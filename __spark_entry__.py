@@ -2743,6 +2743,15 @@ def q144_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "url")
 
 
+def q145_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs (dedup.containment_pairs): |A∩B|/min over
+    char shingles — the doc-in-doc case jaccard structurally misses
+    (article inside boilerplate wrapper). Shares the q17 inverted-index
+    machinery; emits (pair, contained side, score)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 1)
+    return D.containment_pairs(docs, threshold=0.5)
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -3062,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_pmi_collocations": q142_pmi_collocations,
         "q143_domain_mix": q143_domain_mix,
         "q144_domain_cap": q144_domain_cap,
+        "q145_containment": q145_containment,
     })
 
 
@@ -5002,6 +5012,28 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rn
             FROM d
         ) WHERE rn <= 15
+    """
+    out["q145_containment"] = f"""
+        WITH docs AS (
+            SELECT doc_id, {_hashed_shingles_sql('text')} AS sh
+            FROM documents WHERE doc_id % 5 = 1
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END
+                   AS contained_doc,
+               round(n_common / least(sa.n_sh, sb.n_sh), 6) AS containment
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / least(sa.n_sh, sb.n_sh), 6) >= 0.5
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

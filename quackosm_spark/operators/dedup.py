@@ -267,6 +267,38 @@ def ngram_jaccard_pairs(
     are fully indexed. Either way the pair surfaces, and the verify step
     computes the same jaccard the unguarded path would.
     """
+    overlaps = _shingle_overlap_pairs(
+        docs, id_col, text_col, shingle, threshold, max_df
+    )
+    return (
+        overlaps.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _shingle_overlap_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int,
+    threshold: float,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index machinery behind `ngram_jaccard_pairs` and
+    `containment_pairs`: (doc_a, doc_b, n_common, n_a, n_b) for every
+    doc pair sharing ≥1 (indexed) shingle, doc_a < doc_b. ``threshold``
+    only feeds the max_df hot-shingle fallback condition (see the
+    jaccard docstring for the completeness proof, which is
+    jaccard-specific — `containment_pairs` documents its weaker
+    guarantee)."""
     # hashed-bigint join keys (cheaper shuffle + probe than 5-char strings);
     # shingle arrays are already distinct, so no post-explode dedup shuffle.
     # Persisted: three consumers (sizes + both self-join sides) would each
@@ -363,12 +395,59 @@ def ngram_jaccard_pairs(
     return (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over char shingles —
+    the asymmetric complement of `ngram_jaccard_pairs` that jaccard
+    structurally misses: a page fully embedded in a much larger page
+    (article + boilerplate wrapper, quoted post, concatenated shard)
+    has jaccard ≈ |A|/|B| → 0 but containment ≈ 1. The standard
+    dedup-audit companion (Broder's containment, the
+    "document-in-document" case in training-data dedup).
+
+    Returns (doc_a, doc_b, contained_doc, containment) for pairs at or
+    above ``threshold``, where ``contained_doc`` is the id of the
+    smaller-shingle-set side (ties → doc_a) — the row you'd drop if
+    treating containment as duplication.
+
+    Same inverted-index scale shape as the jaccard operator (shared
+    machinery): index self-join bounded by shingle co-occurrence, never
+    all pairs. ``max_df`` is available but its hot-shingle fallback
+    guarantee is WEAKER here: the jaccard completeness proof needs
+    |∩| ≥ t·max(n_a, n_b), containment only promises t·min — a pair
+    whose entire overlap is hot shingles can be missed when only its
+    LARGER side is non-dominated. Unguarded mode is exact; with max_df
+    treat the output as high-recall-not-complete (hot shingles are
+    boilerplate — exactly what containment hunts, so prefer raising the
+    broadcast regime's capacity over capping when exactness matters).
+    """
+    overlaps = _shingle_overlap_pairs(
+        docs, id_col, text_col, shingle, threshold, max_df
+    )
+    n_min = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        overlaps.withColumn(
+            "containment", F.round(F.col("n_common") / n_min, 6)
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            "containment",
+        )
     )
 
 

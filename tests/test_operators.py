@@ -2220,3 +2220,41 @@ def test_cap_per_domain_keep_rules(spark):
 
     with _pytest.raises(ValueError, match="max_per_domain"):
         cap_per_domain(df, 0)
+
+
+def test_containment_pairs_catches_embedded_doc(spark):
+    """r10: a doc fully embedded in a much larger one scores containment
+    ~1 while its jaccard is far below any dedup threshold — checked
+    against python set math over the same char shingles."""
+    from quackosm_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    core = "the quick brown fox jumps over the lazy dog again and again"
+    wrapper = (
+        "header boilerplate navigation menu " + core +
+        " footer copyright terms privacy contact about sitemap feedback"
+    )
+    other = "completely unrelated text about spark shuffles and joins"
+    rows = [(1, core), (2, wrapper), (3, other)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def shset(t, k=5):
+        return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+    a, b = shset(core), shset(wrapper)
+    want_cont = round(len(a & b) / min(len(a), len(b)), 6)
+    want_jac = round(len(a & b) / len(a | b), 6)
+    assert want_cont == 1.0 and want_jac < 0.5
+
+    got = {
+        (r.doc_a, r.doc_b): (r.contained_doc, r.containment)
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): (1, 1.0)}
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac  # the pair jaccard misses by construction
