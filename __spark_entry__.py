@@ -2752,6 +2752,18 @@ def q145_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(docs, threshold=0.5)
 
 
+def q146_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score per user (stats.robust_zscore): the
+    outlier-resistant twin of the moment z-score — two exact-quantile
+    kernel passes (bounded per-task state) joined back co-keyed, score
+    is scan-stage Column math. Oracle replays it with quantile_cont."""
+    from quackosm_spark.operators.stats import robust_zscore
+
+    return robust_zscore(
+        _events(spark, sf_dir), "value", ["user_id"]
+    ).select("event_id", "med", "mad", "robust_z")
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -3072,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_domain_mix": q143_domain_mix,
         "q144_domain_cap": q144_domain_cap,
         "q145_containment": q145_containment,
+        "q146_robust_zscore": q146_robust_zscore,
     })
 
 
@@ -5034,6 +5047,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_common / least(sa.n_sh, sb.n_sh), 6) >= 0.5
+    """
+    out["q146_robust_zscore"] = """
+        WITH m AS (
+            SELECT user_id, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY user_id
+        ),
+        d AS (
+            SELECT e.event_id, e.user_id, e.value, m.med
+            FROM events e JOIN m USING (user_id)
+        ),
+        md AS (
+            SELECT user_id, quantile_cont(abs(value - med), 0.5) AS mad
+            FROM d GROUP BY user_id
+        )
+        SELECT d.event_id, d.med, md.mad,
+               round(CASE WHEN md.mad > 0
+                     THEN (d.value - d.med) / (1.4826 * md.mad) END, 6)
+                   AS robust_z
+        FROM d JOIN md USING (user_id)
     """
     out["q120_global_quantiles"] = """
         SELECT round(quantile_cont(value, 0.01), 6) AS p01,

@@ -10,6 +10,8 @@ many levels are reported.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -473,4 +475,58 @@ def percent_rank_normalize(
         df.join(table, cond, "left")
         .withColumn(out_col, F.col("__pr"))
         .drop("__prv", "__pr", *[f"__g_{g}" for g in groups])
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: Sequence[str] = ("user_id",),
+    mad_scale: float = 1.4826,
+) -> DataFrame:
+    """Per-row ROBUST z-score: (x − median) / (mad_scale · MAD) per group,
+    with MAD = median(|x − median|) — the outlier-resistant companion to
+    the moment z-score (`zscore_outliers`): one wild value shifts a mean
+    and explodes a stddev, but barely moves the medians, so robust scores
+    stay meaningful on exactly the corpora that need outlier detection
+    (quality scores, latencies, token counts with junk spikes). The
+    1.4826 default makes MAD estimate σ under normality (1/Φ⁻¹(3/4)).
+
+    Returns the input columns plus (med, mad, robust_z); robust_z is NULL
+    when the group's MAD is 0 (over half the group shares one value —
+    a degenerate scale, not "infinitely outlying") or when x is NULL.
+
+    Scale shape: TWO passes of the exact-quantile kernel (bounded
+    per-task state, no data-row collect — the q45/q120 machinery), each
+    joined back co-keyed on the group (AQE localizes when the group
+    table is small); the score itself is scan-stage Column math. Exact
+    medians, not approxQuantile: cutpoints are part of the output
+    contract and engine-portable bit-for-bit.
+    """
+    from quackosm_spark.operators.quantiles import exact_group_quantiles
+
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError(
+            "robust_zscore: group_cols must be non-empty (wrap the frame "
+            "with a constant column for a global score)"
+        )
+    med = exact_group_quantiles(df, value_col, groups, [0.5], ["med"])
+    d = df.join(med, groups)
+    dev = d.withColumn("__absdev", F.abs(F.col(value_col) - F.col("med")))
+    mad = exact_group_quantiles(dev, "__absdev", groups, [0.5], ["mad"])
+    v = F.col(value_col)
+    return (
+        dev.join(mad, groups)
+        .withColumn(
+            "robust_z",
+            F.round(
+                F.when(
+                    F.col("mad") > 0,
+                    (v - F.col("med")) / (F.lit(float(mad_scale)) * F.col("mad")),
+                ),
+                6,
+            ),
+        )
+        .drop("__absdev")
     )

@@ -2258,3 +2258,42 @@ def test_containment_pairs_catches_embedded_doc(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
     }
     assert (1, 2) not in jac  # the pair jaccard misses by construction
+
+
+def test_robust_zscore_matches_numpy(spark):
+    """r10: per-group median/MAD robust z vs numpy; MAD=0 group yields
+    NULL scores; NULL values pass through as NULL; outlier resistance
+    (the spike's own score is large, others stay near 0)."""
+    import numpy as np
+
+    from quackosm_spark.operators.stats import robust_zscore
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g in (1, 2):
+        for i, v in enumerate(rng.randn(21) if g == 1 else [5.0] * 9):
+            rows.append((g * 100 + i, g, float(v)))
+    rows.append((199, 1, 1000.0))   # spike in group 1
+    rows.append((198, 1, None))     # NULL value
+    df = spark.createDataFrame(rows, "event_id: long, user_id: long, value: double")
+
+    got = {
+        r.event_id: (r.med, r.mad, r.robust_z)
+        for r in robust_zscore(df, "value", ["user_id"]).collect()
+    }
+    g1 = np.array([v for (_, g, v) in rows if g == 1 and v is not None])
+    med = float(np.median(g1))
+    mad = float(np.median(np.abs(g1 - med)))
+    for (eid, g, v) in rows:
+        if g != 1:
+            assert got[eid] == (5.0, 0.0, None)       # MAD-degenerate group
+        elif v is None:
+            assert got[eid][2] is None
+        else:
+            assert got[eid] == (
+                med, mad, round((v - med) / (1.4826 * mad), 6)
+            ), eid
+    assert abs(got[199][2]) > 100 > abs(got[100][2])  # robust to the spike
+
+    with __import__("pytest").raises(ValueError, match="group_cols"):
+        robust_zscore(df, "value", [])
