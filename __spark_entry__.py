@@ -2764,6 +2764,17 @@ def q146_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "med", "mad", "robust_z")
 
 
+def q147_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of the events value column, 10 global bins
+    (stats.equidepth_histogram): exact quantile edges from ONE bounded
+    kernel pass, scan-stage binning against the broadcast edges, one
+    (bin) count shuffle. The profiling/drift primitive that equal-width
+    bins get wrong on skew."""
+    from quackosm_spark.operators.stats import equidepth_histogram
+
+    return equidepth_histogram(_events(spark, sf_dir), "value", [], bins=10)
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -3085,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_domain_cap": q144_domain_cap,
         "q145_containment": q145_containment,
         "q146_robust_zscore": q146_robust_zscore,
+        "q147_equidepth_hist": q147_equidepth_hist,
     })
 
 
@@ -5047,6 +5059,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_common / least(sa.n_sh, sb.n_sh), 6) >= 0.5
+    """
+    # q147: the edge list and the bin CASE-sum are generated from the same
+    # bins=10 parameter the Spark query uses (the bpe_apply_sql precedent)
+    _q147_edges = ", ".join(
+        f"quantile_cont(value, {i / 10.0}) AS e{i}" for i in range(1, 10)
+    )
+    _q147_bin = " + ".join(
+        f"(CASE WHEN value > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    _q147_lo = " ".join(f"WHEN bin = {i} THEN round(e{i}, 6)" for i in range(1, 10))
+    _q147_hi = " ".join(
+        f"WHEN bin = {i} THEN round(e{i + 1}, 6)" for i in range(0, 9)
+    )
+    out["q147_equidepth_hist"] = f"""
+        WITH ed AS (SELECT {_q147_edges} FROM events),
+        b AS (
+            SELECT ({_q147_bin}) AS bin, ed.*
+            FROM events CROSS JOIN ed
+            WHERE value IS NOT NULL
+        )
+        SELECT bin,
+               CASE {_q147_lo} END AS lo,
+               CASE {_q147_hi} END AS hi,
+               count(*) AS n
+        FROM b GROUP BY bin, {", ".join(f"e{i}" for i in range(1, 10))}
     """
     out["q146_robust_zscore"] = """
         WITH m AS (

@@ -530,3 +530,72 @@ def robust_zscore(
         )
         .drop("__absdev")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: Sequence[str] = (),
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram (equal row counts per bin, data-driven
+    edges) — the profiling shape that works on skewed distributions
+    where equal-width bins put 99% of rows in one bar; also the optimizer
+    statistics / drift-monitoring primitive (PSI over equi-depth bins
+    beats fixed bands precisely because each bin carries signal).
+
+    Returns (*group_cols, bin, lo, hi, n): bin 0..bins−1, ``lo``/``hi``
+    the interior edges rounded at 6 dp (NULL at the open ends), n the
+    exact row count with ``value ≤ edge`` going LEFT (so bins are only
+    exactly-equal when values are continuous — ties bunch, by design).
+    NULL values carry no bin and are excluded; empty bins emit no row
+    (count what exists — a reader wanting zeros can outer-join a bin
+    spine).
+
+    Scale shape: edges come from ONE exact-quantile kernel pass (bounded
+    per-task state, the q45/q120 machinery); binning is scan-stage
+    Column comparisons against the ≤bins−1 broadcast-joined edges; ONE
+    (group, bin) count shuffle. Edges are EXACT (quantile_cont
+    semantics), so the histogram is engine-portable bit-for-bit —
+    approxQuantile would save nothing here (the kernel is already one
+    pass) and cost the contract.
+    """
+    from quackosm_spark.operators.quantiles import exact_group_quantiles
+
+    if bins < 2:
+        raise ValueError("equidepth_histogram: bins must be >= 2")
+    groups = list(group_cols)
+    probs = [i / bins for i in range(1, bins)]
+    names = [f"__e{i}" for i in range(1, bins)]
+    edges = exact_group_quantiles(df, value_col, groups, probs, names)
+    if groups:
+        d = df.join(edges, groups)
+    else:
+        d = df.crossJoin(F.broadcast(edges))
+    v = F.col(value_col)
+    bin_id = sum(
+        ((v > F.col(n)).cast("int") for n in names), F.lit(0)
+    ).alias("bin")
+    arr = F.array(*[F.col(n) for n in names])
+    out = (
+        d.where(v.isNotNull())
+        .select(*groups, bin_id, arr.alias("__edges"))
+        .groupBy(*groups, "bin")
+        .agg(F.first("__edges").alias("__edges"), F.count("*").alias("n"))
+    )
+    return out.select(
+        *groups,
+        "bin",
+        F.round(
+            F.when(F.col("bin") >= 1, F.element_at("__edges", F.col("bin"))),
+            6,
+        ).alias("lo"),
+        F.round(
+            F.when(
+                F.col("bin") <= bins - 2,
+                F.element_at("__edges", F.col("bin") + 1),
+            ),
+            6,
+        ).alias("hi"),
+        "n",
+    )

@@ -2297,3 +2297,40 @@ def test_robust_zscore_matches_numpy(spark):
 
     with __import__("pytest").raises(ValueError, match="group_cols"):
         robust_zscore(df, "value", [])
+
+
+def test_equidepth_histogram_matches_numpy(spark):
+    """r10: equi-depth bins vs numpy percentile edges + manual binning
+    (value <= edge goes left); ties bunch; NULLs excluded; grouped mode;
+    bins validation."""
+    import numpy as np
+
+    from quackosm_spark.operators.stats import equidepth_histogram
+
+    rng = np.random.RandomState(3)
+    vals = [float(v) for v in rng.randn(97)] + [None, None]
+    ties = [1.0] * 40 + [2.0] * 10
+    rows = [(i, 1, v) for i, v in enumerate(vals)]
+    rows += [(1000 + i, 2, v) for i, v in enumerate(ties)]
+    df = spark.createDataFrame(rows, "event_id: long, user_id: long, value: double")
+
+    got = {
+        (r.user_id, r.bin): (r.lo, r.hi, r.n)
+        for r in equidepth_histogram(df, "value", ["user_id"], bins=4).collect()
+    }
+    for g, data in ((1, [v for v in vals if v is not None]), (2, ties)):
+        x = np.array(data, dtype=float)
+        edges = [float(np.percentile(x, 100 * i / 4, method="linear"))
+                 for i in (1, 2, 3)]
+        bins = {}
+        for v in x:
+            b = sum(v > e for e in edges)
+            bins[b] = bins.get(b, 0) + 1
+        for b, n in bins.items():
+            lo = round(edges[b - 1], 6) if b >= 1 else None
+            hi = round(edges[b], 6) if b <= 2 else None
+            assert got[(g, b)] == (lo, hi, n), (g, b)
+        assert sum(n for (gg, _), (_, _, n) in got.items() if gg == g) == len(x)
+
+    with __import__("pytest").raises(ValueError, match="bins"):
+        equidepth_histogram(df, "value", bins=1)
