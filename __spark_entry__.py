@@ -2775,6 +2775,37 @@ def q147_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_histogram(_events(spark, sf_dir), "value", [], bins=10)
 
 
+def q148_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-exact dedup (dedup.normalized_duplicates): md5 over
+    lowercased / punctuation-stripped / whitespace-collapsed text — the
+    dedup-ladder rung between byte-exact and shingle near-dup. Scan-stage
+    normalizer + ONE digest shuffle. Synthetic variants: every doc_id%10==7
+    doc gets an UPPERCASED twin (id+100000), so groups are pinned by
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    twins = (
+        docs.where(F.col("doc_id") % 10 == 7)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+        )
+    )
+    return D.normalized_duplicates(
+        docs.select("doc_id", "text").unionByName(twins)
+    )
+
+
+def q149_group_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinguishing terms by group-level tf·idf
+    (text.group_keywords): one (group, word) count shuffle, word-keyed
+    idf join-back, rank window over the vocabulary-bounded aggregate."""
+    from quackosm_spark.operators.text import group_keywords
+
+    return group_keywords(
+        _t(spark, sf_dir, "documents"), group_col="source", top_k=10
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -3097,6 +3128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_containment": q145_containment,
         "q146_robust_zscore": q146_robust_zscore,
         "q147_equidepth_hist": q147_equidepth_hist,
+        "q148_normalized_dedup": q148_normalized_dedup,
+        "q149_group_keywords": q149_group_keywords,
     })
 
 
@@ -5084,6 +5117,45 @@ def oracle_sql() -> dict[str, str]:
                CASE {_q147_hi} END AS hi,
                count(*) AS n
         FROM b GROUP BY bin, {", ".join(f"e{i}" for i in range(1, 10))}
+    """
+    out["q148_normalized_dedup"] = """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, upper(text) FROM documents
+            WHERE doc_id % 10 = 7
+        ),
+        n AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^0-9a-z\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+                       AS digest
+            FROM all_docs
+        )
+        SELECT digest, min(doc_id) AS keep_id, count(*) AS n_docs
+        FROM n GROUP BY digest HAVING count(*) > 1
+    """
+    out["q149_group_keywords"] = """
+        WITH gw AS (
+            SELECT grp, w, count(*) AS n FROM (
+                SELECT source AS grp,
+                       unnest(list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            ) GROUP BY grp, w
+        ),
+        dfw AS (SELECT w, count(DISTINCT grp) AS gws FROM gw GROUP BY w),
+        g AS (SELECT count(DISTINCT grp)::DOUBLE AS gt FROM gw)
+        SELECT grp AS source, w AS word, n, score, rank FROM (
+            SELECT gw.grp, gw.w, gw.n,
+                   round(gw.n * ln(g.gt / dfw.gws), 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY gw.grp
+                       ORDER BY round(gw.n * ln(g.gt / dfw.gws), 6) DESC,
+                                gw.w) AS rank
+            FROM gw JOIN dfw USING (w) CROSS JOIN g
+        ) WHERE rank <= 10
     """
     out["q146_robust_zscore"] = """
         WITH m AS (

@@ -1639,3 +1639,41 @@ def registered_domain(
         .otherwise(host)
     )
     return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(dom)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Aggressive dedup normalization: lowercase, strip every char
+    outside [0-9a-z\\s], collapse whitespace runs to one space, trim —
+    the standard pre-hash canonicalization (SlimPajama / RefinedWeb
+    style) that makes exact dedup catch trivially-reformatted copies
+    (case, punctuation, line-wrap churn) that byte hashing misses.
+    Pure Column regexp math, map-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^0-9a-z\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def normalized_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """`exact_duplicates` over `normalize_text` instead of raw bytes:
+    groups whose documents are identical up to case/punctuation/
+    whitespace. Returns (digest, keep_id, n_docs) with digest =
+    md5(normalized text) — same shape and keep-smallest-id rule as the
+    byte-exact operator, same ONE-shuffle scale profile (the normalizer
+    is scan-stage). Sits between byte-exact and shingle near-dup in the
+    dedup ladder: run it after `exact_duplicates` (strict superset of
+    its groups) and before the quadratic-ish near-dup passes it
+    cheapens."""
+    return exact_duplicates(
+        docs.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+        ),
+        id_col,
+        "__norm",
+    )

@@ -1589,3 +1589,63 @@ def pmi_collocations(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= top_k
     )
+
+
+def group_keywords(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` DISTINGUISHING terms per group by tf·idf with the
+    group as the "document" unit: tf = the word's count inside the
+    group, idf = ln(G / g_w) with g_w the number of groups containing
+    the word — the corpus-exploration signal ("what is source X about,
+    relative to the others") behind mixture naming, domain labeling,
+    and eyeballing a new crawl slice. A word present in every group
+    scores exactly 0 (idf = ln 1) no matter how frequent — which is the
+    point. Returns (group, word, n, score, rank), rank 1 = most
+    distinguishing, ties on the 6-dp score break to word ascending.
+
+    Scale shape: ONE (group, word) count shuffle; g_w re-aggregates that
+    table (vocabulary-sized input, not corpus-sized) and joins back
+    co-keyed on the word; G rides a 1-row broadcast; the rank window is
+    partitioned BY GROUP over the vocabulary-bounded aggregate — never a
+    corpus-sized sort.
+    """
+    gw = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("w"),
+        )
+        .groupBy("grp", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    df_w = gw.groupBy("w").agg(F.countDistinct("grp").alias("__gw"))
+    n_groups = gw.agg(F.countDistinct("grp").cast("double").alias("__G"))
+    from pyspark.sql import Window
+
+    scored = (
+        gw.join(df_w, "w")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("n") * F.log(F.col("__G") / F.col("__gw")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col), F.col("w").alias("word"),
+            "n", "score", "rank",
+        )
+    )

@@ -2334,3 +2334,58 @@ def test_equidepth_histogram_matches_numpy(spark):
 
     with __import__("pytest").raises(ValueError, match="bins"):
         equidepth_histogram(df, "value", bins=1)
+
+
+def test_normalized_duplicates_catches_reformatted_copies(spark):
+    """r10: case/punctuation/whitespace variants collapse to one group;
+    byte-exact dedup misses them; genuinely different texts don't
+    collapse."""
+    from quackosm_spark.operators.dedup import (
+        exact_duplicates,
+        normalized_duplicates,
+    )
+
+    rows = [
+        (1, "The quick brown fox."),
+        (2, "the  quick   BROWN fox"),
+        (3, "the,quick;brown!fox"),
+        (4, "a different document"),
+        (5, "a different document"),   # byte-exact pair
+        (6, "the slow brown fox."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    norm = {
+        r.keep_id: r.n_docs for r in normalized_duplicates(df).collect()
+    }
+    assert norm == {1: 3, 4: 2}
+    byte = {r.keep_id: r.n_docs for r in exact_duplicates(df).collect()}
+    assert byte == {4: 2}
+
+
+def test_group_keywords_tfidf(spark):
+    """r10: per-group tf·idf keyword ranking vs hand math — a word in
+    every group scores 0; the group-specific word wins; ties break to
+    word ascending."""
+    import math
+
+    from quackosm_spark.operators.text import group_keywords
+
+    rows = [
+        (1, "a", "common spark spark spark"),
+        (2, "a", "common alpha"),
+        (3, "b", "common duck duck"),
+        (4, "c", "common zeta zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    got = {
+        (r.source, r.rank): (r.word, r.n, r.score)
+        for r in group_keywords(df, top_k=2).collect()
+    }
+    ln3 = math.log(3.0)
+    assert got[("a", 1)] == ("spark", 3, round(3 * ln3, 6))
+    assert got[("a", 2)] == ("alpha", 1, round(ln3, 6))
+    assert got[("b", 1)] == ("duck", 2, round(2 * ln3, 6))
+    # 'common' appears in all groups -> score exactly 0, ranks below
+    # every group-specific word but still fills the top-k
+    assert got[("b", 2)] == ("common", 1, 0.0)
+    assert got[("c", 1)] == ("zeta", 2, round(2 * ln3, 6))
