@@ -867,8 +867,13 @@ def domain_mix_report(
     Column math; ONE groupBy on the domain; shares ride a 1-row
     broadcast of the grand totals; the rank/cumsum window orders only
     the DOMAIN-level aggregate (domains-bounded, never corpus-sized).
-    6-dp share rounding (ratios — not boundary-pinned).
+    6-dp share rounding (ratios — not boundary-pinned). The domain
+    aggregate is PERSISTED (one caller-owned cached frame, README
+    "Cache lifecycle"): the grand-total branch is an exchange Catalyst
+    can't deduplicate and would otherwise re-scan the corpus.
     """
+    from pyspark import StorageLevel
+
     from quackosm_spark.operators.dedup import registered_domain
 
     per = (
@@ -882,6 +887,7 @@ def domain_mix_report(
             F.count("*").alias("n_docs"),
             F.sum("__tok").cast("bigint").alias("n_tokens"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = per.agg(
         F.sum("n_docs").cast("double").alias("__td"),

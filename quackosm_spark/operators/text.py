@@ -1546,7 +1546,13 @@ def pmi_collocations(
     min_count-FILTERED pair table — at web scale the floor is what keeps
     that table small, so raise it with the corpus (it is a statistical
     floor first, a perf knob second).
+
+    The pair table is PERSISTED (one caller-owned cached frame, README
+    "Cache lifecycle"): the marginal-window branch and the 1-row total
+    are exchanges Catalyst can't deduplicate, and without the cache each
+    re-runs the corpus tokenize (the bigram_logprob r07 lesson).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     if min_count < 1:
@@ -1564,7 +1570,11 @@ def pmi_collocations(
             )
         ).alias("bg")
     ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
-    pc = bigrams.groupBy("a", "b").agg(F.count("*").cast("double").alias("c_ab"))
+    pc = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("c_ab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pc = pc.withColumn(
         "c_a", F.sum("c_ab").over(Window.partitionBy("a"))
     ).withColumn("c_b", F.sum("c_ab").over(Window.partitionBy("b")))
@@ -1611,8 +1621,14 @@ def group_keywords(
     table (vocabulary-sized input, not corpus-sized) and joins back
     co-keyed on the word; G rides a 1-row broadcast; the rank window is
     partitioned BY GROUP over the vocabulary-bounded aggregate — never a
-    corpus-sized sort.
+    corpus-sized sort. The (group, word) table is PERSISTED (one
+    caller-owned cached frame, README "Cache lifecycle") — its three
+    consumers (idf, G, the scored join) are exchanges Catalyst can't
+    deduplicate, and each would otherwise re-run the corpus tokenize
+    (the unigram_kl_by_group shape).
     """
+    from pyspark import StorageLevel
+
     gw = (
         docs.select(
             F.col(group_col).alias("grp"),
@@ -1625,6 +1641,7 @@ def group_keywords(
         )
         .groupBy("grp", "w")
         .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df_w = gw.groupBy("w").agg(F.countDistinct("grp").alias("__gw"))
     n_groups = gw.agg(F.countDistinct("grp").cast("double").alias("__G"))

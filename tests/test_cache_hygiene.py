@@ -136,3 +136,36 @@ def test_unigram_kl_by_group_leaves_one_cache(clean_cache):
     docs = spark.read.parquet(DOCS)
     unigram_kl_by_group(docs).count()
     _assert_leaks_at_most_one(spark, "unigram_kl_by_group")
+
+
+def test_pmi_collocations_leaves_one_cache(clean_cache):
+    spark = clean_cache
+    from quackosm_spark.operators.text import pmi_collocations
+
+    docs = spark.read.parquet(DOCS)
+    pmi_collocations(docs, min_count=3, top_k=20).count()
+    _assert_leaks_at_most_one(spark, "pmi_collocations")
+
+
+def test_group_keywords_leaves_one_cache(clean_cache):
+    spark = clean_cache
+    from quackosm_spark.operators.text import group_keywords
+
+    docs = spark.read.parquet(DOCS)
+    group_keywords(docs).count()
+    _assert_leaks_at_most_one(spark, "group_keywords")
+
+
+def test_domain_mix_report_leaves_one_cache(clean_cache):
+    spark = clean_cache
+    from pyspark.sql import functions as F
+
+    from quackosm_spark.operators.mix import domain_mix_report
+
+    docs = spark.read.parquet(DOCS).withColumn(
+        "url",
+        F.concat(F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com/p/"), F.col("doc_id").cast("string")),
+    )
+    domain_mix_report(docs).count()
+    _assert_leaks_at_most_one(spark, "domain_mix_report")
