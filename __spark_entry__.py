@@ -2941,36 +2941,36 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q15, q16, q26–q28, q30, q34–q36, q46, q48, q50 — they lead r7's window
 # (q46/q48 yielded their r6 slots to q118/q119).
 _DRIVER_PRIORITY = [
-    # r9 rotation (VERDICT r8 "Next round" #3): the 40 queries whose last
-    # driver row is r6 — after this window every contract query has a
-    # driver row <=2 rounds old (histogram r9:50 / r8:44 / r7:40)
-    "q19_embedding_neardup", "q21_text_analysis", "q22_langid",
-    "q23_fingerprint", "q24_events_window", "q38_pii_scan",
-    "q39_repetition_ratio", "q40_pack_sequences",
-    "q41_deterministic_sample", "q49_ivf_fullprobe", "q54_event_deltas",
-    "q55_revenue_by_nation", "q57_stratified_fixed_n",
-    "q58_latest_event_per_user", "q59_value_spikes", "q61_pivot_counts",
-    "q62_event_history", "q64_event_paths", "q68_resample_ffill",
-    "q70_cohort_retention", "q79_near_pairs", "q80_incremental_dedup",
-    "q81_novelty_score", "q83_makevalid", "q85_slippy_tiles",
-    "q87_relation_makevalid", "q88_relation_union_holes",
-    "q89_bpe_tokens", "q90_token_shards", "q91_source_overlap",
-    "q92_oov_rate", "q93_bigram_logprob",
-    "q94_embedding_neardup_blocked", "q95_relation_inner_union",
-    "q96_relation_shared_edge", "q97_relation_geometrycollection",
-    "q98_quality_psi", "q108_hashed_tfidf", "q111_spatial_join",
-    "q118_weighted_sample_global",
-    # fill to 50: first driver evidence for the SEVEN new r9 queries
-    # (q121/q122 precedent), then the three most-changed r9 kernels —
-    # the minhash-index pairs-only rewrite, the epoch-plan zero-source
-    # anchor, the snapshot-diff presence fix. (The other r9-touched
-    # kernels — quota guards, k-means filtering, percent-rank — were
-    # dual-session verified locally this round and rotate next window.)
-    "q135_url_dedup", "q136_time_decay", "q137_ivf_index_match",
-    "q138_decay_kernel", "q139_embedding_drift", "q140_unigram_kl",
-    "q141_char_entropy",
-    "q134_incremental_neardup", "q133_epoch_plan", "q130_snapshot_diff",
-]  # 50 window: q14 (31 entries of r5-stale cohort lead) spills; see (a)
+    # r10 rotation: first driver evidence for the EIGHT new r10 queries,
+    # the re-fixed q135 (its r9 red was the harness-unsortable array
+    # column — dup_ids is CSV now), and the two kernels r10 changed
+    # underneath existing queries (q138's decay kernel gained the
+    # NULL/NaT batch-parity semantics; q17's inverted-index machinery
+    # was factored into _shingle_overlap_pairs). The cosine-guard change
+    # (q19/q20/q49/q94/q137) carries r9 driver rows plus this round's
+    # local dual-session gate.
+    "q135_url_dedup", "q142_pmi_collocations", "q143_domain_mix",
+    "q144_domain_cap", "q145_containment", "q146_robust_zscore",
+    "q147_equidepth_hist", "q148_normalized_dedup", "q149_group_keywords",
+    "q138_decay_kernel", "q17_ngram_jaccard",
+    # fill to 50 with the r7-stale cohort (44 queries; the five spilled
+    # to the r11 window are the stream/kernel twins whose semantics are
+    # locked by their batch siblings' rows: q34, q107, q119, q121, q122)
+    "q01_pricing_summary", "q02_semi_join", "q03_anti_join",
+    "q04_ref_validity", "q05_ordered_collect", "q06_window_dedup",
+    "q07_window_rank", "q08_union_distinct", "q09_bool_agg",
+    "q10_map_tags_filter", "q11_distinct_tokens", "q12_bbox_filter",
+    "q13_strip_metadata", "q15_pip_triangle", "q16_exact_dedup",
+    "q25_sessionize", "q26_topk_orders", "q27_simhash", "q28_lsh_ann",
+    "q30_relation_validity", "q32_ivf_ann", "q35_ann_topk_vectorized",
+    "q36_boilerplate_ngrams", "q46_interval_join", "q48_salted_join",
+    "q50_bm25_search", "q53_semantic_dedup", "q63_verified_neardup",
+    "q72_pagerank", "q73_pq_fullshortlist", "q75_interleave_sources",
+    "q76_bloom_decontamination", "q84_relation_union",
+    "q99_relation_spike_repair", "q100_union_courtyards",
+    "q103_bpe_learned_merges", "q104_dedup_keep_best", "q105_hybrid_rrf",
+    "q115_quality_auc",
+]  # 50-window histogram after r10: r10:50 / r9:49 / r8:47 / r7:5
 
 
 def _driver_order(d: dict) -> dict:
