@@ -498,9 +498,16 @@ def pq_encode(
     """Encode vectors to PQ codes: per subspace, the index of the nearest
     codebook centroid (ties → lowest index). Pure Column expressions —
     encoding is a map-only codegen stage, no shuffle, no Python workers.
-    Returns (id, codes: array<int>)."""
+    Returns (id, codes: array<int>).
+
+    The corpus is `_spread` to cluster parallelism first (r10, the q137
+    lesson applied to the whole ANN family): a single-file code/corpus
+    table would otherwise carry ONE partition through the broadcast
+    probe join and serialize the full ADC scan on one task; at-scale
+    scans pass through untouched."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    corpus = _spread(corpus)
     v = F.col(vec_col).cast("array<double>")
     codes = []
     for j, book in enumerate(codebooks):
@@ -532,9 +539,14 @@ def pq_adc_topk(
     table (the only big side) never shuffles and never rehydrates the
     original vectors — the whole scan runs in the compressed domain. The
     per-query top-k is the usual tiny window. Returns
-    (query_id, match_id, approx_l2, rank)."""
+    (query_id, match_id, approx_l2, rank).
+
+    A persisted codes table read back from a single parquet file is
+    `_spread` to cluster parallelism (r10, the match_against_ivf_index
+    rule) so the broadcast join never scores every pair on one task."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    codes = _spread(codes)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
