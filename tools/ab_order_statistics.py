@@ -2,7 +2,7 @@
 
 Usage: python tools/ab_order_statistics.py <op> <variant> <n_rows>
 
-  op      ∈ {interleave, auc, winsorize, deciles}
+  op      ∈ {interleave, auc, winsorize, deciles, ..., robustz}
   variant ∈ {old, new}   (old = the serial single-window / exact-percentile
                           formulation each operator had before its fix)
   n_rows  = synthetic input size
@@ -396,6 +396,42 @@ def run(op, variant, n, spark):
             F.sum(F.col("n_events") % 997).alias("c3"),
         ).collect()[0]
         return [int(chk["c1"]), float(chk["c2"]), int(chk["c3"])]
+
+    if op == "robustz":
+        # 'new' = stats.robust_zscore (two bucketed exact-quantile kernel
+        # passes, bounded per-task state); 'old' = the naive exact
+        # percentile() WINDOW formulation — the dominant group's values
+        # buffer in ONE window task, twice (median, then MAD)
+        from quackosm_spark.operators.stats import robust_zscore
+
+        d = _values_skewed(spark, n)
+        if variant == "new":
+            out = robust_zscore(d, "value", ["g"])
+        else:
+            w = Window.partitionBy("g")
+            med = F.expr("percentile(value, 0.5)").over(w)
+            d2 = d.withColumn("med", med).withColumn(
+                "__absdev", F.abs(F.col("value") - F.col("med"))
+            )
+            mad = F.expr("percentile(__absdev, 0.5)").over(w)
+            out = d2.withColumn("mad", mad).withColumn(
+                "robust_z",
+                F.round(
+                    F.when(
+                        F.col("mad") > 0,
+                        (F.col("value") - F.col("med"))
+                        / (F.lit(1.4826) * F.col("mad")),
+                    ),
+                    6,
+                ),
+            )
+        chk = out.agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.round(F.sum("robust_z"), 2).alias("c2"),
+            F.count_if(F.col("robust_z").isNull()).alias("c3"),
+            F.round(F.sum("med") + F.sum("mad"), 2).alias("c4"),
+        ).collect()[0]
+        return [int(chk["c1"]), float(chk["c2"]), int(chk["c3"]), float(chk["c4"])]
 
     raise SystemExit(f"unknown op {op}")
 
