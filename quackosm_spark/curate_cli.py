@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--benchmark", help="Parquet path of held-out eval docs to decontaminate against")
+    p.add_argument("--url-col", default=None,
+                   help="URL column: enables the crawl-level URL-dedup stage")
+    p.add_argument("--max-per-domain", type=int, default=None,
+                   help="Cap docs per registered domain (requires --url-col)")
     p.add_argument("--no-near-dup", dest="near_dup", action="store_false")
     p.add_argument("--min-jaccard", type=float, default=0.8,
                    help="Exact-jaccard confirmation threshold for LSH candidates")
@@ -96,6 +100,8 @@ def main(argv: Optional[list[str]] = None) -> str:
         benchmark=benchmark,
         id_col=args.id_col,
         text_col=args.text_col,
+        url_col=args.url_col,
+        max_per_domain=args.max_per_domain,
         near_dup=args.near_dup,
         min_jaccard=args.min_jaccard,
         keep_best_quality=args.keep_best_quality,

@@ -41,6 +41,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     url_col: str | None = None,
+    max_per_domain: int | None = None,
     near_dup: bool = True,
     min_jaccard: float = 0.8,
     keep_best_quality: bool = False,
@@ -69,7 +70,10 @@ def curate_corpus(
 
     ``url_col`` (r09): when set, a URL-dedup stage runs FIRST — all but
     the smallest id per `dedup.canonical_url` key are dropped before any
-    text hashing (the cheap crawl-level pass). ``benchmark``: held-out
+    text hashing (the cheap crawl-level pass). ``max_per_domain`` (r10,
+    requires ``url_col``): cap each registered domain at N docs right
+    after URL dedup (`mix.cap_per_domain`, deterministic md5 keep-rule) —
+    the C4-style anti-top-heaviness stage. ``benchmark``: held-out
     eval docs whose word 5-grams must not leak into
     training (drops any doc sharing one). ``budgets``: per-source token caps
     (see mix.budget_sample). ``total_token_budget`` (r08): a GLOBAL cap
@@ -117,6 +121,24 @@ def curate_corpus(
             F.explode("dup_ids").alias(id_col)
         )
         out = _note("url_dedup", out.join(losers, id_col, "left_anti"))
+
+    # 0b. domain cap (r10): at most max_per_domain docs per registered
+    #     domain — the C4-style anti-top-heaviness pass; quality keep-rule
+    #     when the recipe later ranks on quality anyway, else the
+    #     deterministic md5 slice. Runs right after URL dedup (still
+    #     crawl-level, before any text hashing).
+    if max_per_domain is not None:
+        if url_col is None:
+            raise ValueError(
+                "curate_corpus: max_per_domain needs url_col (the domain "
+                "comes from the URL)"
+            )
+        out = _note(
+            "domain_cap",
+            X.cap_per_domain(
+                out, max_per_domain, url_col=url_col, id_col=id_col
+            ),
+        )
 
     # 1. exact dedup: keep smallest id per md5(text)
     out = _note("exact_dedup", D.drop_exact_duplicates(out, id_col, text_col))

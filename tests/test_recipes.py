@@ -304,3 +304,37 @@ def test_curate_corpus_url_dedup_stage(spark):
     kept = {r.doc_id for r in out.collect()}
     assert 2 not in kept and {1, 3} <= kept
     assert report["input"] == 3 and report["url_dedup"] == 2
+
+
+def test_curate_corpus_domain_cap_stage(spark):
+    """r10: max_per_domain caps each registered domain right after URL
+    dedup (deterministic md5 keep-rule), records a stage-report row, and
+    raises without url_col."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from quackosm_spark.operators.recipes import curate_corpus
+
+    rows = [
+        (i, f"unique document body number {i} with enough words to live",
+         f"https://big.com/page/{i}")
+        for i in range(1, 6)
+    ] + [
+        (9, "a lone page on the small domain that always survives",
+         "https://small.org/only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, url: string")
+    out, report = curate_corpus(
+        df, url_col="url", max_per_domain=2, near_dup=False,
+        min_quality=0.0, max_repetition=1.0, min_tokens=1,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    big_keep = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(1, 6)
+    )[:2]
+    assert kept == {i for _, i in big_keep} | {9}
+    assert report["domain_cap"] == 3
+
+    with _pytest.raises(ValueError, match="url_col"):
+        curate_corpus(df, max_per_domain=2)
