@@ -2806,6 +2806,34 @@ def q149_group_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_domain_cap_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming domain-cap kernel in batch mode
+    (streaming.domain_cap_stream): FIRST-ARRIVAL budget of 15 docs per
+    registered domain with one integer of state per domain — the crawl-
+    frontier politeness rule. Batch mode equals the window analogue
+    row_number() over (domain ORDER BY doc_id) <= cap (the oracle);
+    stream-vs-batch state carryover is test-locked."""
+    from quackosm_spark.streaming import domain_cap_stream
+
+    return domain_cap_stream(
+        _synth_domain_urls(_t(spark, sf_dir, "documents")), 15
+    )
+
+
+def q151_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (ml.kfold_assign): md5-bucket
+    mod k, scan-stage Column math, no RNG/sort — cross-validation folds
+    reproducible on any engine or cluster size. Summarized per (fold,
+    lang) so the contract also pins the fold-balance property."""
+    from quackosm_spark.operators.ml import kfold_assign
+
+    return (
+        kfold_assign(_t(spark, sf_dir, "documents"), k=5)
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2952,6 +2980,7 @@ _DRIVER_PRIORITY = [
     "q135_url_dedup", "q142_pmi_collocations", "q143_domain_mix",
     "q144_domain_cap", "q145_containment", "q146_robust_zscore",
     "q147_equidepth_hist", "q148_normalized_dedup", "q149_group_keywords",
+    "q150_domain_cap_kernel", "q151_kfold_assign",
     "q138_decay_kernel", "q17_ngram_jaccard",
     # fill to 50 with the r7-stale cohort (44 queries; the five spilled
     # to the r11 window are the stream/kernel twins whose semantics are
@@ -2968,9 +2997,9 @@ _DRIVER_PRIORITY = [
     "q72_pagerank", "q73_pq_fullshortlist", "q75_interleave_sources",
     "q76_bloom_decontamination", "q84_relation_union",
     "q99_relation_spike_repair", "q100_union_courtyards",
-    "q103_bpe_learned_merges", "q104_dedup_keep_best", "q105_hybrid_rrf",
-    "q115_quality_auc",
-]  # 50-window histogram after r10: r10:50 / r9:49 / r8:47 / r7:5
+    "q103_bpe_learned_merges", "q104_dedup_keep_best",
+]  # 50-window histogram after r10: r10:50 / r9:49 / r8:47 / r7:7
+#   (q105/q115 spill to r11 with the five stream/kernel twins)
 
 
 def _driver_order(d: dict) -> dict:
@@ -3130,6 +3159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_equidepth_hist": q147_equidepth_hist,
         "q148_normalized_dedup": q148_normalized_dedup,
         "q149_group_keywords": q149_group_keywords,
+        "q150_domain_cap_kernel": q150_domain_cap_kernel,
+        "q151_kfold_assign": q151_kfold_assign,
     })
 
 
@@ -5117,6 +5148,34 @@ def oracle_sql() -> dict[str, str]:
                CASE {_q147_hi} END AS hi,
                count(*) AS n
         FROM b GROUP BY bin, {", ".join(f"e{i}" for i in range(1, 10))}
+    """
+    out["q150_domain_cap_kernel"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                                       WHEN doc_id % 3 = 1 THEN 'blog.'
+                                       ELSE '' END)
+                       || 'site'
+                       || CAST(CAST(floor(sqrt((doc_id % 400)::DOUBLE))
+                           AS BIGINT) AS VARCHAR)
+                       || (CASE WHEN CAST(floor(sqrt((doc_id % 400)::DOUBLE))
+                           AS BIGINT) % 5 = 0 THEN '.co.uk' ELSE '.com' END)
+                       || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+                   {_SYNTH_DOMAIN_SQL} AS domain
+            FROM documents
+        )
+        SELECT doc_id, url, domain FROM (
+            SELECT doc_id, url, domain,
+                   row_number() OVER (
+                       PARTITION BY domain ORDER BY doc_id) AS rn
+            FROM d
+        ) WHERE rn <= 15
+    """
+    out["q151_kfold_assign"] = """
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 5
+                   AS fold,
+               lang, count(*) AS n_docs
+        FROM documents GROUP BY 1, 2
     """
     out["q148_normalized_dedup"] = """
         WITH all_docs AS (

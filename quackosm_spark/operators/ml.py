@@ -504,3 +504,28 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return one.selectExpr(
         f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)"
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validating the quality-
+    classifier family (`logistic_fit_irls`/`binary_auc` per held-out
+    fold): fold = md5-bucket(id) mod k — no RNG, no sort, scan-stage
+    Column math, so the same corpus folds identically on any engine,
+    cluster size, or rerun, and every worker agrees without coordination
+    (the `deterministic_sample` hash idiom). Returns the input plus
+    ``fold_col`` in [0, k). Buckets are 16-bit, so fold sizes are equal
+    to within the md5 bucket granularity (~n/65536), not exactly — the
+    price of a stateless assignment.
+    """
+    if k < 2:
+        raise ValueError("kfold_assign: k must be >= 2")
+    from quackosm_spark.operators.mix import _hash_bucket
+
+    return df.withColumn(
+        fold_col, (_hash_bucket(F.col(id_col)) % k).cast("int")
+    )

@@ -1050,3 +1050,97 @@ def decay_counter_stream(
         .groupBy("user_id")
         .applyInPandas(_batch_fn, schema=_decay_output_schema())
     )
+
+
+def _domain_cap_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state,
+    max_per_domain: int,
+) -> Iterator[pd.DataFrame]:
+    """Per-domain FIRST-ARRIVAL cap kernel: state is one running count
+    per registered domain; docs beyond the cap are dropped. Within a
+    micro-batch, arrival order is pinned to ascending doc_id (the
+    deterministic stand-in for fetch order), so the stream twin equals
+    the batch analogue row-for-row."""
+    (domain,) = key
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values("doc_id", kind="mergesort")
+    n = state.get[0] if state.exists else 0
+    take = max(0, max_per_domain - n)
+    # reset_index: the sorted slice keeps pre-sort indices, and building
+    # the output frame from index-carrying Series would align-by-index
+    # against the fresh RangeIndex (NaN-corrupting rows)
+    kept = rows.iloc[:take].reset_index(drop=True)
+    state.update((int(n + len(kept)),))
+    yield pd.DataFrame(
+        {
+            "doc_id": kept["doc_id"].astype("int64"),
+            "url": kept["url"].astype(object),
+            "domain": pd.Series([domain] * len(kept), dtype=object),
+        }
+    )
+
+
+def domain_cap_stream(
+    docs: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming domain cap — the crawl-frontier politeness/anti-top-
+    heaviness rule applied AS THE CRAWL ARRIVES: keep the first
+    ``max_per_domain`` documents per registered domain, drop the rest,
+    with ONE integer of state per domain (O(domains) state regardless of
+    stream length; no timeout — a domain's budget is permanent for the
+    run, restart the query to reset epochs).
+
+    FIRST-ARRIVAL semantics on purpose: the batch `mix.cap_per_domain`
+    md5 keep-rule needs the whole corpus to be samplable, which a stream
+    never is — a crawler keeps what it fetched first. Arrival order is
+    pinned to ascending ``id_col`` within a micro-batch, so on a batch
+    frame the SAME kernel equals the window analogue
+    ``row_number() over (partition by domain order by doc_id) <= cap``
+    row-for-row (parity test-locked; q150 oracles the batch mode).
+
+    Returns (doc_id, url, domain) for kept docs (append mode — a kept
+    doc is final the moment it's emitted).
+    """
+    from functools import partial
+
+    if max_per_domain < 1:
+        raise ValueError("domain_cap_stream: max_per_domain must be >= 1")
+    from quackosm_spark.operators.dedup import registered_domain
+
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(url_col).alias("url"),
+        registered_domain(F.col(url_col)).alias("domain"),
+    ).where(F.col("domain").isNotNull())
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("url", StringType()),
+            StructField("domain", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_kept", LongType())])
+    kernel = partial(_domain_cap_group, max_per_domain=max_per_domain)
+    if docs.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return d.groupBy("domain").applyInPandasWithState(
+            kernel,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def _batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return next(kernel(key, [pdf], _BatchNoState()))
+
+    return d.groupBy("domain").applyInPandas(_batch_fn, schema=out_schema)

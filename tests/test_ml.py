@@ -388,3 +388,27 @@ def test_binary_auc_strategies_bit_identical(spark):
         assert (fast["auc"], fast["n_pos"], fast["n_neg"]) == (
             bucketed["auc"], bucketed["n_pos"], bucketed["n_neg"]
         ), name
+
+
+class TestKfoldAssign:
+    def test_matches_python_md5_and_partitions(self, spark):
+        """r10: fold = md5-16bit-bucket(id) % k, every row in [0, k),
+        deterministic across calls; k validation."""
+        import hashlib
+
+        import pytest
+
+        from quackosm_spark.operators.ml import kfold_assign
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(500)], "doc_id: long"
+        )
+        got = {r.doc_id: r.fold for r in kfold_assign(df, k=5).collect()}
+        for i in range(500):
+            want = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 5
+            assert got[i] == want
+        assert set(got.values()) == set(range(5))
+        again = {r.doc_id: r.fold for r in kfold_assign(df, k=5).collect()}
+        assert again == got
+        with pytest.raises(ValueError, match="k must"):
+            kfold_assign(df, k=1)

@@ -932,3 +932,82 @@ def test_decay_counter_null_value_and_nat_ts_parity(spark):
     assert got[2] == (round(1.0 * 0.5 + 1.0, 6), 3, t0 + timedelta(days=7))
     assert got[3] == (None, 2, t0 + timedelta(days=7))
     assert got[4] == (None, 2, None)
+
+
+def test_domain_cap_stream_matches_batch_window(spark, tmp_path):
+    """r10: first-arrival domain cap — the batch-mode kernel equals the
+    window analogue row_number() over (domain order by doc_id) <= cap;
+    a real two-micro-batch stream carries the per-domain budget in state
+    (a domain filled in batch 1 admits nothing in batch 2)."""
+    from pyspark.sql import Window
+
+    from quackosm_spark.streaming import domain_cap_stream
+
+    def mk(ids_urls):
+        return spark.createDataFrame(ids_urls, "doc_id: long, url: string")
+
+    rows1 = [(i, f"https://big.com/{i}") for i in (3, 1, 5)] + [
+        (7, "https://small.org/a")
+    ]
+    rows2 = [(i, f"https://big.com/{i}") for i in (2, 9)] + [
+        (8, "https://small.org/b"),
+        (10, None),  # NULL url: no domain, dropped
+    ]
+    batch = mk(rows1 + rows2)
+    got = {
+        (r.domain, r.doc_id) for r in domain_cap_stream(batch, 2).collect()
+    }
+    from quackosm_spark.operators.dedup import registered_domain
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    want = {
+        (r.domain, r.doc_id)
+        for r in batch.withColumn("domain", registered_domain("url"))
+        .where(F.col("domain").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want == {("big.com", 1), ("big.com", 2),
+                           ("small.org", 7), ("small.org", 8)}
+
+    # true streaming: batch 1 fills big.com's budget with {1, 3}; batch 2's
+    # doc 2 (smaller id!) is REJECTED — first-arrival, not global-min-id
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    mk(rows1).write.parquet(str(src / "b1"))
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("url", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        domain_cap_stream(stream, 2)
+        .writeStream.format("memory")
+        .queryName("domain_cap")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(rows2).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got_stream = {
+            (r.domain, r.doc_id)
+            for r in spark.sql("SELECT * FROM domain_cap").collect()
+        }
+    finally:
+        q.stop()
+    assert got_stream == {("big.com", 1), ("big.com", 3),
+                          ("small.org", 7), ("small.org", 8)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_per_domain"):
+        domain_cap_stream(batch, 0)
