@@ -2834,6 +2834,21 @@ def q151_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the pipeline (multimodal.image_channel_stats,
+    strict=True): per-image RGB means + brightness through the pure-numpy
+    binary-PPM and 24-bit-BMP decoders (header parse, offsets, row
+    padding, BGR swap — no codec library, no fake). The synthesizer's
+    colors/sizes are arithmetic in the id, so the oracle computes every
+    mean in closed form — a full value-hash pin on a real decode path.
+    mapInPandas, one Arrow batch in/out, float64 accumulation."""
+    from quackosm_spark.operators import multimodal as M
+
+    _ship_package(spark)
+    media = M.synthesize_solid_images(spark, n=240)
+    return M.image_channel_stats(media, strict=True)
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2981,6 +2996,7 @@ _DRIVER_PRIORITY = [
     "q144_domain_cap", "q145_containment", "q146_robust_zscore",
     "q147_equidepth_hist", "q148_normalized_dedup", "q149_group_keywords",
     "q150_domain_cap_kernel", "q151_kfold_assign",
+    "q152_image_channel_stats",
     "q138_decay_kernel", "q17_ngram_jaccard",
     # fill to 50 with the r7-stale cohort (44 queries; the five spilled
     # to the r11 window are the stream/kernel twins whose semantics are
@@ -2997,9 +3013,9 @@ _DRIVER_PRIORITY = [
     "q72_pagerank", "q73_pq_fullshortlist", "q75_interleave_sources",
     "q76_bloom_decontamination", "q84_relation_union",
     "q99_relation_spike_repair", "q100_union_courtyards",
-    "q103_bpe_learned_merges", "q104_dedup_keep_best",
-]  # 50-window histogram after r10: r10:50 / r9:49 / r8:47 / r7:7
-#   (q105/q115 spill to r11 with the five stream/kernel twins)
+    "q103_bpe_learned_merges",
+]  # 50-window histogram after r10: r10:50 / r9:49 / r8:47 / r7:8
+#   (q104/q105/q115 spill to r11 with the five stream/kernel twins)
 
 
 def _driver_order(d: dict) -> dict:
@@ -3161,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_group_keywords": q149_group_keywords,
         "q150_domain_cap_kernel": q150_domain_cap_kernel,
         "q151_kfold_assign": q151_kfold_assign,
+        "q152_image_channel_stats": q152_image_channel_stats,
     })
 
 
@@ -5176,6 +5193,16 @@ def oracle_sql() -> dict[str, str]:
                    AS fold,
                lang, count(*) AS n_docs
         FROM documents GROUP BY 1, 2
+    """
+    out["q152_image_channel_stats"] = """
+        SELECT i AS media_id,
+               CAST((4 + i % 3) * (3 + i % 2) AS BIGINT) AS n_pixels,
+               CAST((i * 37) % 256 AS DOUBLE) AS mean_r,
+               CAST((i * 59) % 256 AS DOUBLE) AS mean_g,
+               CAST((i * 83) % 256 AS DOUBLE) AS mean_b,
+               round(((i * 37) % 256 + (i * 59) % 256 + (i * 83) % 256)
+                   / 3.0, 6) AS brightness
+        FROM range(240) t(i)
     """
     out["q148_normalized_dedup"] = """
         WITH all_docs AS (

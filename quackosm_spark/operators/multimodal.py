@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -283,4 +284,99 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
                 (i + 1) * 500 if kind == "video" else None,
             )
         )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+IMAGE_CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("brightness", DoubleType()),
+    ]
+)
+
+
+def image_channel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-image RGB channel means + overall brightness through the REAL
+    decode path (`strict=True`: pure-numpy PPM/BMP, PIL if present) —
+    the exposure/color-cast screen of an image-corpus quality pipeline
+    (uniform near-0 or near-255 brightness = black/blown frames; a
+    channel mean far from the others = color cast / broken conversion).
+    ``mapInPandas``, one Arrow batch in/out, constant memory per task;
+    means accumulate in float64 regardless of decode dtype so the values
+    are batch-order independent (engine-portability contract). Returns
+    (media_id, n_pixels, mean_r, mean_g, mean_b, brightness) at 6 dp;
+    with ``strict=False`` the deterministic fake pixels are treated as
+    interleaved RGB, so plumbing tests get full value checks with no
+    codec present.
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, npix, mr, mg, mb, br = [], [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = _decode_stub(bytes(payload), strict)
+                n = arr.size - arr.size % 3
+                rgb = arr[:n].reshape(-1, 3)
+                ids.append(media_id)
+                npix.append(len(rgb))
+                if len(rgb):
+                    means = rgb.mean(axis=0, dtype=np.float64)
+                    mr.append(round(float(means[0]), 6))
+                    mg.append(round(float(means[1]), 6))
+                    mb.append(round(float(means[2]), 6))
+                    br.append(round(float(rgb.mean(dtype=np.float64)), 6))
+                else:
+                    mr.append(None), mg.append(None), mb.append(None)
+                    br.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_pixels": pd.Series(npix, dtype="int64"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                    "brightness": pd.Series(br, dtype="float64"),
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        _stats, schema=IMAGE_CHANNEL_STATS_SCHEMA
+    )
+
+
+def synthesize_solid_images(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-format image table: solid-color binary PPM (P6)
+    for even ids, solid-color bottom-up 24-bit BMP (with the format's
+    4-byte row padding) for odd ids — arithmetic colors/sizes so an
+    oracle can compute every channel mean in closed form, exercising the
+    real header parse / offset / stride / BGR-swap decode paths, not a
+    fake. r=(id·37)%256, g=(id·59)%256, b=(id·83)%256,
+    w=4+id%3, h=3+id%2."""
+    rows = []
+    for i in range(n):
+        r, g, b = (i * 37) % 256, (i * 59) % 256, (i * 83) % 256
+        w, h = 4 + i % 3, 3 + i % 2
+        if i % 2 == 0:
+            payload = (f"P6\n{w} {h}\n255\n".encode()
+                       + bytes([r, g, b]) * (w * h))
+            mime = "image/x-portable-pixmap"
+        else:
+            stride = (w * 3 + 3) // 4 * 4
+            row = (bytes([b, g, r]) * w).ljust(stride, b"\x00")  # BGR + pad
+            header = (
+                b"BM" + (54 + stride * h).to_bytes(4, "little")
+                + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+                + (40).to_bytes(4, "little")
+                + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                + (0).to_bytes(4, "little") + (stride * h).to_bytes(4, "little")
+                + b"\x00" * 16
+            )
+            payload = header + row * h
+            mime = "image/bmp"
+        rows.append((i, "image", payload, mime, w, h, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -2389,3 +2389,35 @@ def test_group_keywords_tfidf(spark):
     # every group-specific word but still fills the top-k
     assert got[("b", 2)] == ("common", 1, 0.0)
     assert got[("c", 1)] == ("zeta", 2, round(2 * ln3, 6))
+
+
+def test_image_channel_stats_real_decode(spark):
+    """r10: per-image channel means through the REAL pure-numpy PPM and
+    BMP decoders (strict=True) match the synthesizer's closed-form
+    colors — including the BMP BGR swap and row padding; junk payloads
+    raise the honest NotImplementedError in strict mode."""
+    import pytest
+
+    from quackosm_spark.operators import multimodal as M
+
+    media = M.synthesize_solid_images(spark, 30)
+    got = {
+        r.media_id: (r.n_pixels, r.mean_r, r.mean_g, r.mean_b, r.brightness)
+        for r in M.image_channel_stats(media, strict=True).collect()
+    }
+    assert len(got) == 30
+    for i in range(30):
+        r, g, b = (i * 37) % 256, (i * 59) % 256, (i * 83) % 256
+        w, h = 4 + i % 3, 3 + i % 2
+        assert got[i] == (
+            w * h, float(r), float(g), float(b), round((r + g + b) / 3, 6)
+        ), i
+
+    junk = spark.createDataFrame(
+        [(0, "image", b"\x89PNG not really", "image/png", 1, 1, None)],
+        M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        M.image_channel_stats(junk, strict=True).collect()
+    # non-strict: the deterministic fake path yields a full row anyway
+    assert M.image_channel_stats(junk, strict=False).count() == 1
