@@ -2421,3 +2421,23 @@ def test_image_channel_stats_real_decode(spark):
         M.image_channel_stats(junk, strict=True).collect()
     # non-strict: the deterministic fake path yields a full row anyway
     assert M.image_channel_stats(junk, strict=False).count() == 1
+
+
+def test_pq_path_spreads_narrow_corpus(spark):
+    """r10: pq_encode/pq_adc_topk must not let a single-partition corpus
+    serialize the ADC scan on one task (the q137 IVF starvation class) —
+    the codes table leaves with cluster parallelism; an at-scale input
+    passes through untouched (no added shuffle)."""
+    import numpy as np
+
+    from quackosm_spark.operators import similarity as S
+
+    rng = np.random.RandomState(4)
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(rng.randn(120, 8))]
+    narrow = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>").coalesce(1)
+    books = S.train_pq_codebooks(narrow, m=2, k=4)
+    target = spark.sparkContext.defaultParallelism
+    codes = S.pq_encode(narrow, books)
+    assert codes.rdd.getNumPartitions() >= target
+    wide = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>").repartition(target + 3)
+    assert S.pq_encode(wide, books).rdd.getNumPartitions() == target + 3
