@@ -2849,6 +2849,17 @@ def q152_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_channel_stats(media, strict=True)
 
 
+def q153_segment_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins cross-document segment dedup with
+    reassembly (dedup.drop_duplicate_segments) — the RefinedWeb line-
+    dedup pass: a repeated segment survives only in the earliest (id,
+    pos), every later copy is cut, survivors re-join in order. ONE
+    window partitioned by md5(segment) (partition size = the duplicate
+    count being removed) + one reassembly groupBy."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 2)
+    return D.drop_duplicate_segments(docs, seg_words=5)
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2996,7 +3007,7 @@ _DRIVER_PRIORITY = [
     "q144_domain_cap", "q145_containment", "q146_robust_zscore",
     "q147_equidepth_hist", "q148_normalized_dedup", "q149_group_keywords",
     "q150_domain_cap_kernel", "q151_kfold_assign",
-    "q152_image_channel_stats",
+    "q152_image_channel_stats", "q153_segment_first_dedup",
     "q138_decay_kernel", "q17_ngram_jaccard",
     # fill to 50 with the r7-stale cohort (44 queries; the five spilled
     # to the r11 window are the stream/kernel twins whose semantics are
@@ -3013,9 +3024,8 @@ _DRIVER_PRIORITY = [
     "q72_pagerank", "q73_pq_fullshortlist", "q75_interleave_sources",
     "q76_bloom_decontamination", "q84_relation_union",
     "q99_relation_spike_repair", "q100_union_courtyards",
-    "q103_bpe_learned_merges",
-]  # 50-window histogram after r10: r10:50 / r9:49 / r8:47 / r7:8
-#   (q104/q105/q115 spill to r11 with the five stream/kernel twins)
+]  # 50-window histogram after r10: r10:50 / r9:49 / r8:47 / r7:9
+#   (q103/q104/q105/q115 spill to r11 with the five stream/kernel twins)
 
 
 def _driver_order(d: dict) -> dict:
@@ -3178,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_domain_cap_kernel": q150_domain_cap_kernel,
         "q151_kfold_assign": q151_kfold_assign,
         "q152_image_channel_stats": q152_image_channel_stats,
+        "q153_segment_first_dedup": q153_segment_first_dedup,
     })
 
 
@@ -5203,6 +5214,36 @@ def oracle_sql() -> dict[str, str]:
                round(((i * 37) % 256 + (i * 59) % 256 + (i * 83) % 256)
                    / 3.0, 6) AS brightness
         FROM range(240) t(i)
+    """
+    out["q153_segment_first_dedup"] = """
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id % 6 = 2
+        ),
+        segs AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) + 1, 5),
+                       i -> {'pos': i,
+                             'seg': array_to_string(
+                                 list_slice(w, i, i + 4), ' ')})) AS s
+            FROM words WHERE len(w) > 0
+        ),
+        flat AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM segs),
+        kept AS (
+            SELECT doc_id, pos, seg FROM (
+                SELECT doc_id, pos, seg,
+                       row_number() OVER (
+                           PARTITION BY seg ORDER BY doc_id, pos) AS rn
+                FROM flat
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '')
+                   AS text_clean,
+               count(k.seg) AS n_kept
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 6 = 2) d
+        LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id
     """
     out["q148_normalized_dedup"] = """
         WITH all_docs AS (

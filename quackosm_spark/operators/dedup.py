@@ -1677,3 +1677,90 @@ def normalized_duplicates(
         id_col,
         "__norm",
     )
+
+
+def drop_duplicate_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    by_lines: bool = False,
+) -> DataFrame:
+    """FIRST-OCCURRENCE-WINS cross-document segment dedup with
+    reassembly — the RefinedWeb/CCNet "line dedup" pass: a segment that
+    appears in several documents survives ONLY in the earliest one
+    (smallest id, then position), every later copy is cut and the
+    survivors are re-joined in order. Complements
+    `remove_frequent_segments` (which cuts a frequent segment from
+    EVERY doc including the first — boilerplate removal, not dedup);
+    here each segment keeps exactly one home, so corpus information is
+    preserved while repetition is not. Returns (doc_id, text_clean,
+    n_kept) for every input doc (empty string when nothing survives —
+    chain `filter_quality`/`min_tokens` downstream to drop husks).
+
+    Scale shape: segmentation is scan-stage Column math (the
+    `_segments` idiom — delimiter-agnostic, swap in newline splitting
+    for corpora with real lines); ONE window PARTITIONED BY md5(segment)
+    ordered by (id, pos) — partition size = that segment's duplicate
+    count, the thing being removed; reassembly is one groupBy on the
+    doc id. No driver data, no global sort.
+
+    ``by_lines=True`` segments on newlines (trimmed, empties dropped) —
+    the production form: line boundaries are content-anchored, so the
+    same paragraph matches at ANY offset. The default fixed-stride word
+    segmentation only matches stride-ALIGNED repetition (an offset copy
+    re-segments differently) — fine for the word-soup test corpus and
+    for fixed-block shard formats, wrong for prose; use lines there.
+    Reassembly joins with a space either way (a rebuilt corpus for
+    training, not a byte-faithful reconstruction).
+    """
+    if by_lines:
+        lines = F.filter(
+            F.transform(
+                F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln)
+            ),
+            lambda ln: ln != "",
+        )
+        seg_arr = F.transform(
+            lines,
+            lambda ln, i: F.struct(
+                (i + 1).cast("int").alias("pos"), ln.alias("seg")
+            ),
+        )
+    else:
+        seg_arr = _segments(F.col(text_col), seg_words)
+    segs = docs.select(
+        F.col(id_col).alias("__did"),
+        F.posexplode_outer(seg_arr).alias("__i", "__s"),
+    ).select(
+        "__did",
+        F.col("__s.pos").alias("__pos"),
+        F.col("__s.seg").alias("__seg"),
+    )
+    w = Window.partitionBy(F.md5(F.col("__seg"))).orderBy("__did", "__pos")
+    kept = (
+        segs.where(F.col("__seg").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    ids = docs.select(F.col(id_col).alias("__did")).distinct()
+    return (
+        ids.join(kept, "__did", "left")
+        .groupBy("__did")
+        .agg(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__pos", "__seg"))
+                        ),
+                        lambda s: s["__seg"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.count("__seg").alias("n_kept"),
+        )
+        .select(F.col("__did").alias(id_col), "text_clean", "n_kept")
+    )

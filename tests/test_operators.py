@@ -2441,3 +2441,45 @@ def test_pq_path_spreads_narrow_corpus(spark):
     assert codes.rdd.getNumPartitions() >= target
     wide = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>").repartition(target + 3)
     assert S.pq_encode(wide, books).rdd.getNumPartitions() == target + 3
+
+
+def test_drop_duplicate_segments_first_occurrence_wins(spark):
+    """r10: a segment shared by several docs survives only in the
+    earliest (id, pos); later copies are cut and survivors re-join in
+    order; all-duplicate docs come back as empty husks; unlike
+    remove_frequent_segments the first copy is PRESERVED."""
+    from quackosm_spark.operators.dedup import drop_duplicate_segments
+
+    dup = "alpha beta gamma"
+    rows = [
+        (1, f"{dup} one two three"),
+        (2, f"zero cool one {dup}"),      # stride-ALIGNED dup -> cut
+        (3, dup),                          # all-duplicate -> husk
+        (4, "totally original words here"),
+        (5, ""),                           # empty in, empty out
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_kept)
+        for r in drop_duplicate_segments(df, seg_words=3).collect()
+    }
+    assert got[1] == (f"{dup} one two three", 2)
+    assert got[2] == ("zero cool one", 1)
+    assert got[3] == ("", 0)
+    assert got[4] == ("totally original words here", 2)
+    assert got[5] == ("", 0)
+
+    # line mode: content-anchored boundaries dedup at ANY offset
+    lrows = [
+        (1, "unique first line\nshared boilerplate footer"),
+        (2, "another opening line\n  shared boilerplate footer  \nclosing"),
+        (3, "shared boilerplate footer"),
+    ]
+    ldf = spark.createDataFrame(lrows, "doc_id: long, text: string")
+    lgot = {
+        r.doc_id: (r.text_clean, r.n_kept)
+        for r in drop_duplicate_segments(ldf, by_lines=True).collect()
+    }
+    assert lgot[1] == ("unique first line shared boilerplate footer", 2)
+    assert lgot[2] == ("another opening line closing", 2)
+    assert lgot[3] == ("", 0)
