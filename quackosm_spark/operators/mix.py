@@ -864,19 +864,30 @@ def domain_mix_report(
     (no domain to attribute).
 
     Scale shape: domain extraction and token counting are scan-stage
-    Column math; ONE groupBy on the domain; shares ride a 1-row
-    broadcast of the grand totals; the rank/cumsum window orders only
-    the DOMAIN-level aggregate (domains-bounded, never corpus-sized).
-    6-dp share rounding (ratios — not boundary-pinned). The domain
+    Column math; ONE groupBy on the domain. The global rank + running
+    token sum over the domain aggregate are TWO-PHASE, never a
+    single-partition window (a 100 TB crawl has tens of millions of
+    registered domains): `repartitionByRange` on the report's own sort
+    key (n_tokens desc, domain asc) spreads the aggregate across the
+    shuffle-partition count while keeping partition ids globally
+    order-aligned, one ≤partitions-row collect of per-partition (row
+    count, token sum) yields exclusive offsets AND the grand totals
+    (no separate grand-total job), and rank / cum_token_share are then
+    `offset + row_number()` / `offset + running sum` under a window
+    partitioned BY partition id — bit-identical to the global-window
+    formulation, with no `Exchange SinglePartition` anywhere. 6-dp
+    share rounding (ratios — not boundary-pinned). The range-placed
     aggregate is PERSISTED (one caller-owned cached frame, README
-    "Cache lifecycle"): the grand-total branch is an exchange Catalyst
-    can't deduplicate and would otherwise re-scan the corpus.
+    "Cache lifecycle") — semantic, not just perf: the offsets were
+    collected against THIS placement, so the final pass must read the
+    same materialized partitions rather than re-run the range shuffle.
     """
     from pyspark import StorageLevel
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     from quackosm_spark.operators.dedup import registered_domain
 
-    per = (
+    agg = (
         docs.where(F.col(url_col).isNotNull())
         .select(
             registered_domain(F.col(url_col)).alias("domain"),
@@ -887,27 +898,73 @@ def domain_mix_report(
             F.count("*").alias("n_docs"),
             F.sum("__tok").cast("bigint").alias("n_tokens"),
         )
+        # function-scoped cache, unpersisted below: repartitionByRange's
+        # range-boundary SAMPLING pass executes its child — uncached,
+        # that would scan the whole corpus twice (once to sample, once
+        # to shuffle). Caching the domains-bounded aggregate makes the
+        # sampling pass read a compact cached table instead.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tot = per.agg(
-        F.sum("n_docs").cast("double").alias("__td"),
-        F.sum("n_tokens").cast("double").alias("__tt"),
+    per = (
+        agg.repartitionByRange(F.desc("n_tokens"), F.asc("domain"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    w = Window.orderBy(F.desc("n_tokens"), F.asc("domain"))
+    parts = sorted(
+        (r["_pid"], r["c"], r["d"] or 0, r["t"] or 0)
+        for r in per.groupBy("_pid")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("n_docs").alias("d"),
+            F.sum("n_tokens").alias("t"),
+        )
+        .collect()
+    )
+    # `per` is fully materialized by the collect above; drop the inner
+    # aggregate cache so exactly ONE caller-owned cached frame remains
+    # (README "Cache lifecycle").
+    agg.unpersist()
+    td = float(sum(p[2] for p in parts))
+    tt = float(sum(p[3] for p in parts))
+    off_rows, rank_off, tok_off = [], 0, 0
+    for pid, c, _d, t in parts:
+        off_rows.append((int(pid), int(rank_off), int(tok_off)))
+        rank_off += int(c)
+        tok_off += int(t)
+    offsets_df = docs.sparkSession.createDataFrame(
+        off_rows,
+        StructType(
+            [
+                StructField("_pid", IntegerType()),
+                StructField("_roff", LongType()),
+                StructField("_toff", LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy("_pid").orderBy(F.desc("n_tokens"), F.asc("domain"))
     return (
-        per.crossJoin(F.broadcast(tot))
-        .withColumn("rank", F.row_number().over(w))
+        per.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            # int, matching the original global row_number(): tens of
+            # millions of domains sit far inside int range, and _roff
+            # only ever sums partition row counts of this same table
+            "rank",
+            (F.col("_roff") + F.row_number().over(w)).cast("int"),
+        )
         .select(
             "domain",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_docs") / F.col("__td"), 6).alias("doc_share"),
-            F.round(F.col("n_tokens") / F.col("__tt"), 6).alias("token_share"),
+            F.round(F.col("n_docs") / F.lit(td), 6).alias("doc_share"),
+            F.round(F.col("n_tokens") / F.lit(tt), 6).alias("token_share"),
             F.round(
-                F.sum(F.col("n_tokens")).over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)
+                (
+                    F.col("_toff")
+                    + F.sum(F.col("n_tokens")).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    )
                 )
-                / F.col("__tt"),
+                / F.lit(tt),
                 6,
             ).alias("cum_token_share"),
             "rank",

@@ -2186,6 +2186,73 @@ def test_domain_mix_report_shares(spark):
     }
 
 
+def test_domain_mix_report_two_phase_matches_global_window(spark):
+    """r11: the two-phase rank/cumsum (range placement + broadcast
+    offsets) is bit-identical to the naive global-window formulation,
+    and its physical plan has NO Exchange SinglePartition."""
+    from pyspark.sql import Window
+
+    from quackosm_spark.operators.dedup import registered_domain
+    from quackosm_spark.operators.mix import domain_mix_report
+    from quackosm_spark.operators.text import token_count
+
+    df = (
+        spark.range(3000)
+        .selectExpr(
+            "id as doc_id",
+            # ~300 domains with a skewed doc distribution + some NULLs
+            "case when id % 50 = 0 then null else concat('https://s',"
+            " cast(cast(pow(id % 997, 2) as long) % 311 as string),"
+            " '.com/p') end as url",
+            "concat('w ', repeat('tok ', cast(id % 17 as int))) as text",
+        )
+    )
+    got = domain_mix_report(df)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    naive_per = (
+        df.where(F.col("url").isNotNull())
+        .select(
+            registered_domain(F.col("url")).alias("domain"),
+            token_count(F.col("text")).alias("t"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = naive_per.agg(
+        F.sum("n_docs").cast("double").alias("td"),
+        F.sum("n_tokens").cast("double").alias("tt"),
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("domain"))
+    want = (
+        naive_per.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("td"), 6).alias("doc_share"),
+            F.round(F.col("n_tokens") / F.col("tt"), 6).alias("token_share"),
+            F.round(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("tt"),
+                6,
+            ).alias("cum_token_share"),
+            "rank",
+        )
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, want.collect()))
+    assert g == e
+    assert got.schema["rank"].dataType.simpleString() == "int"
+
+
 def test_cap_per_domain_keep_rules(spark):
     """r10: quality mode keeps the domain's best docs; hash mode is a
     deterministic md5 slice; NULL urls pass through uncapped; validation
