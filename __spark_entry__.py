@@ -5217,8 +5217,14 @@ def oracle_sql() -> dict[str, str]:
     """
     out["q153_segment_first_dedup"] = """
         WITH words AS (
+            -- length(trim(..)) > 0 guard mirrors _segments' empty-text
+            -- branch: DuckDB string_split_regex('', '\\s+') returns ['']
+            -- (len 1), which would otherwise emit a phantom empty-string
+            -- segment for an empty/whitespace-only doc while Spark
+            -- emits none (ADVICE r10 low)
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-            FROM documents WHERE doc_id % 6 = 2
+            FROM documents
+            WHERE doc_id % 6 = 2 AND length(trim(text)) > 0
         ),
         segs AS (
             SELECT doc_id,

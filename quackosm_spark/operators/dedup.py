@@ -16,6 +16,7 @@ exactly (md5 is identical in both engines).
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -44,6 +45,11 @@ def _pin_partitions(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+_SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, bool]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition narrow inputs so per-row hashing parallelizes.
 
@@ -52,12 +58,20 @@ def _spread(df: DataFrame) -> DataFrame:
     operator — would run on a single core. Inputs that already have at least
     ``defaultParallelism`` partitions (any at-scale scan) pass through
     untouched, so no shuffle is added on the 100 TB path.
+
+    The ``df.rdd.getNumPartitions()`` probe materializes the RDD lineage
+    (analysis + conversion), so its verdict is memoized per DataFrame
+    object (weak-keyed — entries die with the frame): chained recipes
+    that feed the SAME input frame through several shingle/ANN operators
+    pay for one probe, not ~10 (ADVICE r10 minor).
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    narrow = _SPREAD_MEMO.get(df)
+    if narrow is None:
+        narrow = df.rdd.getNumPartitions() < target
+        _SPREAD_MEMO[df] = narrow
+    return df.repartition(target) if narrow else df
 
 
 # --------------------------------------------------------------------------

@@ -1542,10 +1542,12 @@ def pmi_collocations(
     `bigram_logprob` idiom); ONE corpus-sized count shuffle to the
     (a, b) pair table; both marginals are windows PARTITIONED on a word
     over that vocabulary-bounded table (never a second corpus pass); N is
-    a 1-row broadcast. The final rank window sorts only the
-    min_count-FILTERED pair table — at web scale the floor is what keeps
-    that table small, so raise it with the corpus (it is a statistical
-    floor first, a perf knob second).
+    a 1-row broadcast. The final ranking is a TakeOrderedAndProject
+    (`orderBy().limit(top_k)` — per-partition top-k + small merge, no
+    global sort), so the rank window itself only ever orders ≤top_k
+    rows no matter how large the min_count-filtered pair table grows;
+    raise ``min_count`` with the corpus for statistical sanity (hapax
+    pairs degenerate raw PMI), not as a perf requirement.
 
     The pair table is PERSISTED (one caller-owned cached frame, README
     "Cache lifecycle"): the marginal-window branch and the 1-row total
@@ -1595,9 +1597,18 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= top_k
+    order = [F.desc("pmi"), F.asc("w1"), F.asc("w2")]
+    # TakeOrderedAndProject pre-prune (r11): orderBy().limit(top_k) is a
+    # per-partition top-k + driver merge of top_k·partitions rows — no
+    # global sort — so the rank window below only ever sees ≤top_k rows
+    # regardless of how large the min_count-filtered pair table is. The
+    # docstring's "raise min_count with the corpus" stays a STATISTICAL
+    # floor; it is no longer the thing standing between the final sort
+    # and a corpus-sized SinglePartition.
+    return (
+        scored.orderBy(*order)
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )
 
 

@@ -1012,7 +1012,17 @@ def decay_counter_stream(
     key_max-anchored output row-for-row at the shared 6-dp rounding
     (test-locked; fp associativity of incremental decay-multiply vs
     batch pow-sum differs at ~1e-13 relative, far below the display
-    contract)."""
+    contract).
+
+    .. note:: **Checkpoint compatibility.** The per-key state row gained
+       a 4th field (``n_contrib``) in r10 for NULL-value parity. Spark's
+       state store validates the stored state schema on restart, so a
+       checkpoint written by the earlier 3-field kernel CANNOT be resumed
+       by this version (the query fails at restore, before the kernel
+       runs — there is no in-kernel migration path). Upgrading an
+       existing streaming query requires a fresh checkpoint directory
+       (state rebuilds from the source within the watermark horizon).
+    """
     from functools import partial
 
     if half_life_days <= 0:
@@ -1108,6 +1118,14 @@ def domain_cap_stream(
 
     Returns (doc_id, url, domain) for kept docs (append mode — a kept
     doc is final the moment it's emitted).
+
+    NULL handling DIVERGES from the batch twin on purpose: docs whose
+    url is NULL (or yields no registered domain) are DROPPED here —
+    there is no domain key to hold state under — while batch
+    `mix.cap_per_domain` passes NULL-url rows through UNCAPPED. Pipeline
+    authors who need the batch behavior should filter NULL-url docs out
+    upstream and route them around the stream (e.g. union them back in
+    the sink).
     """
     from functools import partial
 

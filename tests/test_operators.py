@@ -2510,6 +2510,30 @@ def test_pq_path_spreads_narrow_corpus(spark):
     assert S.pq_encode(wide, books).rdd.getNumPartitions() == target + 3
 
 
+def test_spread_probe_memoized_per_frame(spark):
+    """r11: _spread probes a frame's partition count ONCE — repeat calls
+    on the same DataFrame object reuse the memoized verdict (no repeat
+    RDD materialization) and still return the same spread decision."""
+    from unittest import mock
+
+    from quackosm_spark.operators import dedup as D
+
+    narrow = spark.range(10).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert D._spread(narrow).rdd.getNumPartitions() >= target
+    assert D._SPREAD_MEMO.get(narrow) is True
+    with mock.patch.object(
+        type(narrow), "rdd", new_callable=mock.PropertyMock
+    ) as rdd_prop:
+        out = D._spread(narrow)  # must not touch .rdd again
+        rdd_prop.assert_not_called()
+    assert out.rdd.getNumPartitions() >= target
+
+    wide = spark.range(10).repartition(target + 1)
+    assert D._spread(wide) is wide
+    assert D._SPREAD_MEMO.get(wide) is False
+
+
 def test_drop_duplicate_segments_first_occurrence_wins(spark):
     """r10: a segment shared by several docs survives only in the
     earliest (id, pos); later copies are cut and survivors re-join in

@@ -976,7 +976,10 @@ def test_domain_cap_stream_matches_batch_window(spark, tmp_path):
     # doc 2 (smaller id!) is REJECTED — first-arrival, not global-min-id
     src = tmp_path / "docs_stream"
     src.mkdir()
-    mk(rows1).write.parquet(str(src / "b1"))
+    # ONE file per batch dir: with maxFilesPerTrigger=1 each part-file is
+    # its own micro-batch in file-LISTING order, so multi-part writes made
+    # batch order (and which docs fill the 2-doc budget) nondeterministic
+    mk(rows1).coalesce(1).write.parquet(str(src / "b1"))
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     schema = StructType(
@@ -996,7 +999,7 @@ def test_domain_cap_stream_matches_batch_window(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        mk(rows2).write.parquet(str(src / "b2"))
+        mk(rows2).coalesce(1).write.parquet(str(src / "b2"))
         q.processAllAvailable()
         got_stream = {
             (r.domain, r.doc_id)
