@@ -2860,6 +2860,19 @@ def q153_segment_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.drop_duplicate_segments(docs, seg_words=5)
 
 
+def q154_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal at ARBITRARY word offsets
+    (dedup.remove_repeated_substrings) — the distributed stand-in for
+    the Lee et al. 2021 ExactSubstr suffix-array pass and the dedup-
+    ladder rung stride-aligned segment dedup can't reach: every
+    OVERLAPPING window-word n-gram is indexed, first occurrence keeps
+    its words, later occurrences lose their span. ONE md5(gram)-
+    partitioned window + duplicate-bounded covered-position explode +
+    co-partitioned anti-join + one reassembly groupBy."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    return D.remove_repeated_substrings(docs, window=8)
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -2995,37 +3008,38 @@ def q85_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q15, q16, q26–q28, q30, q34–q36, q46, q48, q50 — they lead r7's window
 # (q46/q48 yielded their r6 slots to q118/q119).
 _DRIVER_PRIORITY = [
-    # r10 rotation: first driver evidence for the EIGHT new r10 queries,
-    # the re-fixed q135 (its r9 red was the harness-unsortable array
-    # column — dup_ids is CSV now), and the two kernels r10 changed
-    # underneath existing queries (q138's decay kernel gained the
-    # NULL/NaT batch-parity semantics; q17's inverted-index machinery
-    # was factored into _shingle_overlap_pairs). The cosine-guard change
-    # (q19/q20/q49/q94/q137) carries r9 driver rows plus this round's
-    # local dual-session gate.
-    "q135_url_dedup", "q142_pmi_collocations", "q143_domain_mix",
-    "q144_domain_cap", "q145_containment", "q146_robust_zscore",
-    "q147_equidepth_hist", "q148_normalized_dedup", "q149_group_keywords",
-    "q150_domain_cap_kernel", "q151_kfold_assign",
-    "q152_image_channel_stats", "q153_segment_first_dedup",
-    "q138_decay_kernel", "q17_ngram_jaccard",
-    # fill to 50 with the r7-stale cohort (44 queries; the five spilled
-    # to the r11 window are the stream/kernel twins whose semantics are
-    # locked by their batch siblings' rows: q34, q107, q119, q121, q122)
-    "q01_pricing_summary", "q02_semi_join", "q03_anti_join",
-    "q04_ref_validity", "q05_ordered_collect", "q06_window_dedup",
-    "q07_window_rank", "q08_union_distinct", "q09_bool_agg",
-    "q10_map_tags_filter", "q11_distinct_tokens", "q12_bbox_filter",
-    "q13_strip_metadata", "q15_pip_triangle", "q16_exact_dedup",
-    "q25_sessionize", "q26_topk_orders", "q27_simhash", "q28_lsh_ann",
-    "q30_relation_validity", "q32_ivf_ann", "q35_ann_topk_vectorized",
-    "q36_boilerplate_ngrams", "q46_interval_join", "q48_salted_join",
-    "q50_bm25_search", "q53_semantic_dedup", "q63_verified_neardup",
-    "q72_pagerank", "q73_pq_fullshortlist", "q75_interleave_sources",
-    "q76_bloom_decontamination", "q84_relation_union",
-    "q99_relation_spike_repair", "q100_union_courtyards",
-]  # 50-window histogram after r10: r10:50 / r9:49 / r8:47 / r7:9
-#   (q103/q104/q105/q115 spill to r11 with the five stream/kernel twins)
+    # r11 rotation (VERDICT r10 next-step #2): the NINE r7-stale queries
+    # first — their last driver row is three rounds old — then this
+    # round's new operators, then the r8-stale cohort. 9 + new + 46 r8
+    # overflows the driver's 50-row window, so the last few r8 entries
+    # spill to the r12 window (they are listed last on purpose; every
+    # one of them has a judge-run 306/306 dual-session row from r10).
+    "q34_stream_windowed_counts", "q103_bpe_learned_merges",
+    "q104_dedup_keep_best", "q105_hybrid_rrf",
+    "q107_stream_neardup_kernel", "q115_quality_auc",
+    "q119_sessionize_kernel", "q121_sessionize_batch", "q122_split_assign",
+    # new in r11:
+    "q154_substring_dedup", "q155_psl_domains",
+    # r8-stale cohort (46), oldest-semantics-first ordering kept simple:
+    "q14_way_assembly", "q18_minhash_lsh", "q20_ann_topk",
+    "q29_langid_quality_join", "q31_media_stats",
+    "q33_drop_exact_duplicates", "q37_neardup_clusters",
+    "q42_decontamination", "q43_unigram_logprob",
+    "q44_asof_previous_event", "q45_event_quantiles",
+    "q47_budget_mixture", "q51_rollup_stats", "q52_segment_dedup",
+    "q56_edit_distance_pairs", "q60_quality_deciles", "q65_stat_moments",
+    "q66_chunk_documents", "q67_prefix_jaccard", "q69_weighted_sample",
+    "q71_funnel", "q74_profile_table", "q77_session_window",
+    "q78_geohash_cells", "q82_winsorize", "q86_repeated_spans",
+    "q101_gopher_rules", "q102_dsir_weights", "q106_logprob_band",
+    "q109_contamination_report", "q110_curriculum_order",
+    "q112_ridge_normal_eq", "q113_feature_corr", "q114_groupwise_trend",
+    "q116_calibration", "q117_hybrid_mapped", "q120_global_quantiles",
+    "q123_token_budget", "q124_token_budget_grouped",
+    "q125_temperature_mix", "q126_soft_dedup", "q127_rolling_zscore",
+    "q128_percent_rank_norm", "q129_zscore_kernel", "q131_kmeans_cells",
+    "q132_key_skew",
+]  # histogram going into r11: r10:50 / r9:48 / r8:46 / r7:9
 
 
 def _driver_order(d: dict) -> dict:
@@ -3189,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_kfold_assign": q151_kfold_assign,
         "q152_image_channel_stats": q152_image_channel_stats,
         "q153_segment_first_dedup": q153_segment_first_dedup,
+        "q154_substring_dedup": q154_substring_dedup,
     })
 
 
@@ -5249,6 +5264,59 @@ def oracle_sql() -> dict[str, str]:
                count(k.seg) AS n_kept
         FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 6 = 2) d
         LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id
+    """
+    out["q154_substring_dedup"] = """
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+            WHERE doc_id % 4 = 1 AND length(trim(text)) > 0
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 8 + 2),
+                       i -> {'s': i,
+                             'g': array_to_string(
+                                 list_slice(w, i, i + 7), ' ')})) AS g
+            FROM words WHERE len(w) >= 8
+        ),
+        flat AS (SELECT doc_id, g.s AS start, g.g AS gram FROM grams),
+        marked AS (
+            SELECT doc_id, start FROM (
+                SELECT doc_id, start,
+                       row_number() OVER (
+                           PARTITION BY gram ORDER BY doc_id, start) AS rn
+                FROM flat
+            ) WHERE rn > 1
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, unnest(range(start, start + 8)) AS pos
+                FROM marked
+            )
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) + 1),
+                       i -> {'pos': i, 'word': w[i]})) AS t
+            FROM words
+        ),
+        tok_flat AS (SELECT doc_id, t.pos AS pos, t.word AS word FROM toks),
+        kept AS (
+            SELECT tf.doc_id, tf.pos, tf.word
+            FROM tok_flat tf
+            LEFT JOIN covered c ON tf.doc_id = c.doc_id AND tf.pos = c.pos
+            WHERE c.pos IS NULL
+        ),
+        nw AS (SELECT doc_id, len(w) AS n_words FROM words)
+        SELECT d.doc_id,
+               coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '')
+                   AS text_clean,
+               coalesce(any_value(nw.n_words), 0) - count(k.word)
+                   AS n_removed
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 1) d
+        LEFT JOIN nw ON d.doc_id = nw.doc_id
+        LEFT JOIN kept k ON d.doc_id = k.doc_id
         GROUP BY d.doc_id
     """
     out["q148_normalized_dedup"] = """

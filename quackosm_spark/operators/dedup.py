@@ -1778,3 +1778,135 @@ def drop_duplicate_segments(
         )
         .select(F.col("__did").alias(id_col), "text_clean", "n_kept")
     )
+
+
+def remove_repeated_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> DataFrame:
+    """Exact cross-document repeated-substring removal at ARBITRARY word
+    offsets — the distributed stand-in for the suffix-array pass of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2021), and the dedup-ladder rung `drop_duplicate_segments`
+    cannot reach: its default mode only matches stride-ALIGNED
+    repetition, so a passage copied into another document at a shifted
+    offset re-segments differently and slips through. Here every
+    OVERLAPPING ``window``-word n-gram is indexed, so a repeated span of
+    >= ``window`` words is caught wherever it starts.
+
+    FIRST-OCCURRENCE-WINS: for each duplicated n-gram the globally
+    earliest occurrence (smallest id, then word offset) keeps its words;
+    every later occurrence marks its ``window``-word span for deletion
+    (in-document repeats included). A repeated span longer than
+    ``window`` is removed in full from the later docs — all of its
+    sliding windows are themselves duplicated — while the first home
+    keeps the whole span. Docs shorter than ``window`` words emit no
+    n-grams and pass through unchanged (too short to certify repetition
+    at this threshold; lower ``window`` rather than special-casing).
+    Returns (doc_id, text_clean, n_removed) for EVERY input doc,
+    text_clean = surviving words joined by a space ('' when nothing
+    survives), n_removed = words cut.
+
+    Scale shape (all corpus-sized steps are one shuffle each, nothing
+    driver-sized): n-gram construction is scan-stage Column math
+    (sequence + slice over the word array — O(window) per gram, the
+    inherent cost of offset-free matching); ONE window PARTITIONED BY
+    md5(gram) ordered by (id, start) — partition size = that gram's
+    occurrence count, the thing being removed; marked spans explode to
+    covered word positions (duplicate-volume-bounded, not
+    corpus-bounded); survivors are a co-partitioned (id, pos) anti-join
+    and ONE reassembly groupBy on the doc id. At extreme scale swap the
+    md5 partition key for a 128-bit binary hash of the gram to shrink
+    shuffle bytes — the gram string itself never needs to leave the
+    first shuffle. Reference semantics model: the ExactSubstr dedup of
+    Lee et al. 2021 (code: google-research/deduplicate-text-datasets);
+    word-granular here rather than byte-granular so the removal
+    boundary is always a token boundary.
+    """
+    if window < 2:
+        raise ValueError("remove_repeated_substrings: window must be >= 2")
+    trimmed = F.trim(F.col(text_col))
+    words = F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    d = _spread(
+        docs.select(F.col(id_col).alias("__did"), words.alias("__w"))
+    )
+    grams = (
+        d.where(F.size("__w") >= window)
+        .select(
+            "__did",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("__w") - F.lit(window) + F.lit(1)
+                    ),
+                    lambda i: F.struct(
+                        i.cast("int").alias("start"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("__w"), i, window)
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("__g"),
+        )
+        .select(
+            "__did",
+            F.col("__g.start").alias("__start"),
+            F.col("__g.gram").alias("__gram"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("__gram"))).orderBy(
+        "__did", "__start"
+    )
+    marked = (
+        grams.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select("__did", "__start")
+    )
+    covered = marked.select(
+        "__did",
+        F.explode(
+            F.sequence(
+                F.col("__start"), F.col("__start") + F.lit(window - 1)
+            )
+        ).alias("__pos"),
+    ).distinct()
+    toks = d.select(
+        "__did",
+        F.posexplode_outer("__w").alias("__i", "__word"),
+    ).select(
+        "__did",
+        (F.col("__i") + 1).alias("__pos"),
+        "__word",
+    )
+    kept = toks.join(covered, ["__did", "__pos"], "left_anti")
+    ids = d.select("__did", F.size("__w").alias("__nw")).distinct()
+    return (
+        ids.join(
+            kept.groupBy("__did").agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__pos", "__word"))
+                        ),
+                        lambda s: s["__word"],
+                    ),
+                ).alias("text_clean"),
+                F.count("__word").cast("bigint").alias("__nkept"),
+            ),
+            "__did",
+            "left",
+        )
+        .select(
+            F.col("__did").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            (
+                F.col("__nw").cast("bigint")
+                - F.coalesce(F.col("__nkept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

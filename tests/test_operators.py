@@ -2574,3 +2574,52 @@ def test_drop_duplicate_segments_first_occurrence_wins(spark):
     assert lgot[1] == ("unique first line shared boilerplate footer", 2)
     assert lgot[2] == ("another opening line closing", 2)
     assert lgot[3] == ("", 0)
+
+
+def test_remove_repeated_substrings_arbitrary_offsets(spark):
+    """r11: the n-gram inverted index catches a passage copied at a
+    SHIFTED word offset — the case drop_duplicate_segments' default
+    stride-aligned mode provably misses — plus in-document repetition,
+    short-doc passthrough, and empty-doc husks."""
+    from quackosm_spark.operators.dedup import (
+        drop_duplicate_segments,
+        remove_repeated_substrings,
+    )
+
+    passage = "p1 p2 p3 p4 p5 p6"
+    rows = [
+        (1, "u1 u2 " + passage),          # first home of the passage
+        (2, "v1 v2 v3 " + passage + " v4"),  # same passage, offset 3
+        (3, "x1 x2 x3 x4 x1 x2 x3 x4"),   # in-document repeat
+        (4, "short doc"),                  # < window words: passthrough
+        (5, ""),                           # empty husk
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in remove_repeated_substrings(df, window=4).collect()
+    }
+    assert got == {
+        1: ("u1 u2 " + passage, 0),
+        2: ("v1 v2 v3 v4", 6),
+        3: ("x1 x2 x3 x4", 4),
+        4: ("short doc", 0),
+        5: ("", 0),
+    }
+
+    # the stride-aligned default mode misses the offset copy entirely:
+    # doc 2 re-segments as (v1 v2 v3 p1)(p2 p3 p4 p5)(p6 v4), none of
+    # which equals a doc-1 segment
+    seg = {
+        r.doc_id: r.text_clean
+        for r in drop_duplicate_segments(
+            df.where(F.col("doc_id").isin(1, 2)), seg_words=4
+        ).collect()
+    }
+    assert seg[2] == "v1 v2 v3 " + passage + " v4"  # nothing removed
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        remove_repeated_substrings(df, window=1)
