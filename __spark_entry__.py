@@ -2873,6 +2873,52 @@ def q154_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_repeated_substrings(docs, window=8)
 
 
+_PSL_FIXTURE = (
+    "com\nsa\ncom.sa\nid\nco.id\njp\npref.aichi.jp\nzz\n*.ck\n!www.ck\n"
+)
+
+
+def q155_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-PSL registered-domain resolution (dedup.parse_psl_rules +
+    resolve_registered_domain): any-depth exact rules, wildcard rules,
+    exception rules — matched with one broadcast hash join per
+    candidate-suffix depth (map-only; the Column heuristic's
+    literal-array scan does not carry a 9,000-rule list). URL classes
+    synthesized per doc exercise 2-level registries (example.com.sa),
+    a 3-level rule, wildcards, the exception, www handling, implicit-*
+    fallback, IP hosts, a bare public suffix, and NULL urls; oracle is
+    the closed-form class -> domain mapping."""
+    from quackosm_spark.operators.dedup import (
+        parse_psl_rules,
+        resolve_registered_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    cls = F.col("doc_id") % 10
+    url = (
+        F.when(cls == 0, F.concat(F.lit("https://a"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".b.example.com.sa/x")))
+        .when(cls == 1, F.lit("http://example.co.id/p"))
+        .when(cls == 2, F.concat(F.lit("https://www.example"),
+            (F.col("doc_id") % 3).cast("string"), F.lit(".com/")))
+        .when(cls == 3, F.lit("https://deep.sub.example.pref.aichi.jp"))
+        .when(cls == 4, F.concat(F.lit("https://foo"),
+            (F.col("doc_id") % 2).cast("string"), F.lit(".bar.ck/")))
+        .when(cls == 5, F.lit("https://www.ck/"))
+        .when(cls == 6, F.concat(F.lit("https://a.unlisted"),
+            (F.col("doc_id") % 4).cast("string"), F.lit(".zz")))
+        .when(cls == 7, F.lit("http://192.168.0.1:8080/x"))
+        .when(cls == 8, F.lit("https://com.sa/"))
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    resolved = resolve_registered_domain(d, parse_psl_rules(_PSL_FIXTURE))
+    return resolved.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def q120_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed two-pass quantile kernel in GLOBAL (no-group) mode —
     the shape behind the recipe cutoffs (r7): grand-aggregate exact
@@ -3204,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_image_channel_stats": q152_image_channel_stats,
         "q153_segment_first_dedup": q153_segment_first_dedup,
         "q154_substring_dedup": q154_substring_dedup,
+        "q155_psl_domains": q155_psl_domains,
     })
 
 
@@ -5318,6 +5365,31 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN nw ON d.doc_id = nw.doc_id
         LEFT JOIN kept k ON d.doc_id = k.doc_id
         GROUP BY d.doc_id
+    """
+    out["q155_psl_domains"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE doc_id % 10
+                       WHEN 0 THEN 'example.com.sa'
+                       WHEN 1 THEN 'example.co.id'
+                       WHEN 2 THEN 'example' || CAST(doc_id % 3 AS VARCHAR)
+                                   || '.com'
+                       WHEN 3 THEN 'example.pref.aichi.jp'
+                       WHEN 4 THEN 'foo' || CAST(doc_id % 2 AS VARCHAR)
+                                   || '.bar.ck'
+                       WHEN 5 THEN 'www.ck'
+                       WHEN 6 THEN 'unlisted' || CAST(doc_id % 4 AS VARCHAR)
+                                   || '.zz'
+                       WHEN 7 THEN '192.168.0.1'
+                       WHEN 8 THEN 'com.sa'
+                       ELSE NULL
+                   END AS domain
+            FROM documents WHERE doc_id % 3 = 1
+        )
+        SELECT domain,
+               count(*) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM d GROUP BY domain
     """
     out["q148_normalized_dedup"] = """
         WITH all_docs AS (

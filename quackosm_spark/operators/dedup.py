@@ -1655,6 +1655,220 @@ def registered_domain(
     return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(dom)
 
 
+class PslRules:
+    """Parsed Public Suffix List (publicsuffix.org/list) rule sets.
+
+    ``exact``: plain rules of any depth ('com', 'co.uk',
+    'pref.aichi.jp'); ``wildcard``: the BASE of '*.'-rules ('ck' for
+    '*.ck' — matches any label plus the base); ``exception``: '!'-rules
+    ('www.ck' — the named domain is registrable even though a wildcard
+    would make it a public suffix). All lowercased, no leading dot.
+    """
+
+    __slots__ = ("exact", "wildcard", "exception")
+
+    def __init__(
+        self,
+        exact: set[str] | None = None,
+        wildcard: set[str] | None = None,
+        exception: set[str] | None = None,
+    ) -> None:
+        self.exact = set(exact or ())
+        self.wildcard = set(wildcard or ())
+        self.exception = set(exception or ())
+
+    @property
+    def two_level_suffixes(self) -> tuple[str, ...]:
+        """The 2-label exact rules, sorted — drop-in for
+        `registered_domain(two_level_suffixes=...)` when only the
+        Column-heuristic path is needed."""
+        return tuple(sorted(s for s in self.exact if s.count(".") == 1))
+
+    @property
+    def max_labels(self) -> int:
+        """Deepest rule depth in label counts (wildcards count their
+        implicit extra label) — the number of candidate-suffix joins
+        `resolve_registered_domain` plans."""
+        depths = (
+            [s.count(".") + 1 for s in self.exact]
+            + [s.count(".") + 2 for s in self.wildcard]
+            + [s.count(".") + 1 for s in self.exception]
+        )
+        return max(depths, default=1)
+
+
+def parse_psl_rules(lines) -> PslRules:
+    """Parse Public Suffix List text (an iterable of lines or one
+    string) into `PslRules`. Comments (`//`), blank lines, and anything
+    after whitespace on a rule line are ignored, per the PSL format
+    spec; rules are lowercased; the universal '*' default rule is
+    implicit and not stored."""
+    if isinstance(lines, str):
+        lines = lines.splitlines()
+    rules = PslRules()
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower().lstrip(".")
+        if rule == "*":
+            continue
+        if rule.startswith("!"):
+            rules.exception.add(rule[1:])
+        elif rule.startswith("*."):
+            rules.wildcard.add(rule[2:])
+        else:
+            rules.exact.add(rule)
+    return rules
+
+
+def load_public_suffix_list(path) -> PslRules:
+    """Load a Public Suffix List data file (the real
+    `public_suffix_list.dat` or any same-format subset) from ``path``.
+    The built-in DEFAULT_TWO_LEVEL_SUFFIXES heuristic remains the
+    zero-dependency fallback when no PSL file is shipped; with one,
+    either feed `rules.two_level_suffixes` to the Column-level
+    `registered_domain` or use `resolve_registered_domain` for full
+    PSL semantics (any-depth rules, wildcards, exceptions)."""
+    with open(path, encoding="utf-8") as fh:
+        return parse_psl_rules(fh)
+
+
+def resolve_registered_domain(
+    docs: DataFrame,
+    rules: PslRules,
+    url_col: str = "url",
+    out_col: str = "domain",
+) -> DataFrame:
+    """Full-PSL registered-domain resolution as a DataFrame op: adds
+    ``out_col`` with the registered (PSL-registrable) domain of
+    ``url_col``. The real list has ~9,000 rules — far past what the
+    Column heuristic's literal-array linear scan should carry per row —
+    so matching here is ``max_labels`` BROADCAST HASH JOINS (one per
+    candidate-suffix depth, each against the tiny rules table): map-only,
+    no shuffle of the corpus, O(1) lookups per row.
+
+    PSL algorithm (publicsuffix.org/list): among rules matching the
+    host's trailing labels, an exception rule wins outright (its suffix
+    is the rule minus its first label); otherwise the LONGEST of the
+    exact matches and wildcard matches (base + one label) applies, with
+    the implicit '*' default (suffix = last label) as the floor. The
+    registered domain is the public suffix plus one label.
+
+    Contract deltas vs the Column heuristic `registered_domain`:
+    ``www.`` is NOT pre-stripped (the algorithm subsumes it —
+    `www.example.com` resolves to `example.com` naturally, and
+    stripping would corrupt exception rules like `!www.ck`); a host
+    that IS a public suffix (or too short) returns itself; IP hosts
+    return whole; NULL url stays NULL; port and scheme handling match.
+    """
+    spark = docs.sparkSession
+    kmax = rules.max_labels
+    rows = (
+        [(s, s.count(".") + 1, "e") for s in rules.exact]
+        + [(b, b.count(".") + 1, "w") for b in rules.wildcard]
+        + [(x, x.count(".") + 1, "x") for x in rules.exception]
+    )
+    u = F.col(url_col)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    d = docs.withColumn("__host", host).withColumn(
+        "__lbl", F.split(F.col("__host"), r"\.")
+    )
+    n = F.size("__lbl")
+    for k in range(1, kmax + 1):
+        d = d.withColumn(
+            f"__cand{k}",
+            F.when(
+                n >= k,
+                F.concat_ws(".", F.slice("__lbl", n - F.lit(k) + 1, k)),
+            ),
+        )
+    if rows:
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        rdf = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("__sfx", StringType()),
+                    StructField("__k", IntegerType()),
+                    StructField("__kind", StringType()),
+                ]
+            ),
+        )
+        for k in range(1, kmax + 1):
+            rk = (
+                rdf.where(F.col("__k") == k)
+                .groupBy(F.col("__sfx").alias(f"__sfx{k}"))
+                .agg(
+                    F.max(F.col("__kind") == "e").alias(f"__e{k}"),
+                    F.max(F.col("__kind") == "w").alias(f"__w{k}"),
+                    F.max(F.col("__kind") == "x").alias(f"__x{k}"),
+                )
+            )
+            d = d.join(
+                F.broadcast(rk),
+                d[f"__cand{k}"] == rk[f"__sfx{k}"],
+                "left",
+            )
+    else:
+        for k in range(1, kmax + 1):
+            d = (
+                d.withColumn(f"__e{k}", F.lit(None).cast("boolean"))
+                .withColumn(f"__w{k}", F.lit(None).cast("boolean"))
+                .withColumn(f"__x{k}", F.lit(None).cast("boolean"))
+            )
+    exc_len = F.greatest(
+        *[
+            F.when(F.col(f"__x{k}"), F.lit(k))
+            for k in range(1, kmax + 1)
+        ],
+        F.lit(None).cast("int"),
+    )
+    exact_len = F.greatest(
+        *[
+            F.when(F.col(f"__e{k}"), F.lit(k))
+            for k in range(1, kmax + 1)
+        ],
+        F.lit(None).cast("int"),
+    )
+    wild_len = F.greatest(
+        *[
+            F.when(F.col(f"__w{k}") & (n >= k + 1), F.lit(k + 1))
+            for k in range(1, kmax + 1)
+        ],
+        F.lit(None).cast("int"),
+    )
+    suffix_len = F.coalesce(
+        exc_len - 1, F.greatest(exact_len, wild_len, F.lit(1))
+    )
+    reg = (
+        F.when(u.isNull(), F.lit(None).cast("string"))
+        .when(F.col("__host").rlike(r"^\d+(\.\d+)+$"), F.col("__host"))
+        .when(
+            n > suffix_len,
+            F.concat_ws(
+                ".", F.slice("__lbl", n - suffix_len, suffix_len + 1)
+            ),
+        )
+        .otherwise(F.col("__host"))
+    )
+    drop = (
+        ["__host", "__lbl"]
+        + [f"__cand{k}" for k in range(1, kmax + 1)]
+        + [f"__sfx{k}" for k in range(1, kmax + 1) if rows]
+        + [f"__{t}{k}" for k in range(1, kmax + 1) for t in "ewx"]
+    )
+    return d.withColumn(out_col, reg).drop(*drop)
+
+
 def normalize_text(text: Column | str) -> Column:
     """Aggressive dedup normalization: lowercase, strip every char
     outside [0-9a-z\\s], collapse whitespace runs to one space, trim —

@@ -2623,3 +2623,78 @@ def test_remove_repeated_substrings_arbitrary_offsets(spark):
 
     with _pytest.raises(ValueError):
         remove_repeated_substrings(df, window=1)
+
+
+def test_psl_loader_and_resolver(spark, tmp_path):
+    """r11: a supplied PSL file drives full registered-domain semantics —
+    example.com.sa-class 2-level registries, 3-level rules, wildcard
+    rules, exception rules — and its 2-level subset slots into the
+    Column-heuristic API unchanged."""
+    from quackosm_spark.operators.dedup import (
+        load_public_suffix_list,
+        registered_domain,
+        resolve_registered_domain,
+    )
+
+    psl = tmp_path / "psl.dat"
+    psl.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "sa\n"
+        "com.sa\n"
+        "id\n"
+        "co.id\n"
+        "jp\n"
+        "pref.aichi.jp\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "// ===END ICANN DOMAINS===\n"
+    )
+    rules = load_public_suffix_list(psl)
+    assert rules.exact == {
+        "com", "sa", "com.sa", "id", "co.id", "jp", "pref.aichi.jp"
+    }
+    assert rules.wildcard == {"ck"}
+    assert rules.exception == {"www.ck"}
+    assert rules.two_level_suffixes == ("co.id", "com.sa")
+    assert rules.max_labels == 3
+
+    cases = [
+        # (url, expected registered domain)
+        ("https://a.b.example.com.sa/x", "example.com.sa"),
+        ("http://example.co.id", "example.co.id"),
+        ("https://www.example.com/p", "example.com"),       # www via PSL
+        ("https://deep.sub.example.pref.aichi.jp", "example.pref.aichi.jp"),
+        ("https://foo.bar.ck/", "foo.bar.ck"),              # *.ck wildcard
+        ("https://www.ck/", "www.ck"),                      # !www.ck
+        # exception rule prevails: suffix=ck, registered=www.ck, and
+        # sub.www.ck is a subdomain of it
+        ("https://sub.www.ck/", "www.ck"),
+        ("https://unlisted.zz", "unlisted.zz"),             # implicit '*'
+        ("https://a.unlisted.zz", "unlisted.zz"),
+        ("http://192.168.0.1:8080/x", "192.168.0.1"),
+        ("https://com.sa/", "com.sa"),                      # host IS a suffix
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i: long, url: string"
+    )
+    got = {
+        r.i: r.domain
+        for r in resolve_registered_domain(df, rules).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+    # the 2-level subset feeds the Column heuristic directly
+    heur = {
+        r.i: r.d
+        for r in df.select(
+            "i",
+            registered_domain(
+                "url", two_level_suffixes=rules.two_level_suffixes
+            ).alias("d"),
+        ).collect()
+    }
+    assert heur[0] == "example.com.sa"
+    assert heur[1] == "example.co.id"
