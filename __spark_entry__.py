@@ -54,9 +54,25 @@ def _ship_package(spark: SparkSession) -> None:
     spark._quackosm_pkg_shipped = True
 
 
+# Per-(session, path) memo of the *reader DataFrame* — the lazy scan plan,
+# NOT data or results. Every `spark.read.parquet(path)` costs ~130 ms of
+# driver work (file listing + footer/schema inference, sometimes as a
+# 1-task job); re-reading the same table across the 13 headline queries ×
+# 2 bench runs paid that ~28× per bench (~3.5 s measured, r11 §1 profile).
+# Reusing the DataFrame object is the catalog-table idiom (CREATE TEMP
+# VIEW once, reference many times): each action still scans the parquet
+# files from disk — nothing computed is memoized.
+_READ_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship_package(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    df = _READ_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(key[1])
+        _READ_MEMO[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,6 +81,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a long `ts` is truncated ns→us (DuckDB-cast parity); a plain
     microsecond TIMESTAMP column passes through untouched."""
     _ship_package(spark)
+    key = (id(spark), f"{sf_dir}/events.parquet#normalized")
+    memo = _READ_MEMO.get(key)
+    if memo is not None:
+        return memo
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
@@ -72,7 +92,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize TIMESTAMP_NTZ → TIMESTAMP: the session tz is pinned to UTC,
     # so this is a pure type change, and every downstream epoch/window
     # expression can assume the regular timestamp type.
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _READ_MEMO[key] = df
+    return df
 
 
 # --------------------------------------------------------------------------

@@ -48,6 +48,13 @@ def _pin_partitions(df: DataFrame, *cols: str) -> DataFrame:
 _SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, bool]" = (
     weakref.WeakKeyDictionary()
 )
+# (session id, analyzed-plan semanticHash) → narrow? The plan-keyed tier
+# survives the caller constructing a semantically identical frame anew
+# (every bench/driver run rebuilds `docs.where(...)` from scratch — the
+# object-keyed tier alone misses then, and the probe's physical planning
+# costs ~100 ms of driver time per call; measured r11 §1). Bounded: one
+# small entry per distinct operator input plan per session.
+_SPREAD_PLAN_MEMO: dict[tuple[int, int], bool] = {}
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -59,17 +66,26 @@ def _spread(df: DataFrame) -> DataFrame:
     ``defaultParallelism`` partitions (any at-scale scan) pass through
     untouched, so no shuffle is added on the 100 TB path.
 
-    The ``df.rdd.getNumPartitions()`` probe materializes the RDD lineage
-    (analysis + conversion), so its verdict is memoized per DataFrame
-    object (weak-keyed — entries die with the frame): chained recipes
-    that feed the SAME input frame through several shingle/ANN operators
-    pay for one probe, not ~10 (ADVICE r10 minor).
+    The ``df.rdd.getNumPartitions()`` probe materializes the physical plan
+    (analysis + RDD conversion), so its verdict is memoized two ways:
+    per DataFrame object (weak-keyed — entries die with the frame), and
+    per (session, ``semanticHash``) so a *rebuilt-but-identical* frame —
+    every fresh bench/driver invocation of the same query — reuses the
+    verdict instead of re-planning (ADVICE r10 minor + r11 §1 measure:
+    ~100 ms driver time per probe). ``semanticHash`` reads only the
+    already-analyzed logical plan, so the hit path adds no planning work;
+    a hash collision could at worst skip (or add) a repartition — a
+    perf-only effect on a deliberately perf-only decision.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     narrow = _SPREAD_MEMO.get(df)
     if narrow is None:
-        narrow = df.rdd.getNumPartitions() < target
+        plan_key = (id(df.sparkSession), df.semanticHash())
+        narrow = _SPREAD_PLAN_MEMO.get(plan_key)
+        if narrow is None:
+            narrow = df.rdd.getNumPartitions() < target
+            _SPREAD_PLAN_MEMO[plan_key] = narrow
         _SPREAD_MEMO[df] = narrow
     return df.repartition(target) if narrow else df
 
