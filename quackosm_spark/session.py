@@ -57,6 +57,24 @@ def get_spark(
         # 13 s → 6.7 s). Large stages are unaffected — coalescing only ever
         # merges below-target partitions.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Post-shuffle target partition size for AQE coalescing. With
+        # parallelismFirst=false (above), AQE merges shuffle reads up to
+        # THIS size — at the 64 MB default every MB-scale intermediate
+        # (e.g. a pair table's partial-agg output) collapses to ONE task
+        # and the final aggregate runs serially (measured r11: q17's
+        # 5.7 MB groupBy read coalesced to 1 task, 0.49 s of its 1.5 s
+        # wall; 1m advisory → q17 1.37→0.98 s, q07 0.40→0.33 s, q14
+        # 0.54→0.48 s, interleaved A/B). Local-mode tasks cost ~1-5 ms to
+        # schedule, so 1 MB tasks are effectively free there; on a real
+        # cluster use 64-256 MB (scheduling + shuffle-fetch overheads
+        # dominate below that — guide values), via env or extra_conf.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get(
+                "SPARK_GRAFT_ADVISORY_PARTITION_SIZE",
+                "1m" if master.startswith("local") else "64m",
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas UDF / mapInPandas boundary.
