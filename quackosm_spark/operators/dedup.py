@@ -331,16 +331,21 @@ def _shingle_overlap_pairs(
     guarantee)."""
     # hashed-bigint join keys (cheaper shuffle + probe than 5-char strings);
     # shingle arrays are already distinct, so no post-explode dedup shuffle.
-    # Persisted: three consumers (sizes + both self-join sides) would each
-    # recompute the md5 hashing otherwise.
+    # Persisted: both self-join sides (and the max_df verify re-join) would
+    # each recompute the md5 hashing otherwise. Set sizes RIDE the exploded
+    # rows (one int per row) instead of being re-attached through two
+    # post-aggregate joins — r11: the former `sizes` frame cost two extra
+    # broadcast joins + a third cache-consumer branch per call, visible as
+    # two extra jobs and ~0.2 s of the q17 bench wall.
     from pyspark import StorageLevel
 
     sh_arr = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         hashed_shingles(F.col(text_col), shingle).alias("hs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = sh_arr.select("doc_id", F.explode("hs").alias("sh"))
-    sizes = sh_arr.select("doc_id", F.size("hs").alias("n_sh"))
+    sh = sh_arr.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
+    )
 
     if max_df is not None:
         # hot shingles are by definition few distinct values → broadcast
@@ -353,15 +358,17 @@ def _shingle_overlap_pairs(
         flagged = sh.join(
             F.broadcast(hot.withColumn("__hot", F.lit(True))), "sh", "left"
         ).withColumn("__hot", F.coalesce(F.col("__hot"), F.lit(False)))
+        # per-doc hot count; the total shingle count is n_sh, already on
+        # every exploded row (the arrays are distinct, so exploded row
+        # count per doc == |hs|)
         doc_stats = flagged.groupBy("doc_id").agg(
-            F.count("*").alias("__n"),
             F.count_if(F.col("__hot")).alias("__h"),
         )
         indexed = _pin_partitions(
             flagged.join(doc_stats, "doc_id")
             .where(
                 ~F.col("__hot")
-                | (F.col("__h") >= F.lit(threshold) * F.col("__n"))
+                | (F.col("__h") >= F.lit(threshold) * F.col("n_sh"))
             )
             .select("doc_id", "sh"),
             "sh",
@@ -380,8 +387,9 @@ def _shingle_overlap_pairs(
             .distinct()
         )
         # exact verify on the full arrays — the df cap is invisible in the
-        # emitted (doc_a, doc_b, jaccard) rows
-        pairs = (
+        # emitted (doc_a, doc_b, jaccard) rows; sizes come from the arrays
+        # already in hand, not a separate join
+        return (
             cand.join(
                 sh_arr.select(
                     F.col("doc_id").alias("doc_a"), F.col("hs").alias("__hs_a")
@@ -394,11 +402,15 @@ def _shingle_overlap_pairs(
                 ),
                 "doc_b",
             )
-            .withColumn(
-                "n_common",
-                F.size(F.array_intersect("__hs_a", "__hs_b")).cast("long"),
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("__hs_a", "__hs_b"))
+                .cast("long")
+                .alias("n_common"),
+                F.size("__hs_a").alias("n_a"),
+                F.size("__hs_b").alias("n_b"),
             )
-            .select("doc_a", "doc_b", "n_common")
         )
     else:
         # Unguarded = the broadcastable-index regime: exact all-pairs
@@ -412,21 +424,22 @@ def _shingle_overlap_pairs(
         # measured 43 s → 227 s at 10× bench scale.) Corpora whose index
         # outgrows a broadcast must use max_df= or prefix_jaccard_pairs —
         # exact unguarded pairs are quadratic there regardless of plan.
-        pairs = (
+        return (
             sh.alias("a")
             .join(
                 F.broadcast(sh.alias("b")),
                 (F.col("a.sh") == F.col("b.sh"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
             .agg(F.count("*").alias("n_common"))
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
         )
-    return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
-    )
 
 
 def containment_pairs(
