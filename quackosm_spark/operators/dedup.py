@@ -126,8 +126,44 @@ def drop_exact_duplicates(
 # shingles + deterministic md5-based hash family
 # --------------------------------------------------------------------------
 
-def char_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
-    """Distinct character k-shingles of lower(text) as an array."""
+# --- SQL-text builders -----------------------------------------------------
+# The shingle/minhash expression trees are large (nested lambdas, one lane
+# per minhash seed). Building them through the Column API costs hundreds of
+# py4j round-trips per operator call (~0.25 s of driver time for
+# hashed_shingles alone, measured r11 cProfile: 633 round-trips per q17
+# build); composing the SAME expression as one SQL string and parsing it
+# with a single F.expr() call produces an identical Catalyst tree for one
+# round-trip. Each public builder accepts Column (compat) or a SQL snippet
+# string (fast path used by the in-package operators).
+
+
+def _q(name: str) -> str:
+    """Backtick-quote a column name for SQL-text composition."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _shingles_sql(x: str, k: int) -> str:
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length(lower({x})) - {k - 1}, 1)),"
+        f" i -> substr(lower({x}), i, {k})))"
+    )
+
+
+def _hashed_shingles_expr_sql(x: str, k: int) -> str:
+    return (
+        f"array_distinct(transform({_shingles_sql(x, k)},"
+        f" s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)))"
+    )
+
+
+def char_shingles(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct character k-shingles of lower(text) as an array.
+
+    ``text`` may be a Column or a SQL expression snippet (one-round-trip
+    construction; identical expression tree)."""
+    if isinstance(text, str):
+        return F.expr(_shingles_sql(text, k))
     lowered = F.lower(text)
     n = F.length(lowered)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -141,14 +177,17 @@ def _hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def hashed_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+def hashed_shingles(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
     """Distinct md5-hashed shingles as ``array<bigint>``.
 
     One md5 per shingle — every downstream consumer (minhash seeds, jaccard
     join keys, simhash votes) derives from these bigints with cheap integer
     arithmetic instead of re-hashing strings. ``array_distinct`` runs on the
     hashed values so set sizes stay consistent with hashed-equality joins.
+    ``text`` may be a Column or a SQL snippet (see char_shingles).
     """
+    if isinstance(text, str):
+        return F.expr(_hashed_shingles_expr_sql(text, k))
     return F.array_distinct(F.transform(char_shingles(text, k), _hash64))
 
 
@@ -166,12 +205,23 @@ def seeded_minhash(hashes: Column, seed: int) -> Column:
 
 
 def minhash_signature_col(
-    text: Column, num_hashes: int = 16, shingle: int = DEFAULT_SHINGLE
+    text: Column | str, num_hashes: int = 16, shingle: int = DEFAULT_SHINGLE
 ) -> Column:
     """The minhash signature as a raw Column expression (array<bigint>) —
-    shared by the batch table form and the streaming band-bucket op."""
-    hs = hashed_shingles(text, shingle)
+    shared by the batch table form and the streaming band-bucket op.
+    ``text`` may be a Column or a SQL snippet (see char_shingles)."""
     seeds = [(2 * i + 3, 7919 * i + 1) for i in range(num_hashes)]
+    if isinstance(text, str):
+        init = ", ".join([f"cast({MINHASH_P} as bigint)"] * num_hashes)
+        lanes = ", ".join(
+            f"least(element_at(acc, {i + 1}), (h * {a} + {b}) % {MINHASH_P})"
+            for i, (a, b) in enumerate(seeds)
+        )
+        return F.expr(
+            f"aggregate({_hashed_shingles_expr_sql(text, shingle)},"
+            f" array({init}), (acc, h) -> array({lanes}))"
+        )
+    hs = hashed_shingles(text, shingle)
     return F.aggregate(
         hs,
         F.array(*[F.lit(MINHASH_P).cast("bigint")] * num_hashes),
@@ -185,11 +235,27 @@ def minhash_signature_col(
 
 
 def minhash_band_array(
-    sig: Column, num_hashes: int = 16, bands: int = 4
+    sig: Column | str, num_hashes: int = 16, bands: int = 4
 ) -> Column:
     """The LSH band keys of a signature as array<string> (band index is
-    baked into the key so buckets never collide across bands)."""
+    baked into the key so buckets never collide across bands). ``sig`` may
+    be a Column or the NAME of a signature column (fast SQL-text path;
+    only a plain name is accepted there so the signature expression is
+    never duplicated per band element)."""
     rows_per_band = num_hashes // bands
+    if isinstance(sig, str):
+        ref = _q(sig)
+        parts = ", ".join(
+            "concat_ws('_', {b}, {elems})".format(
+                b=b,
+                elems=", ".join(
+                    f"element_at({ref}, {b * rows_per_band + r + 1})"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        )
+        return F.expr(f"array({parts})")
     return F.array(
         *[
             F.concat_ws(
@@ -221,7 +287,7 @@ def minhash_signatures(
     Catalyst's CollapseProject re-inlines non-deterministic-free aliases,
     so md5 would run N× per shingle).
     """
-    sig = minhash_signature_col(F.col(text_col), num_hashes, shingle)
+    sig = minhash_signature_col(_q(text_col), num_hashes, shingle)
     return _spread(docs).select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
@@ -243,7 +309,7 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         "doc_id",
         F.posexplode(
-            minhash_band_array(F.col("sig"), num_hashes, bands)
+            minhash_band_array("sig", num_hashes, bands)
         ).alias("band", "band_key"),
     )
     # the self-join would otherwise recompute the signature hashing on BOTH
@@ -341,7 +407,7 @@ def _shingle_overlap_pairs(
 
     sh_arr = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        hashed_shingles(F.col(text_col), shingle).alias("hs"),
+        hashed_shingles(_q(text_col), shingle).alias("hs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sh = sh_arr.select(
         "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
@@ -579,34 +645,37 @@ def simhash(
     """64-bit SimHash: per bit, sign of Σ±1 over shingle hashes.
 
     Bit b of shingle hash decides +1/−1; fingerprint bit b = 1 iff the sum is
-    positive. Pure Column expressions: two md5-derived 32-bit halves give the
-    64 bits. Returns (doc_id, simhash: bigint).
+    positive. Two md5-derived 32-bit halves give up to 64 bits. Returns
+    (doc_id, simhash: bigint).
+
+    Built as ONE ``aggregate`` fold whose accumulator is the full
+    ``bits``-lane vote array (r11): the previous per-bit formulation was
+    ``bits`` separate folds, each re-expanding the md5 transform — the
+    exact re-expansion trap the minhash docstring warns about — and its
+    Column-API construction cost hundreds of py4j round-trips. Same
+    votes, same fingerprint arithmetic (int votes, bigint 2^b sum).
     """
-    shingles = char_shingles(F.col(text_col), shingle)
-    # two independent 32-bit hashes per shingle (md5 chars 1-8 and 9-16),
-    # computed ONCE into an array<struct<lo,hi>> — the per-bit votes below
-    # are integer ops over these, not repeated string hashing.
-    hashed = F.transform(
-        shingles,
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint").alias("lo"),
-            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("bigint").alias("hi"),
-        ),
+    if not 1 <= bits <= 63:
+        raise ValueError("simhash: bits must be in [1, 63] (2^b literals)")
+    votes = ", ".join(
+        f"element_at(acc, {b + 1}) + "
+        f"(CASE WHEN shiftright(s.{'lo' if b < 32 else 'hi'}, "
+        f"{b if b < 32 else b - 32}) % 2 = 1 THEN 1 ELSE -1 END)"
+        for b in range(bits)
     )
-
-    def _vote_fn(is_lo: bool, shift: int):
-        half = (lambda s: s["lo"]) if is_lo else (lambda s: s["hi"])
-        return lambda acc, s: acc + F.when(
-            F.shiftright(half(s), shift) % 2 == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    fingerprint = F.lit(0).cast("bigint")
-    for b in range(bits):
-        is_lo, shift = (True, b) if b < 32 else (False, b - 32)
-        vote = F.aggregate(hashed, F.lit(0), _vote_fn(is_lo, shift))
-        fingerprint = fingerprint + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    fp = " + ".join(
+        f"(CASE WHEN element_at(acc, {b + 1}) > 0 THEN cast({2 ** b} as bigint)"
+        f" ELSE cast(0 as bigint) END)"
+        for b in range(bits)
+    )
+    fingerprint = F.expr(
+        f"aggregate(transform({_shingles_sql(_q(text_col), shingle)},"
+        f" g -> named_struct("
+        f"'lo', cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint),"
+        f" 'hi', cast(conv(substring(md5(g), 9, 8), 16, 10) as bigint))),"
+        f" array_repeat(0, {bits}), (acc, s) -> array({votes}),"
+        f" acc -> {fp})"
+    )
     return _spread(docs).select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
 
 
@@ -932,7 +1001,7 @@ def verify_candidate_pairs(
     (a_col, b_col, jaccard)."""
     hs = _spread(docs).select(
         F.col(id_col).alias("vid"),
-        hashed_shingles(F.col(text_col), shingle).alias("hs"),
+        hashed_shingles(_q(text_col), shingle).alias("hs"),
     )
     out = (
         pairs.join(hs.select(F.col("vid").alias(a_col), F.col("hs").alias("hs_a")), a_col)
@@ -1363,7 +1432,7 @@ def minhash_index(
         "doc_id",
         "sig",
         F.posexplode(
-            minhash_band_array(F.col("sig"), num_hashes, bands)
+            minhash_band_array("sig", num_hashes, bands)
         ).alias("band", "band_key"),
     )
 
@@ -1428,7 +1497,7 @@ def match_against_minhash_index(
     new_banded = new_sigs.select(
         F.col("doc_id").alias("__nid"),
         F.explode(
-            minhash_band_array(F.col("sig"), num_hashes, bands)
+            minhash_band_array("sig", num_hashes, bands)
         ).alias("band_key"),
     )
     hist_banded = index.select(F.col("doc_id").alias("__hid"), "band_key")

@@ -621,11 +621,12 @@ def neardup_candidates_stream(
     ``applyInPandas`` (no state) so the batch analogue — min-(ts, id)
     anchor per bucket joined back — oracles the streaming kernel."""
     from quackosm_spark.operators.dedup import (
+        _q,
         minhash_band_array,
         minhash_signature_col,
     )
 
-    sig = minhash_signature_col(F.col(text_col), num_hashes, shingle)
+    sig = minhash_signature_col(_q(text_col), num_hashes, shingle)
     banded = docs.select(
         F.col(ts_col).alias("ts"),
         F.col(id_col).alias("doc_id"),
