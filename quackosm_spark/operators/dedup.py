@@ -831,32 +831,38 @@ def remove_frequent_segments(
     Scale shape: the over-threshold segment set is tiny (boilerplate is by
     definition repeated), so the removal join BROADCASTS it — the corpus is
     scanned once for counting (shuffle on segment) and once for the
-    broadcast anti join + per-doc reassembly (shuffle on doc id).
+    broadcast flag join + per-doc reassembly (shuffle on doc id). The
+    reassembly keeps EVERY doc in one pass (r11): segments carry a
+    broadcast-joined boilerplate flag into the doc-id groupBy, where
+    `collect_list` drops the NULLed-out boilerplate structs — the old
+    anti-join + third corpus scan + corpus×corpus left join that
+    re-attached fully-boilerplate and empty docs are gone
+    (`explode_outer` preserves empty docs as a NULL-segment row).
     """
     exploded = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_segments(text_col, seg_words)).alias("s"),
+        F.explode_outer(_segments(text_col, seg_words)).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
     boiler = frequent_segments(docs, id_col, text_col, seg_words, min_docs).select("seg")
-    kept = exploded.join(F.broadcast(boiler), "seg", "left_anti")
-    reassembled = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                lambda x: x["seg"],
-            ),
-        ).alias("text_clean"),
-        F.count("*").alias("n_kept"),
+    flagged = exploded.join(
+        F.broadcast(boiler.withColumn("__boiler", F.lit(True))), "seg", "left"
     )
-    base = docs.select(F.col(id_col).alias("doc_id"))
+    keep = F.col("__boiler").isNull() & F.col("seg").isNotNull()
     return (
-        base.join(reassembled, "doc_id", "left")
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+            ).alias("text_clean"),
+            F.count_if(keep).cast("bigint").alias("n_kept"),
         )
+        .select(F.col("doc_id").alias(id_col), "text_clean", "n_kept")
     )
 
 

@@ -29,7 +29,15 @@ def test_segment_dedup_boilerplate_broadcasts(docs):
     from quackosm_spark.operators.dedup import remove_frequent_segments
 
     plan = _plan(remove_frequent_segments(docs, seg_words=3, min_docs=3))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # r11 shape: the boilerplate set broadcasts as a LEFT join that FLAGS
+    # segments (dropped inside the reassembly agg) — one corpus scan fewer
+    # than the old LeftAnti + re-attach formulation, and still no shuffle
+    # of the corpus beyond the count + reassembly exchanges.
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    # the old third-scan re-attach join (corpus left-join reassembled) is gone:
+    # only the flag join remains, so exactly one join node in the whole plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
 
 
 def test_latest_by_key_partial_aggregates_before_exchange(events):
