@@ -2035,7 +2035,12 @@ def drop_duplicate_segments(
     for corpora with real lines); ONE window PARTITIONED BY md5(segment)
     ordered by (id, pos) — partition size = that segment's duplicate
     count, the thing being removed; reassembly is one groupBy on the
-    doc id. No driver data, no global sort.
+    doc id over the SAME rows (r11: later copies are dropped inside the
+    reassembly aggregate, so there is no second corpus scan and no
+    re-attach join for all-duplicate/empty docs — `posexplode_outer`
+    keeps them as a NULL-segment row, routed through a per-doc window
+    key so empty docs never pile into one NULL partition). No driver
+    data, no global sort.
 
     ``by_lines=True`` segments on newlines (trimmed, empties dropped) —
     the production form: line boundaries are content-anchored, so the
@@ -2069,30 +2074,30 @@ def drop_duplicate_segments(
         F.col("__s.pos").alias("__pos"),
         F.col("__s.seg").alias("__seg"),
     )
-    w = Window.partitionBy(F.md5(F.col("__seg"))).orderBy("__did", "__pos")
-    kept = (
-        segs.where(F.col("__seg").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+    # NULL segments (empty docs) get a per-doc sentinel partition key — a
+    # leading space cannot occur in a real segment (words are non-empty) —
+    # so they ride the same window without a single giant NULL partition.
+    part_key = F.md5(
+        F.coalesce(
+            F.col("__seg"), F.concat(F.lit(" "), F.col("__did").cast("string"))
+        )
     )
-    ids = docs.select(F.col(id_col).alias("__did")).distinct()
+    w = Window.partitionBy(part_key).orderBy("__did", "__pos")
+    keep = (F.col("__rn") == 1) & F.col("__seg").isNotNull()
     return (
-        ids.join(kept, "__did", "left")
+        segs.withColumn("__rn", F.row_number().over(w))
         .groupBy("__did")
         .agg(
-            F.coalesce(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("__pos", "__seg"))
-                        ),
-                        lambda s: s["__seg"],
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("__pos", "__seg")))
                     ),
+                    lambda s: s["__seg"],
                 ),
-                F.lit(""),
             ).alias("text_clean"),
-            F.count("__seg").alias("n_kept"),
+            F.count_if(keep).alias("n_kept"),
         )
         .select(F.col("__did").alias(id_col), "text_clean", "n_kept")
     )
@@ -2134,8 +2139,10 @@ def remove_repeated_substrings(
     md5(gram) ordered by (id, start) — partition size = that gram's
     occurrence count, the thing being removed; marked spans explode to
     covered word positions (duplicate-volume-bounded, not
-    corpus-bounded); survivors are a co-partitioned (id, pos) anti-join
-    and ONE reassembly groupBy on the doc id. At extreme scale swap the
+    corpus-bounded); survivors are a co-partitioned (id, pos) left join
+    whose covered flag is dropped inside ONE reassembly groupBy on the
+    doc id (r11: the total word count rides the same aggregate, so the
+    old second corpus scan + distinct + re-attach join are gone). At extreme scale swap the
     md5 partition key for a 128-bit binary hash of the gram to shrink
     shuffle bytes — the gram string itself never needs to leave the
     first shuffle. Reference semantics model: the ExactSubstr dedup of
@@ -2200,31 +2207,25 @@ def remove_repeated_substrings(
         (F.col("__i") + 1).alias("__pos"),
         "__word",
     )
-    kept = toks.join(covered, ["__did", "__pos"], "left_anti")
-    ids = d.select("__did", F.size("__w").alias("__nw")).distinct()
+    flagged = toks.join(
+        covered.withColumn("__cut", F.lit(True)), ["__did", "__pos"], "left"
+    )
+    keep = F.col("__cut").isNull() & F.col("__word").isNotNull()
     return (
-        ids.join(
-            kept.groupBy("__did").agg(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("__pos", "__word"))
-                        ),
-                        lambda s: s["__word"],
+        flagged.groupBy("__did")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("__pos", "__word")))
                     ),
-                ).alias("text_clean"),
-                F.count("__word").cast("bigint").alias("__nkept"),
+                    lambda s: s["__word"],
+                ),
+            ).alias("text_clean"),
+            F.count_if(F.col("__cut").isNotNull()).cast("bigint").alias(
+                "n_removed"
             ),
-            "__did",
-            "left",
         )
-        .select(
-            F.col("__did").alias(id_col),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-            (
-                F.col("__nw").cast("bigint")
-                - F.coalesce(F.col("__nkept"), F.lit(0))
-            ).alias("n_removed"),
-        )
+        .select(F.col("__did").alias(id_col), "text_clean", "n_removed")
     )

@@ -40,6 +40,27 @@ def test_segment_dedup_boilerplate_broadcasts(docs):
     assert "SortMergeJoin" not in plan
 
 
+def test_segment_first_dedup_single_scan_no_join(docs):
+    from quackosm_spark.operators.dedup import drop_duplicate_segments
+
+    plan = _plan(drop_duplicate_segments(docs, seg_words=3))
+    # r11 shape: ONE corpus scan, segment window + reassembly groupBy —
+    # later copies die inside the aggregate, no re-attach join
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_substring_dedup_single_attach_join(docs):
+    from quackosm_spark.operators.dedup import remove_repeated_substrings
+
+    plan = _plan(remove_repeated_substrings(docs, window=8))
+    # r11 shape: the covered-position flag join is the ONLY join; the old
+    # ids.distinct re-attach (third corpus scan) is gone
+    assert plan.count("Join") == 1
+    assert plan.count("Scan parquet") == 2
+
+
 def test_latest_by_key_partial_aggregates_before_exchange(events):
     from quackosm_spark.operators.temporal import latest_by_key
 
