@@ -190,7 +190,12 @@ def extract_image_features(
                 }
             )
 
-    return media.mapInPandas(_extract, schema=IMAGE_FEATURES_SCHEMA)
+    # project to the two consumed columns BEFORE the boundary: Spark cannot
+    # see inside the function, so an unpruned mapInPandas would ship (and
+    # scan) every media column through Arrow (guide §4.1)
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, schema=IMAGE_FEATURES_SCHEMA
+    )
 
 
 def sample_frames(
@@ -214,8 +219,10 @@ def sample_frames(
                     frames.append(bytes(payload[i * step : (i + 1) * step]))
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return media.where(F.col("kind") == "video").mapInPandas(
-        _sample, schema=FRAME_SAMPLE_SCHEMA
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
     )
 
 
@@ -343,8 +350,10 @@ def image_channel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                 }
             )
 
-    return media.where(F.col("kind") == "image").mapInPandas(
-        _stats, schema=IMAGE_CHANNEL_STATS_SCHEMA
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_stats, schema=IMAGE_CHANNEL_STATS_SCHEMA)
     )
 
 
