@@ -587,20 +587,31 @@ def neardup_clusters(
     N doesn't replay rounds 1..N-1. Convergence is detected via the label
     sum, which strictly decreases until fixpoint; hitting ``max_iterations``
     without converging raises (never returns silently-wrong clusters).
+
+    Scale/latency shape (r11): the edge table is hash-partitioned on the
+    join key ``dst`` ONCE at build (the dedup aggregate runs on that same
+    clustering, so the build pays a single shuffle of E) and persisted —
+    every round's edges⋈labels join then reuses the cached partitioning
+    and only the O(V) label table moves, instead of re-exchanging O(E)
+    edge rows per round (guide §2.4; broadcast rounds are unaffected).
+    Checkpoints are lazy (``eager=False``) so the convergence-sum action
+    is the one that materializes each round's labels — one job per round,
+    not a checkpoint job plus a sum job.
     """
     from pyspark import StorageLevel
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for it in range(max_iterations):
@@ -616,7 +627,7 @@ def neardup_clusters(
             labels.union(nbr).union(jumped)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
