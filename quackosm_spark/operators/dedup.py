@@ -784,13 +784,54 @@ def contamination_matches(
 # segment-level (CCNet-style) dedup
 # --------------------------------------------------------------------------
 
+def _words_sql(x: str) -> str:
+    """SQL text for the whitespace word-split (empty/whitespace-only text
+    → empty array), shared by the segment and substring operators."""
+    return (
+        f"CASE WHEN (length(trim({x})) = 0) THEN cast(array() as array<string>)"
+        f" ELSE split(trim({x}), '\\\\s+') END"
+    )
+
+
+def _segments_sql(x: str, seg_words: int) -> str:
+    """SQL-text twin of ``_segments`` (one ``F.expr`` parse instead of
+    dozens of py4j round-trips per build; identical expression)."""
+    words = _words_sql(x)
+    return (
+        f"CASE WHEN (size({words}) > 0) THEN"
+        f" transform(sequence(1, greatest(size({words}), 1), {seg_words}),"
+        f" i -> struct(cast(i as int) as pos,"
+        f" concat_ws(' ', slice({words}, i, {seg_words})) as seg))"
+        f" ELSE cast(array() as array<struct<pos:int,seg:string>>) END"
+    )
+
+
+def _reassemble_sql(keep: str, pos: str, seg: str) -> tuple[Column, Column]:
+    """(text_clean, n_kept) aggregate pair for the in-aggregate reassembly
+    idiom shared by the segment/substring dedup operators: surviving
+    (pos, seg) structs are collected, ordered by position, and joined with
+    a space; rows failing ``keep`` collapse to NULL structs that
+    ``collect_list`` drops. Built as two ``F.expr`` strings — the
+    nested-lambda Column form costs hundreds of py4j round-trips."""
+    return (
+        F.expr(
+            f"concat_ws(' ', transform(array_sort(collect_list("
+            f"CASE WHEN {keep} THEN struct({pos}, {seg}) END)),"
+            f" s -> s.{seg}))"
+        ),
+        F.expr(f"count_if({keep})"),
+    )
+
+
 def _segments(text: Column | str, seg_words: int) -> Column:
     """Non-overlapping ``seg_words``-word segments of a document as
     array<struct<pos:int, seg:string>> (pos = 1-based word offset). For
     corpora with real line breaks, split on newline instead — the counting
-    and removal below are delimiter-agnostic."""
-    col = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(col)
+    and removal below are delimiter-agnostic. ``text`` may be a Column or
+    a column NAME (fast one-round-trip SQL-text construction)."""
+    if isinstance(text, str):
+        return F.expr(_segments_sql(_q(text), seg_words))
+    trimmed = F.trim(text)
     words = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
@@ -858,20 +899,14 @@ def remove_frequent_segments(
     flagged = exploded.join(
         F.broadcast(boiler.withColumn("__boiler", F.lit(True))), "seg", "left"
     )
-    keep = F.col("__boiler").isNull() & F.col("seg").isNotNull()
+    text_clean, n_kept = _reassemble_sql(
+        "(__boiler IS NULL AND seg IS NOT NULL)", "pos", "seg"
+    )
     return (
         flagged.groupBy("doc_id")
         .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(keep, F.struct("pos", "seg")))
-                    ),
-                    lambda x: x["seg"],
-                ),
-            ).alias("text_clean"),
-            F.count_if(keep).cast("bigint").alias("n_kept"),
+            text_clean.alias("text_clean"),
+            n_kept.cast("bigint").alias("n_kept"),
         )
         .select(F.col("doc_id").alias(id_col), "text_clean", "n_kept")
     )
@@ -2076,7 +2111,7 @@ def drop_duplicate_segments(
             ),
         )
     else:
-        seg_arr = _segments(F.col(text_col), seg_words)
+        seg_arr = _segments(text_col, seg_words)
     segs = docs.select(
         F.col(id_col).alias("__did"),
         F.posexplode_outer(seg_arr).alias("__i", "__s"),
@@ -2094,21 +2129,15 @@ def drop_duplicate_segments(
         )
     )
     w = Window.partitionBy(part_key).orderBy("__did", "__pos")
-    keep = (F.col("__rn") == 1) & F.col("__seg").isNotNull()
+    text_clean, n_kept = _reassemble_sql(
+        "((__rn = 1) AND __seg IS NOT NULL)", "__pos", "__seg"
+    )
     return (
         segs.withColumn("__rn", F.row_number().over(w))
         .groupBy("__did")
         .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(keep, F.struct("__pos", "__seg")))
-                    ),
-                    lambda s: s["__seg"],
-                ),
-            ).alias("text_clean"),
-            F.count_if(keep).alias("n_kept"),
+            text_clean.alias("text_clean"),
+            n_kept.alias("n_kept"),
         )
         .select(F.col("__did").alias(id_col), "text_clean", "n_kept")
     )
@@ -2175,16 +2204,10 @@ def remove_repeated_substrings(
         .select(
             "__did",
             F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.size("__w") - F.lit(window) + F.lit(1)
-                    ),
-                    lambda i: F.struct(
-                        i.cast("int").alias("start"),
-                        F.concat_ws(
-                            " ", F.slice(F.col("__w"), i, window)
-                        ).alias("gram"),
-                    ),
+                F.expr(
+                    f"transform(sequence(1, (size(__w) - {window}) + 1),"
+                    f" i -> struct(cast(i as int) as start,"
+                    f" concat_ws(' ', slice(__w, i, {window})) as gram))"
                 )
             ).alias("__g"),
         )
@@ -2221,20 +2244,14 @@ def remove_repeated_substrings(
     flagged = toks.join(
         covered.withColumn("__cut", F.lit(True)), ["__did", "__pos"], "left"
     )
-    keep = F.col("__cut").isNull() & F.col("__word").isNotNull()
+    text_clean, _ = _reassemble_sql(
+        "(__cut IS NULL AND __word IS NOT NULL)", "__pos", "__word"
+    )
     return (
         flagged.groupBy("__did")
         .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(keep, F.struct("__pos", "__word")))
-                    ),
-                    lambda s: s["__word"],
-                ),
-            ).alias("text_clean"),
-            F.count_if(F.col("__cut").isNotNull()).cast("bigint").alias(
+            text_clean.alias("text_clean"),
+            F.expr("count_if(__cut IS NOT NULL)").cast("bigint").alias(
                 "n_removed"
             ),
         )
