@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "interval_join", "exact_quantiles", "lag_deltas", "latest_by_key"]
 
 
+def _qt(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text composition (the
+    one-round-trip construction idiom — see dedup._q)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -67,38 +73,35 @@ def asof_join(
         raise ValueError(f"output names collide with left columns: {sorted(clash)}")
 
     # Right rows must win ties for inclusive matches, lose them for strict.
+    # Built as SQL text (selectExpr / one window expr) — the Column-API
+    # assembly cost ~550 py4j round-trips per construction.
     right_side = 0 if not strict else 2
-    payload = F.struct(
-        *[F.col(c).alias(out) for c, out in value_cols.items()],
-        F.col(right_ts).cast("timestamp").alias("__r_ts"),
+    payload_fields = ", ".join(
+        [f"{_qt(c)} AS {_qt(out)}" for c, out in value_cols.items()]
+        + [f"cast({_qt(right_ts)} AS timestamp) AS __r_ts"]
     )
-    r = right.select(
-        *[F.col(k) for k in keys],
-        F.col(right_ts).cast("timestamp").alias("__ts"),
-        F.lit(right_side).alias("__side"),
-        payload.alias("__r"),
+    r = right.selectExpr(
+        *[_qt(k) for k in keys],
+        f"cast({_qt(right_ts)} AS timestamp) AS __ts",
+        f"{right_side} AS __side",
+        f"struct({payload_fields}) AS __r",
     )
-    l = left.select(
-        *left.columns,
-        F.col(left_ts).cast("timestamp").alias("__ts"),
-        F.lit(1).alias("__side"),
+    l = left.selectExpr(
+        *[_qt(c) for c in left.columns],
+        f"cast({_qt(left_ts)} AS timestamp) AS __ts",
+        "1 AS __side",
     )
     unified = l.unionByName(r, allowMissingColumns=True)
 
-    order = [F.col("__ts"), F.col("__side")]
+    order = "__ts ASC, __side ASC"
     if direction == "forward":
-        order = [F.col("__ts").desc(), F.col("__side")]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        order = "__ts DESC, __side ASC"
+    matched = (
+        f"last(__r, true) OVER (PARTITION BY "
+        f"{', '.join(_qt(k) for k in keys)} ORDER BY {order} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __m"
     )
-    matched = F.last("__r", ignorenulls=True).over(w)
-
-    out = (
-        unified.withColumn("__m", matched)
-        .where(F.col("__side") == 1)
-    )
+    out = unified.selectExpr("*", matched).where(F.col("__side") == 1)
     if tolerance_seconds is not None:
         gap = F.abs(
             F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__r_ts"))
@@ -106,9 +109,9 @@ def asof_join(
         out = out.withColumn(
             "__m", F.when(gap <= F.lit(tolerance_seconds), F.col("__m"))
         )
-    return out.select(
-        *left.columns,
-        *[F.col(f"__m.{name}").alias(name) for name in value_cols.values()],
+    return out.selectExpr(
+        *[_qt(c) for c in left.columns],
+        *[f"__m.{_qt(name)} AS {_qt(name)}" for name in value_cols.values()],
     )
 
 
