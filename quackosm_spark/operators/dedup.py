@@ -1927,14 +1927,17 @@ def resolve_registered_domain(
         "__lbl", F.split(F.col("__host"), r"\.")
     )
     n = F.size("__lbl")
-    for k in range(1, kmax + 1):
-        d = d.withColumn(
-            f"__cand{k}",
-            F.when(
+    # one withColumns call (a withColumn loop costs one full analysis pass
+    # per depth — O(kmax²) plan work for the 5+-depth real PSL)
+    d = d.withColumns(
+        {
+            f"__cand{k}": F.when(
                 n >= k,
                 F.concat_ws(".", F.slice("__lbl", n - F.lit(k) + 1, k)),
-            ),
-        )
+            )
+            for k in range(1, kmax + 1)
+        }
+    )
     if rows:
         from pyspark.sql.types import (
             IntegerType,
@@ -1969,12 +1972,13 @@ def resolve_registered_domain(
                 "left",
             )
     else:
-        for k in range(1, kmax + 1):
-            d = (
-                d.withColumn(f"__e{k}", F.lit(None).cast("boolean"))
-                .withColumn(f"__w{k}", F.lit(None).cast("boolean"))
-                .withColumn(f"__x{k}", F.lit(None).cast("boolean"))
-            )
+        d = d.withColumns(
+            {
+                f"__{kind}{k}": F.lit(None).cast("boolean")
+                for k in range(1, kmax + 1)
+                for kind in ("e", "w", "x")
+            }
+        )
     exc_len = F.greatest(
         *[
             F.when(F.col(f"__x{k}"), F.lit(k))
