@@ -214,9 +214,7 @@ def curate_corpus(
             ).cast("double")
             / (F.length(tcol).cast("double") + 1.0),
         }
-        featured = out
-        for name, expr in feats.items():
-            featured = featured.withColumn(name, expr)
+        featured = out.withColumns(feats)
         # this stage runs EAGER actions (label check, one scan per IRLS
         # Newton step, the percentile cutoff) — persist the featured
         # plan once so those ~8 actions read a cache instead of each

@@ -320,12 +320,14 @@ def ivf_topk_sweep(
         .orderBy(F.desc("cosine"), F.asc("match_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = scored
-    for n in depths:
-        ranked = ranked.withColumn(
-            f"__rank_{n}",
-            F.sum(F.when(F.col("probe_pos") <= n, 1).otherwise(0)).over(w),
-        )
+    ranked = scored.withColumns(
+        {
+            f"__rank_{n}": F.sum(
+                F.when(F.col("probe_pos") <= n, 1).otherwise(0)
+            ).over(w)
+            for n in depths
+        }
+    )
     variants = F.array(
         *[
             F.struct(
