@@ -46,15 +46,19 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    # Arrow-batched numpy scoring (r11): the interpreted zip_with+aggregate
-    # fold cost ~33 µs per pair (7.3 executor-seconds for 6 000 pairs at
-    # bench scale); the batched kernel scores a whole Arrow batch in one
-    # numpy pass. Same 6-dp rounded values and NULL semantics as the
-    # Column path (see _cosine_pairs_udf docstring).
+    # JVM fold scoring, deliberately NOT the Arrow numpy kernel: the r11
+    # swap to _cosine_pairs_udf was re-measured same-box and REGRESSED
+    # (warm scoring stage 6.5 exec-s fold vs 8.9 exec-s kernel even after
+    # vectorizing the kernel's validation) — the pair-expanded vectors
+    # (both sides, ~1 KB/pair) must cross the Arrow boundary for the
+    # kernel, and that transfer costs more than the interpreted fold's
+    # per-pair arithmetic. Corpora that want the GEMM shape use
+    # brute_force_topk_vectorized, which ships each corpus vector across
+    # the boundary ONCE (not once per pair).
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("match_id")).select(
         "query_id",
         "match_id",
-        F.round(_cosine_pairs_udf()(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
@@ -1023,6 +1027,34 @@ def _cosine_pairs_udf():
         n = len(a)
         out = pd.array([None] * n, dtype="Float64")
         if not n:
+            return pd.Series(out)
+        # Fast path: a well-formed batch (no NULL vectors, one dim)
+        # converts wholesale at C speed — the per-row validation loop
+        # below cost ~190 µs/pair and made this kernel SLOWER than the
+        # interpreted fold it replaced (measured r11: 11.5 vs 6.5
+        # executor-seconds on the q20 brute stage). np.array raises on
+        # ragged/None input, routing malformed batches to the slow path
+        # with identical semantics.
+        try:
+            A = np.array(a.tolist(), dtype=np.float64)
+            B = np.array(b.tolist(), dtype=np.float64)
+        except (ValueError, TypeError):
+            A = B = None
+        if (
+            A is not None
+            and A.ndim == 2
+            and A.shape == B.shape
+        ):
+            dots = (A * B).sum(axis=1)
+            denom = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            # NaN components → NULL (mask), zero-norm pairs → NULL
+            ok = (
+                (denom > 0)
+                & ~np.isnan(A).any(axis=1)
+                & ~np.isnan(B).any(axis=1)
+            )
+            vals = dots[ok] / denom[ok]
+            out[np.nonzero(ok)[0]] = vals
             return pd.Series(out)
         buckets: dict[int, list[tuple[int, object, object]]] = {}
         for i in range(n):
