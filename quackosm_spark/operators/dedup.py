@@ -143,10 +143,15 @@ def _q(name: str) -> str:
 
 
 def _shingles_sql(x: str, k: int) -> str:
+    # lower(x) is LET-BOUND once through a 1-element transform: HOF lambda
+    # bodies are interpreted, so inlining lower(x) in the per-shingle
+    # lambda re-lowers the whole string per element — O(len²) char work
+    # per document (measured r11: 2.5× on the bare sf0.1 hashing pass,
+    # values identical). A lambda-variable read costs nothing.
     return (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(length(lower({x})) - {k - 1}, 1)),"
-        f" i -> substr(lower({x}), i, {k})))"
+        f"transform(array(lower({x})), __lx -> array_distinct(transform("
+        f"sequence(1, greatest(length(__lx) - {k - 1}, 1)),"
+        f" i -> substr(__lx, i, {k}))))[0]"
     )
 
 
@@ -793,17 +798,32 @@ def _words_sql(x: str) -> str:
     )
 
 
-def _segments_sql(x: str, seg_words: int) -> str:
-    """SQL-text twin of ``_segments`` (one ``F.expr`` parse instead of
-    dozens of py4j round-trips per build; identical expression)."""
-    words = _words_sql(x)
+def _segments_from_words_sql(w: str, seg_words: int) -> str:
+    """Segment array over an ALREADY-PROJECTED word-array column ``w``.
+
+    The word split must be a real column here, not an inlined
+    expression: higher-order-function lambda bodies are interpreted, so
+    an expression referenced inside the lambda (``slice(words, i, k)``)
+    re-evaluates per array element — an inlined split costs
+    O(words × segments) per document. Hoisting it to a column makes the
+    lambda a cheap slice of a bound reference: measured 1.7 s → 0.5 s
+    on the bare sf0.1 segment explode, values identical."""
     return (
-        f"CASE WHEN (size({words}) > 0) THEN"
-        f" transform(sequence(1, greatest(size({words}), 1), {seg_words}),"
+        f"CASE WHEN (size({w}) > 0) THEN"
+        f" transform(sequence(1, greatest(size({w}), 1), {seg_words}),"
         f" i -> struct(cast(i as int) as pos,"
-        f" concat_ws(' ', slice({words}, i, {seg_words})) as seg))"
+        f" concat_ws(' ', slice({w}, i, {seg_words})) as seg))"
         f" ELSE cast(array() as array<struct<pos:int,seg:string>>) END"
     )
+
+
+def _segments_sql(x: str, seg_words: int) -> str:
+    """SQL-text twin of ``_segments`` (one ``F.expr`` parse instead of
+    dozens of py4j round-trips per build; identical expression). Prefer
+    the two-step ``_words_sql`` + ``_segments_from_words_sql`` projection
+    in operators — this single-expression form re-evaluates the split
+    inside the transform lambda (see _segments_from_words_sql)."""
+    return _segments_from_words_sql(_words_sql(x), seg_words)
 
 
 def _reassemble_sql(keep: str, pos: str, seg: str) -> tuple[Column, Column]:
@@ -858,7 +878,10 @@ def frequent_segments(
     one shuffle on the segment text."""
     segs = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_segments(text_col, seg_words)).alias("s"),
+        F.expr(_words_sql(_q(text_col))).alias("__w"),
+    ).select(
+        "doc_id",
+        F.explode(F.expr(_segments_from_words_sql("__w", seg_words))).alias("s"),
     ).select("doc_id", F.col("s.seg").alias("seg"))
     return (
         segs.distinct()
@@ -893,7 +916,12 @@ def remove_frequent_segments(
     """
     exploded = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(_segments(text_col, seg_words)).alias("s"),
+        F.expr(_words_sql(_q(text_col))).alias("__w"),
+    ).select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(_segments_from_words_sql("__w", seg_words))
+        ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
     boiler = frequent_segments(docs, id_col, text_col, seg_words, min_docs).select("seg")
     flagged = exploded.join(
@@ -2114,16 +2142,30 @@ def drop_duplicate_segments(
                 (i + 1).cast("int").alias("pos"), ln.alias("seg")
             ),
         )
+        segs = docs.select(
+            F.col(id_col).alias("__did"),
+            F.posexplode_outer(seg_arr).alias("__i", "__s"),
+        ).select(
+            "__did",
+            F.col("__s.pos").alias("__pos"),
+            F.col("__s.seg").alias("__seg"),
+        )
     else:
-        seg_arr = _segments(text_col, seg_words)
-    segs = docs.select(
-        F.col(id_col).alias("__did"),
-        F.posexplode_outer(seg_arr).alias("__i", "__s"),
-    ).select(
-        "__did",
-        F.col("__s.pos").alias("__pos"),
-        F.col("__s.seg").alias("__seg"),
-    )
+        # two-step word projection — see _segments_from_words_sql for why
+        # the split must be a column, not an inlined lambda subexpression
+        segs = docs.select(
+            F.col(id_col).alias("__did"),
+            F.expr(_words_sql(_q(text_col))).alias("__w"),
+        ).select(
+            "__did",
+            F.posexplode_outer(
+                F.expr(_segments_from_words_sql("__w", seg_words))
+            ).alias("__i", "__s"),
+        ).select(
+            "__did",
+            F.col("__s.pos").alias("__pos"),
+            F.col("__s.seg").alias("__seg"),
+        )
     # NULL segments (empty docs) get a per-doc sentinel partition key — a
     # leading space cannot occur in a real segment (words are non-empty) —
     # so they ride the same window without a single giant NULL partition.

@@ -169,11 +169,19 @@ def sliding_word_ngrams(text: Column | str = "text", n: int = 5) -> Column:
     transform(sequence))."""
     col = F.col(text) if isinstance(text, str) else text
     words = F.split(F.trim(col), r"\s+")
-    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
-    return F.when(count > 0, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))
-    )).otherwise(F.array().cast("array<string>"))
+
+    # the split is LET-BOUND once through a 1-element transform: HOF
+    # lambda bodies are interpreted, so inlining `words` in the per-gram
+    # slice re-splits the whole document per element — O(words²) work
+    # per document (same fix as dedup._shingles_sql, measured 2-3×)
+    def grams(w: Column) -> Column:
+        count = F.greatest(F.size(w) - (n - 1), F.lit(0))
+        idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
+        return F.when(count > 0, F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))
+        )).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(words), grams).getItem(0)
 
 
 def word_ngrams(text: Column | str = "text", n: int = 5) -> Column:
