@@ -45,6 +45,37 @@ def _pin_partitions(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's ``sizeInBytes`` estimate of the frame's optimized
+    plan — driver-side only (no job runs), the same statistic Spark's
+    own planner uses to decide broadcast joins. Crude in the same ways
+    (filters don't shrink it without CBO, local relations are exact),
+    which is fine: it gates a regime choice whose two sides produce
+    identical output."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _unguarded_broadcast_cap() -> int:
+    """Max estimated SOURCE bytes for which the unguarded shingle-pair
+    regime may broadcast its full inverted index (the fast small-corpus
+    plan) instead of prefix-filtering. The estimate is compressed
+    source bytes while the hashed index is ~8 B per character
+    (~20-30× the estimate on these corpora), so the default 8 MB caps
+    the broadcast relation around the low hundreds of MB — the
+    measured sf1-scale index (3.5 MB estimate) broadcast 46 MB and ran
+    fine, while the 100× point (37 MB estimate) must take the prefix
+    plan (the broadcast plan died there with a GC allocation failure).
+    Env-tunable for clusters whose memory budget or compression ratio
+    differs (``SPARK_GRAFT_SHINGLE_BROADCAST_CAP`` bytes; 0 forces the
+    prefix regime everywhere, which the oracle gate and the prefix
+    differential test use)."""
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_SHINGLE_BROADCAST_CAP", str(8 << 20))
+    )
+
+
 _SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, bool]" = (
     weakref.WeakKeyDictionary()
 )
@@ -349,11 +380,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact jaccard over char shingles for pairs sharing ≥1 shingle.
+    """Exact jaccard over char shingles for every pair at or above
+    ``threshold``.
 
-    inverted index (shingle → docs) self-join → |∩| per pair via groupBy →
-    jaccard with |A∪B| = |A|+|B|−|∩|. Never materializes non-overlapping
-    pairs. Returns (doc_a, doc_b, jaccard).
+    Inverted index (shingle → docs), candidates pruned by the smaller
+    side's rarest-first prefix (exact — see _shingle_overlap_pairs),
+    |∩| verified on the full shingle arrays, jaccard with
+    |A∪B| = |A|+|B|−|∩|. Never materializes non-overlapping pairs.
+    Returns (doc_a, doc_b, jaccard).
 
     ``max_df`` guards against hot shingles going quadratic in the inverted
     index (the 100 TB scale-killer, VERDICT r01): shingles with document
@@ -394,10 +428,14 @@ def _shingle_overlap_pairs(
     max_df: int | None,
 ) -> DataFrame:
     """Shared inverted-index machinery behind `ngram_jaccard_pairs` and
-    `containment_pairs`: (doc_a, doc_b, n_common, n_a, n_b) for every
-    doc pair sharing ≥1 (indexed) shingle, doc_a < doc_b. ``threshold``
-    only feeds the max_df hot-shingle fallback condition (see the
-    jaccard docstring for the completeness proof, which is
+    `containment_pairs`: (doc_a, doc_b, n_common, n_a, n_b) with
+    doc_a < doc_b for a candidate-pruned superset of every pair whose
+    jaccard OR containment can reach ``threshold`` (both metrics imply
+    |∩| ≥ t·min(|A|,|B|), the bound the unguarded prefix filter uses);
+    n_common/n_a/n_b are always exact (full-array verify), so the
+    callers' ≥ t filter yields output identical to an unpruned plan.
+    With ``max_df`` the pruning is the hot-shingle cap instead (see the
+    jaccard docstring for its completeness proof, which is
     jaccard-specific — `containment_pairs` documents its weaker
     guarantee)."""
     # hashed-bigint join keys (cheaper shuffle + probe than 5-char strings);
@@ -457,44 +495,20 @@ def _shingle_overlap_pairs(
             )
             .distinct()
         )
-        # exact verify on the full arrays — the df cap is invisible in the
-        # emitted (doc_a, doc_b, jaccard) rows; sizes come from the arrays
-        # already in hand, not a separate join
-        return (
-            cand.join(
-                sh_arr.select(
-                    F.col("doc_id").alias("doc_a"), F.col("hs").alias("__hs_a")
-                ),
-                "doc_a",
-            )
-            .join(
-                sh_arr.select(
-                    F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hs_b")
-                ),
-                "doc_b",
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("__hs_a", "__hs_b"))
-                .cast("long")
-                .alias("n_common"),
-                F.size("__hs_a").alias("n_a"),
-                F.size("__hs_b").alias("n_b"),
-            )
-        )
-    else:
-        # Unguarded = the broadcastable-index regime: exact all-pairs
-        # jaccard without a df cap is only tractable when the inverted
-        # index is modest, so BROADCAST it — the stream side then never
-        # shuffles and the pair fan-out parallelizes over the scan
-        # partitions. (Without the hint, a cached-stats replan was
-        # observed to flip to SMJ whose 46 MB input AQE coalesced to ONE
-        # partition — the whole 5·10⁷-pair explosion went single-threaded.
-        # Partitioning by shingle instead concentrates hot-key fan-out:
-        # measured 43 s → 227 s at 10× bench scale.) Corpora whose index
-        # outgrows a broadcast must use max_df= or prefix_jaccard_pairs —
-        # exact unguarded pairs are quadratic there regardless of plan.
+    elif _plan_size_bytes(docs) <= _unguarded_broadcast_cap():
+        # Unguarded SMALL-index regime: the whole exploded index fits a
+        # broadcast (Catalyst's own sizeInBytes estimate of the input,
+        # the statistic Spark's planner picks broadcast joins with), so
+        # generate every co-occurring pair in one broadcast-probe
+        # codegen pipeline straight into the partial aggregate — no
+        # exchange touches the fan-out, measured 3× faster than the
+        # prefix regime below at bench scale (1.3 s vs 4.4 s warm q17
+        # at sf0.1, same output). (Without the hint, a cached-stats
+        # replan was observed to flip to SMJ whose 46 MB input AQE
+        # coalesced to ONE partition — the whole 5·10⁷-pair explosion
+        # went single-threaded. Partitioning by shingle instead
+        # concentrates hot-key fan-out: measured 43 s → 227 s at 10×
+        # bench scale.)
         return (
             sh.alias("a")
             .join(
@@ -511,6 +525,114 @@ def _shingle_overlap_pairs(
             .agg(F.count("*").alias("n_common"))
             .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
         )
+    else:
+        # Unguarded AT-SCALE regime, r11: ASYMMETRIC prefix filter. The
+        # broadcast plan above generates EVERY co-occurring pair before
+        # the callers' threshold filter — hot (boilerplate) shingles
+        # make that quadratic in their document frequency, measured as
+        # a JVM allocation death at 100× bench scale (the 10× point
+        # already ran 5·10⁷ candidates). Both public callers emit only
+        # pairs with score ≥ threshold, and both metrics (jaccard ≥ t
+        # AND containment ≥ t) imply |A∩B| ≥ t·min(|A|,|B|), so by
+        # pigeonhole ANY (n − ceil(t·n) + 1)-subset of the SMALLER side
+        # must contain a common shingle. Probe with that prefix —
+        # canonically ordered by ascending global df so the hottest
+        # shingles never enter the probe side — against the FULL index
+        # (full, not prefixed: the containment bound only constrains
+        # the smaller side, unlike prefix_jaccard_pairs' symmetric
+        # jaccard-only filter). Candidate volume is bounded by prefix
+        # co-occurrence instead of raw co-occurrence; the exact verify
+        # below keeps the output bit-identical to the broadcast plan
+        # after the callers' filter (oracle-checked at sf0.01 AND sf0.1
+        # with the cap forced to 0; measured at 100×: DNF → 753 s).
+        freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+        # (df, sh) packed into ONE bigint sort key — correctness only
+        # needs SOME globally consistent total order plus the per-doc
+        # count bound, so df saturates at 2³¹−1 (ties among ultra-hot
+        # shingles break on sh) and array_sort runs its primitive fast
+        # path instead of the interpreted struct comparator (measured
+        # 14 → 2 exec-s on the bench corpus). sh is a 32-bit value
+        # (md5-prefix hash), so the packed key stays within int64.
+        _KEY = F.least(F.col("__df"), F.lit(2**31 - 1)) * F.lit(
+            2**32
+        ) + F.col("sh")
+        ordered = (
+            # df join co-keyed on the shingle with NO broadcast hint —
+            # a web-scale shingle vocabulary is 10⁸+ rows (see
+            # prefix_jaccard_pairs); AQE localizes it when it fits
+            sh.join(freq, "sh")
+            .groupBy("doc_id", "n_sh")
+            .agg(F.array_sort(F.collect_list(_KEY)).alias("__o"))
+        )
+        # 1e-6 slack: callers qualify on round(score, 6) ≥ t, so a
+        # qualifying pair can owe the probe side as little as
+        # (t − 5e-7)·n common shingles; the slack also swallows FP noise
+        # in the double product (the prefix_jaccard_pairs ceil lesson —
+        # an over-rounded ceil SHORTENS the prefix and silently drops
+        # qualifying pairs).
+        t_adj = max(threshold - 1e-6, 0.0)
+        prefix_len = (
+            F.col("n_sh")
+            - F.ceil(F.round(F.col("n_sh") * t_adj, 6)).cast("int")
+            + 1
+        )
+        probe = ordered.select(
+            "doc_id",
+            "n_sh",
+            F.explode(F.slice("__o", F.lit(1), prefix_len)).alias("__k"),
+        ).select(
+            "doc_id",
+            "n_sh",
+            (F.col("__k") % F.lit(2**32)).alias("sh"),
+        )
+        # smaller-set side probes (ties by id) — strict, so no self-pairs
+        cand = (
+            _pin_partitions(probe, "sh")
+            .alias("a")
+            .join(
+                _pin_partitions(sh.select("doc_id", "n_sh", "sh"), "sh")
+                .alias("b"),
+                (F.col("a.sh") == F.col("b.sh"))
+                & (
+                    (F.col("a.n_sh") < F.col("b.n_sh"))
+                    | (
+                        (F.col("a.n_sh") == F.col("b.n_sh"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id"))
+                    )
+                ),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    # exact verify on the full arrays — candidate pruning (df cap or
+    # prefix filter) is invisible in the emitted rows; sizes come from
+    # the arrays already in hand, not a separate join
+    return (
+        cand.join(
+            sh_arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("hs").alias("__hs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hs_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__hs_a", "__hs_b"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("__hs_a").alias("n_a"),
+            F.size("__hs_b").alias("n_b"),
+        )
+    )
 
 
 def containment_pairs(
@@ -540,10 +662,12 @@ def containment_pairs(
     guarantee is WEAKER here: the jaccard completeness proof needs
     |∩| ≥ t·max(n_a, n_b), containment only promises t·min — a pair
     whose entire overlap is hot shingles can be missed when only its
-    LARGER side is non-dominated. Unguarded mode is exact; with max_df
-    treat the output as high-recall-not-complete (hot shingles are
-    boilerplate — exactly what containment hunts, so prefer raising the
-    broadcast regime's capacity over capping when exactness matters).
+    LARGER side is non-dominated. Unguarded mode is exact — its r11
+    asymmetric prefix filter's t·min bound is exactly containment's own
+    (see _shingle_overlap_pairs), so hot boilerplate shingles are pruned
+    from the probe side without losing a qualifying pair. With max_df
+    treat the output as high-recall-not-complete; prefer the exact
+    unguarded mode when exactness matters.
     """
     overlaps = _shingle_overlap_pairs(
         docs, id_col, text_col, shingle, threshold, max_df

@@ -200,6 +200,68 @@ def test_prefix_jaccard_matches_bruteforce(spark, seed, threshold):
     assert got == pytest.approx(expected)
 
 
+@pytest.mark.parametrize(
+    "seed,threshold,cap",
+    [(41, 0.2, None), (42, 0.5, None), (41, 0.2, "0"), (42, 0.5, "0")],
+)
+def test_unguarded_shingle_pairs_prefix_filter_is_invisible(
+    spark, seed, threshold, cap, monkeypatch
+):
+    """r11: the unguarded path's regime choice must be invisible — exact
+    same pair set + scores as O(n²) brute force for BOTH metrics, in
+    BOTH regimes (cap=None → the broadcast small-index plan; cap="0"
+    forces the at-scale asymmetric prefix filter: rarest-first probe of
+    the smaller side vs the full index), on a corpus where EVERY doc
+    shares hot boilerplate shingles (the candidate-explosion case the
+    prefix filter exists to prune)."""
+    from quackosm_spark.operators import dedup as D
+
+    if cap is not None:
+        monkeypatch.setenv("SPARK_GRAFT_SHINGLE_BROADCAST_CAP", cap)
+
+    rng = random.Random(seed)
+    boiler = "call now and subscribe to our newsletter today"
+    docs = []
+    for i in range(40):
+        body = " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 10)))
+        docs.append((i, (body + " " + boiler).strip()))
+    for i in range(6):  # true near-dups / containments of the first six
+        docs.append((100 + i, docs[i][1] + " bonus"))
+
+    def shingles(t):
+        t = t.lower()
+        # mirrors char_shingles: substr(i, 5) for i in 1..max(len-4, 1)
+        return {t[k:k + 5] for k in range(max(len(t) - 4, 1))}
+
+    sets = {i: shingles(t) for i, t in docs}
+    ids = sorted(sets)
+    exp_j, exp_c = {}, {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = round(inter / len(sets[a] | sets[b]), 6)
+            c = round(inter / min(len(sets[a]), len(sets[b])), 6)
+            if j >= threshold:
+                exp_j[(a, b)] = j
+            if c >= threshold:
+                exp_c[(a, b)] = c
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got_j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    got_c = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(df, threshold=threshold).collect()
+    }
+    assert got_j == pytest.approx(exp_j)
+    assert got_c == pytest.approx(exp_c)
+
+
 @pytest.mark.parametrize("seed", [11, 12])
 def test_bpe_tokens_match_python_reference_random(spark, seed):
     """r03: the Column replace-chain BPE apply vs a per-word python BPE
