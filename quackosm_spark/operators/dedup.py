@@ -544,7 +544,7 @@ def _shingle_overlap_pairs(
         # co-occurrence instead of raw co-occurrence; the exact verify
         # below keeps the output bit-identical to the broadcast plan
         # after the callers' filter (oracle-checked at sf0.01 AND sf0.1
-        # with the cap forced to 0; measured at 100×: DNF → 753 s).
+        # with the cap forced to 0; measured at 100×: DNF → 552 s).
         freq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
         # (df, sh) packed into ONE bigint sort key — correctness only
         # needs SOME globally consistent total order plus the per-doc
