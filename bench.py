@@ -34,6 +34,31 @@ HEADLINE = [
 ]
 
 
+def _probe_loop(_: int) -> int:
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
+def multicore_probe(nproc: int) -> float:
+    """Multi-core health anchor: run the SAME 20M-iteration loop as
+    cpu_microbench on nproc processes at once and return the wall-clock
+    seconds. On a healthy box the wall is close to the single-process
+    time plus ~0.5 s of pool startup (perfect parallelism); the r11
+    incident showed a throttle mode where 32-thread throughput degrades
+    3-6x while the single-core anchor stays healthy — this probe sees
+    that mode directly. Health criterion: multicore_sec / microbench_sec
+    <= ~2 is healthy; >> 2 means the window is throttled and the run's
+    walls are not comparable round-over-round."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.perf_counter()
+    with ProcessPoolExecutor(max_workers=nproc) as ex:
+        list(ex.map(_probe_loop, range(nproc)))
+    return round(time.perf_counter() - t0, 3)
+
+
 def cpu_microbench() -> float:
     """Single-core python-loop anchor (the SCALE.md calibration bench):
     time a fixed 20M-iteration integer loop on one core. ~1.2 s on this
@@ -50,8 +75,10 @@ def cpu_microbench() -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     loadavg_start = list(os.getloadavg())
     micro_before = cpu_microbench()
+    multicore_before = multicore_probe(cpus)
 
     import __spark_entry__ as entrymod
     from quackosm_spark.session import get_spark
@@ -100,6 +127,7 @@ def main() -> None:
         print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
 
     micro_after = cpu_microbench()
+    multicore_after = multicore_probe(cpus)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -117,6 +145,15 @@ def main() -> None:
                     "microbench_sec_before": micro_before,
                     "microbench_sec_after": micro_after,
                     "microbench_reference_sec": 1.2,
+                    # multi-core health probe (r12): same loop on all
+                    # $SPARK_GRAFT_CPUS cores at once; healthy when
+                    # multicore_sec / microbench_sec <= ~2. The r11
+                    # 32-core leg was throttled in a way the single-core
+                    # anchor did not see; this field makes that mode
+                    # visible in the artifact itself.
+                    "multicore_sec_before": multicore_before,
+                    "multicore_sec_after": multicore_after,
+                    "multicore_nproc": cpus,
                     "loadavg_start": [round(v, 2) for v in loadavg_start],
                     "loadavg_end": [round(v, 2) for v in os.getloadavg()],
                     "protocol": "best-of-2",
