@@ -14,6 +14,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pagerank_round(
+    nodes: DataFrame,
+    contrib_edges: DataFrame,
+    outdeg: DataFrame,
+    pr: DataFrame,
+    n: int,
+    damping: float,
+) -> DataFrame:
+    """Build one PageRank round's (node, pr) DataFrame, unmaterialized.
+
+    The dangling mass is a 1-row aggregate attached via broadcast
+    cross-join rather than collected to the driver, so materializing the
+    returned frame is the round's ONLY action. Arithmetic is identical to
+    the collected-scalar form: ``dm / n`` is the same IEEE double divide
+    whether the numerator is a Python float or a column.
+    """
+    dm = pr.join(outdeg, "node", "left_anti").agg(
+        F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+    )
+    inflow = (
+        contrib_edges.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
+    )
+    return (
+        nodes.join(inflow, "node", "left")
+        .crossJoin(F.broadcast(dm))
+        .select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (
+                    F.coalesce("inflow", F.lit(0.0))
+                    + F.col("dm") / F.lit(float(n))
+                )
+            ).alias("pr"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -27,20 +68,25 @@ def pagerank(
     ``iterations`` rounds — so the result is reproducible and (unrolled)
     even expressible as SQL CTEs for cross-engine verification.
 
-    Scale shape: rank state is one (node, pr) table partitioned on node;
-    each round shuffles edge contributions once on dst and reuses the
-    broadcast/exchange of the static outdeg table. The only driver values
-    are two scalars per round (n is hoisted, dangling mass is a 1-row agg)
-    — node/edge data never leaves the executors. State is persisted and
-    the previous round unpersisted, keeping lineage flat.
+    Scale shape: the loop-invariant ``edges ⋈ outdeg`` join is hoisted out
+    of the loop and the joined (src, dst, deg) table is hash-partitioned
+    on ``src`` — the per-round join key — and persisted once, so every
+    round's contribution join reuses the cached partitioning and only the
+    O(V) rank table moves. Each round is ONE action: the dangling mass is
+    a broadcast 1-row aggregate inside the round plan, not a driver
+    collect. State is persisted and the previous round unpersisted,
+    keeping lineage flat; node/edge data never leaves the executors.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
@@ -49,28 +95,22 @@ def pagerank(
         .agg(F.count("*").alias("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    contrib_edges = (
+        e.join(outdeg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "deg")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # One setup job materializes e, outdeg and contrib_edges together;
+    # e is superseded by contrib_edges for everything inside the loop.
+    contrib_edges.count()
+    e.unpersist()
     pr = nodes.withColumn("pr", F.lit(1.0 / n)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     for _ in range(iterations):
-        dm = (
-            pr.join(outdeg, "node", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        inflow = (
-            e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(outdeg.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
-        )
-        new_pr = nodes.join(inflow, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dm / n))
-            ).alias("pr"),
+        new_pr = _pagerank_round(
+            nodes, contrib_edges, outdeg, pr, n, damping
         ).persist(StorageLevel.MEMORY_AND_DISK)
         new_pr.count()
         pr.unpersist()
