@@ -51,8 +51,16 @@ def _plan_size_bytes(df: DataFrame) -> int:
     own planner uses to decide broadcast joins. Crude in the same ways
     (filters don't shrink it without CBO, local relations are exact),
     which is fine: it gates a regime choice whose two sides produce
-    identical output."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    identical output. ``_jdf`` is a py4j internal absent under Spark
+    Connect (and any non-JVM DataFrame); degrade to "infinitely large"
+    there so the gate picks the always-correct prefix regime instead of
+    raising (ADVICE r11)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — Spark Connect / non-py4j frames
+        return 2**63 - 1
 
 
 def _unguarded_broadcast_cap() -> int:
@@ -71,21 +79,37 @@ def _unguarded_broadcast_cap() -> int:
     differential test use)."""
     import os
 
-    return int(
-        os.environ.get("SPARK_GRAFT_SHINGLE_BROADCAST_CAP", str(8 << 20))
-    )
+    raw = os.environ.get("SPARK_GRAFT_SHINGLE_BROADCAST_CAP", str(8 << 20))
+    try:
+        return int(raw)
+    except ValueError as exc:  # clear message instead of a bare int() error
+        raise ValueError(
+            "SPARK_GRAFT_SHINGLE_BROADCAST_CAP must be an integer byte "
+            f"count (got {raw!r})"
+        ) from exc
 
 
 _SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, bool]" = (
     weakref.WeakKeyDictionary()
 )
-# (session id, analyzed-plan semanticHash) → narrow? The plan-keyed tier
-# survives the caller constructing a semantically identical frame anew
-# (every bench/driver run rebuilds `docs.where(...)` from scratch — the
-# object-keyed tier alone misses then, and the probe's physical planning
-# costs ~100 ms of driver time per call; measured r11 §1). Bounded: one
-# small entry per distinct operator input plan per session.
-_SPREAD_PLAN_MEMO: dict[tuple[int, int], bool] = {}
+
+
+def _spread_plan_memo(spark) -> dict[int, bool]:
+    """Per-session {analyzed-plan semanticHash → narrow?} memo, stored ON
+    the session object (the ``_quackosm_pkg_shipped`` idiom) so entries
+    die with the session — an id()-keyed module dict could alias a new
+    session to a GC'd one's verdicts (ADVICE r11/VERDICT #7). The
+    plan-keyed tier survives the caller constructing a semantically
+    identical frame anew (every bench/driver run rebuilds
+    ``docs.where(...)`` from scratch — the object-keyed tier alone misses
+    then, and the probe's physical planning costs ~100 ms of driver time
+    per call; measured r11 §1). Bounded: one small entry per distinct
+    operator input plan per session."""
+    memo = getattr(spark, "_quackosm_spread_memo", None)
+    if memo is None:
+        memo = {}
+        spark._quackosm_spread_memo = memo
+    return memo
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -112,11 +136,12 @@ def _spread(df: DataFrame) -> DataFrame:
     target = sc.defaultParallelism
     narrow = _SPREAD_MEMO.get(df)
     if narrow is None:
-        plan_key = (id(df.sparkSession), df.semanticHash())
-        narrow = _SPREAD_PLAN_MEMO.get(plan_key)
+        plan_memo = _spread_plan_memo(df.sparkSession)
+        plan_key = df.semanticHash()
+        narrow = plan_memo.get(plan_key)
         if narrow is None:
             narrow = df.rdd.getNumPartitions() < target
-            _SPREAD_PLAN_MEMO[plan_key] = narrow
+            plan_memo[plan_key] = narrow
         _SPREAD_MEMO[df] = narrow
     return df.repartition(target) if narrow else df
 
@@ -571,10 +596,15 @@ def _shingle_overlap_pairs(
         # an over-rounded ceil SHORTENS the prefix and silently drops
         # qualifying pairs).
         t_adj = max(threshold - 1e-6, 0.0)
-        prefix_len = (
+        # greatest(…, 0): threshold > 1 (nonsensical but tolerated by the
+        # other regimes, which return empty) would make the length
+        # negative and F.slice raise; an empty prefix yields the same
+        # empty candidate set the broadcast regime produces (ADVICE r11)
+        prefix_len = F.greatest(
             F.col("n_sh")
             - F.ceil(F.round(F.col("n_sh") * t_adj, 6)).cast("int")
-            + 1
+            + 1,
+            F.lit(0),
         )
         probe = ordered.select(
             "doc_id",
