@@ -1130,21 +1130,198 @@ def semantic_duplicates(
     )
 
 
+def _semantic_drop_ids_blocked(
+    vecs: DataFrame, threshold: float, num_blocks: int
+) -> DataFrame:
+    """The SemDeDup drop-set via per-cluster block-pair GEMM — output
+    IDENTICAL to ``semantic_duplicates(...).select(id_b).distinct()``.
+
+    Why not the pair join: the within-cluster theta-join is equi on the
+    cluster key only, so its parallelism is capped at the number of
+    clusters (measured r12: q53 at 100× bench scale = 2·10⁹ pairs on ONE
+    task via a broadcast join that preserves the 1-partition scan side —
+    DNF >10 min) and every pair pays the interpreted zip_with/aggregate
+    fold. Here each vector is hashed into ``num_blocks`` groups, every
+    (cluster, dim, block-pair) becomes one task (guide §2.5 salting),
+    and the task scores its pair of blocks with one float64 GEMM
+    (guide §4.2).
+
+    Identity argument (the ``embedding_near_duplicates_blocked`` pattern,
+    widened): both the GEMM and the Column fold compute the same cosine
+    within ≤ ~(dim+2)·ulp ABSOLUTE error (Cauchy–Schwarz bounds the dot's
+    error by the norm product, so the quotient's error never inflates),
+    which is ~1e-14 — far inside the ±1e-4 decision band. A pair whose
+    GEMM score clears threshold + 1e-4 is a definite drop under the
+    baseline's round-6 filter; below threshold − 1e-4 a definite keep;
+    inside the band the pair is re-scored with the ORIGINAL
+    ``round(cosine_similarity(...), 6) >= threshold`` expression, so the
+    boundary decision is bit-for-bit the baseline's. Malformed vectors
+    (NULL, NaN/±inf components, zero or overflowing norm, dim mismatches,
+    NULL cluster) never enter the GEMM: they are routed to an exact
+    fallback join that evaluates the baseline expression itself
+    (NaN-cosine semantics included). Callers must pass ``vecs`` as
+    (cluster, vid, v: array<double>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    t = float(threshold)
+    band = 1e-4
+
+    sumsq = F.aggregate(
+        F.transform("v", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # finite_ok: exactly the vectors whose every pairwise cosine is a
+    # well-defined finite number the GEMM reproduces. The 1e300 norm cap
+    # keeps the pairwise norm PRODUCT finite (1e150·1e150), so no
+    # overflow path diverges from the fold.
+    finite_ok = (
+        F.col("v").isNotNull()
+        & F.col("cluster").isNotNull()
+        & ~F.exists(
+            "v", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        )
+        & (sumsq > 0)
+        & (sumsq < 1e300)
+    )
+    good = vecs.where(finite_ok).select(
+        "cluster",
+        "vid",
+        "v",
+        F.size("v").alias("dim"),
+        F.pmod(F.xxhash64("vid"), F.lit(num_blocks)).alias("g"),
+    )
+
+    id_type = dict(vecs.dtypes)["vid"]
+    out_schema = f"vid {id_type}, partner {id_type}"
+
+    def _flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = int(pdf["lo"].iloc[0])
+        hi = int(pdf["hi"].iloc[0])
+        a_rows = pdf[pdf["g"] == lo]
+        b_rows = pdf[pdf["g"] == hi] if hi != lo else a_rows
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame({"vid": [], "partner": []})
+        ma = np.asarray(a_rows["v"].tolist(), dtype=np.float64)
+        mb = np.asarray(b_rows["v"].tolist(), dtype=np.float64)
+        ids_a = a_rows["vid"].to_numpy()
+        ids_b = b_rows["vid"].to_numpy()
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1))
+        sims = (ma @ mb.T) / np.outer(na, nb)
+        ii, jj = np.nonzero(sims >= t - band)
+        out_v, out_p = [], []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            va, vb = ids_a[i], ids_b[j]
+            # same-block tasks see each unordered pair twice; keep the
+            # va < vb orientation (also skips the i == j self-pair)
+            if lo == hi and not va < vb:
+                continue
+            dropped, keeper = (vb, va) if va < vb else (va, vb)
+            if sims[i, j] >= t + band:
+                out_v.append(dropped)
+                out_p.append(None)  # definite under the error bound
+            else:
+                out_v.append(dropped)
+                out_p.append(keeper)  # boundary: exact re-score below
+        return pd.DataFrame({"vid": out_v, "partner": out_p})
+
+    flags = (
+        good.withColumn(
+            "h", F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1)))
+        )
+        .withColumn("lo", F.least("g", "h"))
+        .withColumn("hi", F.greatest("g", "h"))
+        .where((F.col("g") == F.col("lo")) | (F.col("g") == F.col("hi")))
+        .groupBy("cluster", "dim", "lo", "hi")
+        .applyInPandas(_flags, out_schema)
+    )
+    definite = flags.where(F.col("partner").isNull()).select("vid")
+    rescored = (
+        flags.where(F.col("partner").isNotNull())
+        .join(
+            good.select(F.col("vid"), F.col("v").alias("__va")), "vid"
+        )
+        .join(
+            good.select(
+                F.col("vid").alias("partner"), F.col("v").alias("__vb")
+            ),
+            "partner",
+        )
+        .where(
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6) >= t
+        )
+        .select("vid")
+    )
+    # malformed × anything pairs: evaluate the baseline expression itself
+    # (a NaN cosine from ±inf components qualifies under Spark's NaN
+    # ordering exactly as in the pair join; NULL cosines never do)
+    weird = vecs.where(F.col("cluster").isNotNull() & ~finite_ok)
+    wx = vecs.where(F.col("cluster").isNotNull())
+    weird_dropped = (
+        weird.alias("w")
+        .join(
+            wx.alias("x"),
+            (F.col("w.cluster") == F.col("x.cluster"))
+            & (F.col("w.vid") != F.col("x.vid")),
+        )
+        .where(
+            F.round(cosine_similarity(F.col("w.v"), F.col("x.v")), 6) >= t
+        )
+        .select(
+            F.when(F.col("w.vid") < F.col("x.vid"), F.col("x.vid"))
+            .otherwise(F.col("w.vid"))
+            .alias("vid")
+        )
+    )
+    return definite.union(rescored).union(weird_dropped).distinct()
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     cluster_col: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Keep-set after SemDeDup: drop every vector that has a near-duplicate
     with a SMALLER id in its cluster (deterministic keep-lowest rule; one
-    survivor per duplicate chain seed). Returns the kept (id_col, cluster)."""
-    dropped = (
-        semantic_duplicates(embeddings, cluster_col, id_col, vec_col, threshold)
-        .select(F.col("id_b").alias("vid"))
-        .distinct()
+    survivor per duplicate chain seed). Returns the kept (id_col, cluster).
+
+    The drop-set is computed with the block-pair GEMM kernel
+    (``_semantic_drop_ids_blocked``): the naive within-cluster pair join
+    is equi on the cluster key only, so both its parallelism (≤ number of
+    clusters) and its per-pair interpreted fold collapse at scale —
+    measured r12 at 100× bench scale as a single-task 2·10⁹-pair DNF.
+    ``num_blocks`` defaults to ~sqrt(2·defaultParallelism) so the
+    block-pair grid saturates the cluster; raise it for very large
+    clusters (per-task memory is O((cluster_size/num_blocks)² ) for the
+    scores matrix). Exotic id types (non integer/string) fall back to the
+    reference pair join."""
+    vecs = embeddings.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
+    id_type = dict(vecs.dtypes)["vid"]
+    if id_type in ("tinyint", "smallint", "int", "bigint", "string"):
+        if num_blocks is None:
+            import math
+
+            par = embeddings.sparkSession.sparkContext.defaultParallelism
+            num_blocks = max(2, int(math.ceil(math.sqrt(2 * par))))
+        dropped = _semantic_drop_ids_blocked(vecs, threshold, num_blocks)
+    else:
+        dropped = (
+            semantic_duplicates(
+                embeddings, cluster_col, id_col, vec_col, threshold
+            )
+            .select(F.col("id_b").alias("vid"))
+            .distinct()
+        )
     return (
         embeddings.select(
             F.col(id_col).alias("vid"), F.col(cluster_col).alias("cluster")

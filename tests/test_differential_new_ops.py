@@ -600,3 +600,50 @@ def test_pmi_collocations_validates_min_count(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
     with pytest.raises(ValueError, match="min_count"):
         pmi_collocations(df, min_count=0)
+
+
+@pytest.mark.parametrize("thr", [0.3, 0.9])
+def test_semantic_dedup_blocked_matches_pair_join(spark, thr):
+    """r12: semantic_dedup's block-pair GEMM drop-set must be IDENTICAL to
+    the reference within-cluster pair join — including every malformed-row
+    category the Column fold tolerates (NULL vector, NaN/±inf components,
+    zero norm, dim mismatch, NULL cluster) and boundary pairs near the
+    round-6 threshold."""
+    import random
+
+    from quackosm_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_duplicates,
+    )
+
+    random.seed(7)
+    rows = []
+    for i in range(300):
+        rows.append((i, i % 5, [random.gauss(0, 1) for _ in range(16)]))
+    for i in range(300, 360):  # near-dup chains: jittered clones
+        base = rows[i % 100][2]
+        rows.append(
+            (i, (i % 100) % 5, [x + random.gauss(0, 0.01) for x in base])
+        )
+    rows += [
+        (500, 0, None),
+        (501, 1, [float("nan")] * 16),
+        (502, 2, [0.0] * 16),
+        (503, 3, [float("inf")] * 16),
+        (504, 4, [1.0] * 8),
+        (505, None, [1.0] * 16),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, label: int, embedding: array<double>"
+    )
+    got = sorted(
+        r.vec_id for r in semantic_dedup(df, "label", threshold=thr).collect()
+    )
+    dropped = set(
+        r.id_b
+        for r in semantic_duplicates(df, "label", threshold=thr).collect()
+    )
+    want = sorted(
+        r.vec_id for r in df.select("vec_id").collect() if r.vec_id not in dropped
+    )
+    assert got == want
