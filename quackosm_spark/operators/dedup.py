@@ -764,6 +764,11 @@ def neardup_clusters(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .repartition("dst")
         .dropDuplicates(["src", "dst"])
+        # sort ONCE at build: InMemoryRelation preserves outputOrdering,
+        # so every round's sort-merge join reads the cached table already
+        # sorted on the join key instead of re-sorting O(E) rows per
+        # round (r12; broadcast rounds are unaffected)
+        .sortWithinPartitions("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (

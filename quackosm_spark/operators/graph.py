@@ -82,11 +82,17 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # repartition + sortWithinPartitions ONCE at build: InMemoryRelation
+    # preserves both outputPartitioning and outputOrdering, so every
+    # round's sort-merge joins read the cached tables co-partitioned AND
+    # pre-sorted on the join key — no per-round Exchange, no per-round
+    # Sort (broadcast rounds at small scale are unaffected).
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .repartition("node")
+        .sortWithinPartitions("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
@@ -99,6 +105,7 @@ def pagerank(
         e.join(outdeg.withColumnRenamed("node", "src"), "src")
         .select("src", "dst", "deg")
         .repartition("src")
+        .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # One setup job materializes e, outdeg and contrib_edges together;

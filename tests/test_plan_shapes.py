@@ -544,6 +544,7 @@ def test_pagerank_round_reuses_cached_edge_partitioning(spark):
         .union(e.selectExpr("dst AS node"))
         .distinct()
         .repartition("node")
+        .sortWithinPartitions("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
@@ -554,6 +555,7 @@ def test_pagerank_round_reuses_cached_edge_partitioning(spark):
         e.join(outdeg.withColumnRenamed("node", "src"), "src")
         .select("src", "dst", "deg")
         .repartition("src")
+        .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     contrib.count()
@@ -586,3 +588,8 @@ def test_pagerank_round_reuses_cached_edge_partitioning(spark):
     ]
     assert len(round_exchanges) == 1, round_exchanges
     assert "hashpartitioning(dst" in round_exchanges[0]
+    # the cached tables' ordering is preserved too (r12): the only Sort in
+    # the round tree is the O(V) aggregated-inflow side of the nodes join —
+    # the O(E) contrib side and the rank table read from cache unsorted
+    round_sorts = [ln for ln in tree.splitlines() if ln.lstrip(" :+-").startswith("Sort ") or "+- Sort " in ln]
+    assert len(round_sorts) <= 1, round_sorts
