@@ -491,13 +491,65 @@ def train_pq_codebooks(
     return books
 
 
-def _sub_l2(vec_slice: Column, centroid: list[float]) -> Column:
-    cent = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_slice, cent, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _sub_l2(
+    vec: Column, centroid: list[float], off: int = 0, whole: bool = True
+) -> Column:
+    """Squared L2 between dims ``[off, off+len(centroid))`` of ``vec`` and a
+    literal centroid, as an UNROLLED left-associated sum of codegen-able
+    arithmetic — NOT the former ``zip_with``+``aggregate`` fold, whose
+    INTERPRETED lambda evaluation cost ~50 µs per call and made the PQ
+    encode/ADC scans expression-bound (r12: q73 at 100× spent 5,060
+    executor-seconds in one stage; see SCALE.md). Exact value parity with
+    the fold: identical addition order ``((0+t₀)+t₁)+…``, NULL iff the old
+    ``zip_with`` padded (vector NULL, shorter than the centroid span, or —
+    with ``whole`` — longer than it) or any touched element is NULL; NaN
+    components propagate through the same arithmetic.
+
+    ``whole=True`` replicates ``zip_with(vec, cent)`` on the FULL vector
+    (non-NULL iff ``size(vec) == len(centroid)``); ``off``/``whole=False``
+    replicates the former ``zip_with(slice(vec, off+1, k), cent)`` callers
+    (non-NULL iff ``size(vec) >= off + k``) without materializing slices.
+    """
+    k = len(centroid)
+    s: Column = F.lit(0.0)
+    for i, x in enumerate(centroid):
+        d = F.get(vec, off + i) - F.lit(float(x))
+        s = s + d * d
+    n = F.size(vec)
+    ok = (n == F.lit(off + k)) if whole else (n >= F.lit(off + k))
+    return F.when(ok, s)
+
+
+def _argmin_code(dists: list[Column]) -> Column:
+    """Index of the smallest distance in ``dists`` via
+    ``array_position(arr, array_min(arr))`` over ONE materialized distance
+    array — NOT the former ``sort_array(array(struct(d, i)))[0].i``, which
+    allocated and sorted a k-struct array PER ROW where this form does one
+    O(k) min scan + one O(k) equality scan over a flat double array (r12,
+    part of the q73 100× fix; see SCALE.md). Each distance expression
+    appears exactly once (a least+CASE-WHEN form was tried first and
+    duplicated the min subtree into every branch — k² node blowup, janino
+    64 KB failure, interpreted-fallback OOM). Contract is bit-identical to
+    the struct sort:
+
+    - smallest d wins; equal distances tie to the LOWEST index
+      (``array_position`` returns the FIRST match of the exact min value);
+    - all-NULL distances → index 0 (the struct sort tied every (null, i)
+      pair and took code 0; here ``array_min`` is NULL → position NULL →
+      the coalesce). A distance is NULL iff the VECTOR is malformed, so
+      nullity is uniform across ``dists``;
+    - all-NaN distances → index 0 (the struct sort tied; here the
+      position lookup yields 0-or-1 depending on equality semantics and
+      the greatest/coalesce clamps both to 0). NaN-ness is likewise
+      uniform — a NaN component poisons every centroid's distance — and
+      ``array_min``'s ordering ranks NaN above reals, so a real minimum
+      always wins when one exists.
+    """
+    arr = F.array(*dists)
+    pos = F.array_position(arr, F.array_min(arr))
+    return F.coalesce(
+        F.greatest(pos - 1, F.lit(0)), F.lit(0)
+    ).cast("int")
 
 
 def pq_encode(
@@ -516,25 +568,26 @@ def pq_encode(
     table would otherwise carry ONE partition through the broadcast
     probe join and serialize the full ADC scan on one task; at-scale
     scans pass through untouched."""
-    m = len(codebooks)
     dsub = len(codebooks[0][0])
-    corpus = _spread(corpus)
-    v = F.col(vec_col).cast("array<double>")
+    # materialize the array<double> cast ONCE in a child projection: the
+    # unrolled distance expressions reference the vector m·k·dsub·2 times,
+    # and an inline cast would re-copy the whole array at EVERY element
+    # access (measured r12: 2048 casts/row made the codegen'd encode run
+    # at ~5 ms/row). An aliased non-trivial projection is not re-inlined
+    # by CollapseProject when referenced more than once.
+    casted = _spread(corpus).select(
+        F.col(corpus_id).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    v = F.col("__v")
     codes = []
     for j, book in enumerate(codebooks):
-        vs = F.slice(v, j * dsub + 1, dsub)
-        scored = F.array(
-            *[
-                F.struct(
-                    _sub_l2(vs, cent).alias("d"), F.lit(ci).alias("code")
-                )
-                for ci, cent in enumerate(book)
-            ]
+        codes.append(
+            _argmin_code(
+                [_sub_l2(v, cent, off=j * dsub, whole=False) for cent in book]
+            )
         )
-        codes.append(F.sort_array(scored)[0]["code"])
-    return corpus.select(
-        F.col(corpus_id).alias("id"), F.array(*codes).alias("codes")
-    )
+    return casted.select("id", F.array(*codes).alias("codes"))
 
 
 def pq_adc_topk(
@@ -552,24 +605,40 @@ def pq_adc_topk(
     per-query top-k is the usual tiny window. Returns
     (query_id, match_id, approx_l2, rank).
 
+    The m×k subspace-distance LUT is computed ONCE PER QUERY in the
+    broadcast-side projection (textbook ADC), so each corpus row pays m
+    array lookups — not m·k·dsub arithmetic ops. The former inline-LUT
+    form re-derived all m·k distances per (corpus×query) row and was the
+    dominant cost of the whole search at 100× scale (r12; SCALE.md).
+    Values are bit-identical: the same ``_sub_l2`` expressions produce the
+    LUT entries, and the per-row sum keeps the same addition order.
+
     A persisted codes table read back from a single parquet file is
     `_spread` to cluster parallelism (r10, the match_against_ivf_index
     rule) so the broadcast join never scores every pair on one task."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = _spread(codes)
+    qv = F.col(vec_col).cast("array<double>")
+    lut = F.array(
+        *[
+            F.array(
+                *[_sub_l2(qv, cent, off=j * dsub, whole=False) for cent in book]
+            )
+            for j, book in enumerate(codebooks)
+        ]
+    )
     q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(query_id).alias("query_id"), lut.alias("__lut")
     )
     joined = codes.select(
         F.col("id").alias("match_id"), "codes"
     ).join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
     dist = F.lit(0.0)
-    for j, book in enumerate(codebooks):
-        qs = F.slice(F.col("qv"), j * dsub + 1, dsub)
-        lut = F.array(*[_sub_l2(qs, cent) for cent in book])
-        dist = dist + F.element_at(lut, F.col("codes")[j] + 1)
+    for j in range(m):
+        dist = dist + F.element_at(
+            F.col("__lut")[j], F.col("codes")[j] + 1
+        )
     scored = joined.select(
         "query_id", "match_id", F.round(F.sqrt(dist), 6).alias("approx_l2")
     )
@@ -611,12 +680,27 @@ def pq_topk_reranked(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
+    # hybrid exact-L2: the codebook-dimension fast path is an UNROLLED
+    # left-assoc sum (codegen; the interpreted zip_with fold costs ~33 µs
+    # per pair — r11 measurement), with the original fold kept as the
+    # fallback branch for vectors of any OTHER length, so the result is
+    # bit-identical for every input (same addition order on the fast
+    # path, same expression on the slow one; CaseWhen evaluates lazily)
+    dim = len(codebooks) * len(codebooks[0][0])
+    unrolled: Column = F.lit(0.0)
+    for i in range(dim):
+        d = F.get(F.col("qv"), i) - F.get(F.col("cv"), i)
+        unrolled = unrolled + d * d
+    fold = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     exact = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        F.when(
+            (F.size(F.col("qv")) == dim) & (F.size(F.col("cv")) == dim),
+            unrolled,
+        ).otherwise(fold)
     )
     scored = (
         cand.join(cv, "match_id")
@@ -631,21 +715,19 @@ def pq_topk_reranked(
 
 def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 (ties → lowest index) —
-    an array-of-structs min over k broadcast literal expressions, the
-    ``pq_encode`` argmin pattern. Pure Column math, map-only.
+    ``array_min``+``array_position`` over k unrolled literal distance
+    expressions (``_argmin_code``), the ``pq_encode`` argmin pattern.
+    Whole-stage-codegen-able throughout: the former ``_sub_l2`` HOF fold
+    (zip_with/aggregate are CodegenFallback) forced the whole assign stage
+    interpreted, and the former struct-sort allocated + sorted k structs
+    per row (r12).
 
     Plan-size bound: the expression inlines k×dim literals, so analysis/
     codegen cost grows with k·dim — measured usable through k·dim ≈ 2^17
     (k=1024·dim=128 compiles but analysis alone takes ~tens of seconds;
     see SCALE.md "k-means argmin bound"). Callers auto-switch to
     `_argmin_cell_gemm` above `ARGMIN_LITERAL_LIMIT`."""
-    scored = F.array(
-        *[
-            F.struct(_sub_l2(vec, c).alias("d"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.sort_array(scored)[0]["cell"]
+    return _argmin_code([_sub_l2(vec, c) for c in centroids])
 
 
 # Above this k×dim product the literal-expression argmin's plan
@@ -809,10 +891,15 @@ def kmeans_assign(
     vectors assign NULL cell). Returns (id, cell); pair with
     `dedup.semantic_duplicates`' cluster input or group-wise corpus
     statistics."""
-    v = F.col(vec_col).cast("array<double>")
-    return corpus.select(
+    # cast materialized in a child projection — the literal argmin
+    # references the vector k·dim·2 times and an inline cast would re-copy
+    # the array per element access (the r12 pq_encode lesson)
+    casted = corpus.select(
         F.col(corpus_id).alias("id"),
-        _argmin_expr(v, centroids).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return casted.select(
+        "id", _argmin_expr(F.col("__v"), centroids).alias("cell")
     )
 
 

@@ -647,3 +647,137 @@ def test_semantic_dedup_blocked_matches_pair_join(spark, thr):
         r.vec_id for r in df.select("vec_id").collect() if r.vec_id not in dropped
     )
     assert got == want
+
+
+def _hof_sub_l2(vec_slice, centroid):
+    """The pre-r12 zip_with+aggregate formulation of similarity._sub_l2 —
+    kept as the semantic reference for the unrolled codegen rewrite."""
+    cent = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_slice, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_MALFORMED_VECS = [
+    (0, [1.0, 2.0, 3.0, 4.0]),            # well-formed
+    (1, None),                             # NULL vector
+    (2, [1.0, 2.0]),                       # too short
+    (3, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),  # too long
+    (4, [1.0, None, 3.0, 4.0]),           # NULL element
+    (5, [1.0, float("nan"), 3.0, 4.0]),   # NaN element
+    (6, []),                               # empty
+]
+
+
+def test_sub_l2_unrolled_matches_hof_fold(spark):
+    """The r12 unrolled ``_sub_l2`` must agree with the old interpreted
+    zip_with+aggregate fold on EVERY malformed-vector class, at both call
+    shapes: full-vector (``whole=True``, the argmin/kmeans path, where the
+    old ``zip_with(vec, cent)`` NULLs any length mismatch) and sliced
+    subspace (``off``/``whole=False``, the PQ encode/ADC path, where the
+    old ``zip_with(slice(vec, off+1, k), cent)`` NULLs short vectors but
+    tolerates long ones)."""
+    from quackosm_spark.operators.similarity import _sub_l2
+
+    df = spark.createDataFrame(_MALFORMED_VECS, "id: long, v: array<double>")
+    cent2 = [0.5, 1.5]
+    cent4 = [0.5, 1.5, 2.5, 3.5]
+    cases = [
+        (_sub_l2(F.col("v"), cent4), _hof_sub_l2(F.col("v"), cent4)),
+        (
+            _sub_l2(F.col("v"), cent2, off=2, whole=False),
+            _hof_sub_l2(F.slice(F.col("v"), 3, 2), cent2),
+        ),
+        (
+            _sub_l2(F.col("v"), cent2, off=0, whole=False),
+            _hof_sub_l2(F.slice(F.col("v"), 1, 2), cent2),
+        ),
+    ]
+    for i, (new, old) in enumerate(cases):
+        rows = df.select("id", new.alias("n"), old.alias("o")).collect()
+        for r in rows:
+            if r.n is None or r.o is None:
+                assert r.n is None and r.o is None, (i, r)
+            elif math.isnan(r.n) or math.isnan(r.o):
+                assert math.isnan(r.n) and math.isnan(r.o), (i, r)
+            else:
+                assert r.n == r.o, (i, r)
+
+
+def test_pq_reranked_hybrid_l2_handles_mixed_dims(spark):
+    """pq_topk_reranked's hybrid exact-L2 (unrolled fast path + fold
+    fallback) on a corpus mixing codebook-dim vectors with short/long/
+    null-element ones: the malformed corpus vectors must still NULL out
+    exactly as the old single-fold expression did (NULL l2 for any pair
+    whose lengths mismatch), leaving the well-formed top-k identical to
+    numpy."""
+    import numpy as np
+
+    from quackosm_spark.operators.similarity import (
+        pq_topk_reranked,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.rand(16).tolist()) for i in range(40)]
+    rows += [(100, rng.rand(8).tolist()), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    well = df.where("vec_id < 40")
+    books = train_pq_codebooks(well, m=2, k=4, sample_size=40)
+    got = pq_topk_reranked(
+        df, well.where("vec_id < 3"), books, k=5, shortlist=1000
+    ).collect()
+    mat = {i: np.asarray(v) for i, v in rows[:40]}
+    for qid in range(3):
+        mine = sorted(
+            (r.rank, r.match_id, r.l2) for r in got if r.query_id == qid
+        )
+        # NULL l2 (the malformed corpus rows) sorts ASC NULLS FIRST in the
+        # rank window — exactly as the old fold did; everything after is
+        # the exact numpy order
+        exact = sorted(
+            (round(float(np.linalg.norm(mat[qid] - mat[m])), 6), m)
+            for m in mat
+            if m != qid
+        )
+        nulls = [m for r, m, l2 in mine if l2 is None]
+        reals = [(l2, m) for r, m, l2 in mine if l2 is not None]
+        assert reals == exact[: len(reals)]
+        assert set(nulls) <= {100, 101}
+
+
+def test_argmin_code_matches_struct_sort(spark):
+    """_argmin_code (r12 least+CASE WHEN scalar argmin) vs the former
+    sort_array(array(struct(d, i)))[0].i on every distance-vector class:
+    distinct, tied, all-NULL (malformed vector), all-NaN — ties and
+    degenerate rows must resolve to the LOWEST index exactly as the
+    struct sort did."""
+    from quackosm_spark.operators.similarity import _argmin_code, _sub_l2
+
+    cents = [[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]]  # duplicate centroid: tie
+    vecs = [
+        (0, [0.1, 0.1]),                  # nearest cent 0 (ties with 2 -> 0)
+        (1, [1.0, 1.0]),                  # exact hit cent 1
+        (2, None),                        # NULL vector -> all-NULL d
+        (3, [1.0]),                       # wrong dim -> all-NULL d
+        (4, [float("nan"), 0.0]),         # NaN component -> all-NaN d
+        (5, [0.6, 0.6]),                  # between: 0.72 vs 0.32 -> cent 1
+    ]
+    df = spark.createDataFrame(vecs, "id: long, v: array<double>")
+    new = _argmin_code([_sub_l2(F.col("v"), c) for c in cents])
+    old = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    _hof_sub_l2(F.col("v"), c).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )[0]["cell"]
+    rows = df.select("id", new.alias("n"), old.alias("o")).collect()
+    for r in rows:
+        assert r.n == r.o, r
