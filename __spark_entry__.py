@@ -389,7 +389,11 @@ def q20_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3)
-    out = S.brute_force_topk(emb, queries, k=5)
+    # dim=64 is the corpus's plan-time-known dimensionality: it switches
+    # the per-pair scoring to the unrolled codegen cosine — same values
+    # for every input (hybrid falls back to the HOF fold for any other
+    # row shape), oracle-verified
+    out = S.brute_force_topk(emb, queries, k=5, dim=64)
     return out.select("query_id", "match_id", "rank")
 
 
@@ -2321,6 +2325,7 @@ def q117_hybrid_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec_id=100007,
         k_candidates=50,
         mapping=mapping,
+        dim=64,
     )
 
 
@@ -3029,6 +3034,7 @@ def q105_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_terms=_Q50_TERMS,
         query_vec_id=7,
         k_candidates=50,
+        dim=64,
     )
 
 

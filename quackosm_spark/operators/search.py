@@ -242,6 +242,7 @@ def hybrid_search(
     text_col: str = "text",
     vec_id: str = "vec_id",
     mapping: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Hybrid keyword+dense retrieval: BM25 top-k over ``docs`` fused
     with exact cosine top-k around ``query_vec_id``'s embedding, by RRF.
@@ -276,6 +277,7 @@ def hybrid_search(
         k=k_candidates,
         corpus_id=vec_id,
         query_id=vec_id,
+        dim=dim,
     ).select("match_id", "rank")
     if mapping is not None:
         m = mapping.select(F.col(vec_id).alias("match_id"), F.col(id_col))

@@ -30,6 +30,7 @@ def brute_force_topk(
     corpus_id: str = "vec_id",
     query_id: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast(queries) ⋈ corpus → window top-k.
 
@@ -39,7 +40,15 @@ def brute_force_topk(
     parallelism (`dedup._spread` — at-scale scans pass through), since
     the broadcast join preserves the stream side's partitioning and
     would otherwise score every pair in one task. The only keyed
-    shuffle is the final per-query top-k."""
+    shuffle is the final per-query top-k.
+
+    ``dim`` (optional): the corpus's vector dimensionality, when known at
+    plan time — switches the per-pair scoring to the unrolled codegen
+    cosine (`_cosine_static_dim`). Output is IDENTICAL with or without it
+    (rows of any other length fall back to the HOF expression inside the
+    hybrid); the difference is per-pair cost — the interpreted HOF fold
+    is CodegenFallback and forces the scoring stage out of whole-stage
+    codegen (r12, the q137 100× lesson: 2081 s → see SCALE.md)."""
     c = _spread(corpus).select(
         F.col(corpus_id).alias("match_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
@@ -55,10 +64,15 @@ def brute_force_topk(
     # per-pair arithmetic. Corpora that want the GEMM shape use
     # brute_force_topk_vectorized, which ships each corpus vector across
     # the boundary ONCE (not once per pair).
+    score = (
+        _cosine_static_dim(F.col("qv"), F.col("cv"), dim)
+        if dim
+        else cosine_similarity(F.col("qv"), F.col("cv"))
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("match_id")).select(
         "query_id",
         "match_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(score, 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
@@ -206,35 +220,24 @@ def ivf_topk(
         F.col(corpus_id).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    centroids = list(
-        enumerate(train_ivf_centroids(corpus, num_cells, corpus_id=corpus_id, vec_col=vec_col))
+    centroids = train_ivf_centroids(
+        corpus, num_cells, corpus_id=corpus_id, vec_col=vec_col
     )
+    dim = len(centroids[0])
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine_similarity(vec, F.array(*[F.lit(x) for x in cv]))).alias("neg"),
-                    F.lit(cid).alias("cell"),
-                )
-                for cid, cv in centroids
-            ]
-        )
-        return F.slice(
-            F.transform(F.sort_array(scored), lambda s: s["cell"]), 1, n
-        )
-
-    c_cells = c.withColumn("cell", nearest_cells(F.col("cv"), 1)[0])
+    c_cells = c.withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("cell", F.explode(nearest_cells(F.col("qv"), nprobe)))
+    ).withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
     scored = c_cells.join(F.broadcast(q), "cell").where(
         F.col("query_id") != F.col("match_id")
     ).select(
         "query_id",
         "match_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _cosine_static_dim(F.col("qv"), F.col("cv"), dim), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -273,29 +276,12 @@ def ivf_topk_sweep(
         F.col(corpus_id).alias("match_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    centroids = list(
-        enumerate(
-            train_ivf_centroids(
-                corpus, num_cells, corpus_id=corpus_id, vec_col=vec_col
-            )
-        )
+    centroids = train_ivf_centroids(
+        corpus, num_cells, corpus_id=corpus_id, vec_col=vec_col
     )
+    dim = len(centroids[0])
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine_similarity(vec, F.array(*[F.lit(x) for x in cv]))).alias("neg"),
-                    F.lit(cid).alias("cell"),
-                )
-                for cid, cv in centroids
-            ]
-        )
-        return F.slice(
-            F.transform(F.sort_array(scored), lambda s: s["cell"]), 1, n
-        )
-
-    c_cells = c.withColumn("cell", nearest_cells(F.col("cv"), 1)[0])
+    c_cells = c.withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
     q = (
         queries.select(
             F.col(query_id).alias("query_id"),
@@ -304,9 +290,9 @@ def ivf_topk_sweep(
         .select(
             "query_id",
             "qv",
-            F.posexplode(nearest_cells(F.col("qv"), max_probe)).alias(
-                "__p0", "cell"
-            ),
+            F.posexplode(
+                _nearest_cells(F.col("qv"), centroids, max_probe)
+            ).alias("__p0", "cell"),
         )
         .withColumn("probe_pos", F.col("__p0") + 1)
         .drop("__p0")
@@ -316,7 +302,9 @@ def ivf_topk_sweep(
     ).select(
         "query_id",
         "match_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            _cosine_static_dim(F.col("qv"), F.col("cv"), dim), 6
+        ).alias("cosine"),
         "probe_pos",
     )
     w = (
@@ -903,12 +891,46 @@ def kmeans_assign(
     )
 
 
+def _cosine_static_dim(a: Column, b: Column, dim: int) -> Column:
+    """``cosine_similarity(a, b)`` with an UNROLLED codegen fast path for
+    vectors of the plan-time-known ``dim`` — bit-identical for EVERY
+    input: the unrolled branch keeps the HOF fold's left-assoc addition
+    order term for term (dot, both norms, the same zero-norm/NaN masking),
+    and any other shape falls back to the ORIGINAL HOF expression
+    (CaseWhen branches evaluate lazily). Exists because zip_with/
+    aggregate/transform are CodegenFallback — one interpreted cosine fold
+    in a projection forces the whole stage out of codegen and costs
+    ~100 µs/pair (the r12 q73/IVF 100× lesson; SCALE.md)."""
+    dot = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    for i in range(dim):
+        ai, bi = F.get(a, i), F.get(b, i)
+        dot = dot + ai * bi
+        na = na + ai * ai
+        nb = nb + bi * bi
+    denom = F.sqrt(na) * F.sqrt(nb)
+    fast = F.when((denom > 0) & ~F.isnan(dot), dot / denom)
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), fast
+    ).otherwise(cosine_similarity(a, b))
+
+
 def _nearest_cells(
     vec: Column, centroids: list[list[float]], n: int
 ) -> Column:
     """The first ``n`` cell ids by descending cosine to ``vec`` (ties →
     lowest cell id) — the shared probe-routing expression of `ivf_topk`,
-    `ivf_topk_sweep`, `ivf_index`, and `match_against_ivf_index`."""
+    `ivf_topk_sweep`, `ivf_index`, and `match_against_ivf_index`.
+
+    Deliberately the HOF cosine, NOT the r12 unrolled hybrid: an unrolled
+    per-centroid cosine inside the struct array was A/B-measured WORSE on
+    the 200k-row assignment (7.12 s vs 4.79 s warm, 54 s first-run codegen
+    of the ~10k-node projection) — giant generated methods fall off the
+    JIT's compile threshold and run in the bytecode interpreter. The HOF
+    fold's per-row cost is bounded by num_cells·dim, and the assignment is
+    one map pass; the measured pair-scoring hybrids live in the JOIN
+    scorers instead (`_cosine_static_dim`)."""
     scored = F.array(
         *[
             F.struct(
@@ -941,11 +963,17 @@ def ivf_index(
     index and pass the SAME list to every build and every match.
     Map-only Column math (argmin over broadcast centroid literals), no
     shuffle."""
-    v = F.col(vec_col).cast("array<double>")
-    return corpus.select(
+    # cast materialized first (the r12 pq_encode lesson: the routing
+    # expression reads the vector num_cells·dim·3 times and an inline
+    # cast would re-copy the array at every element access)
+    casted = corpus.select(
         F.col(corpus_id).alias("vec_id"),
-        _nearest_cells(v, centroids, 1)[0].alias("cell"),
-        v.alias("embedding"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    return casted.select(
+        "vec_id",
+        _nearest_cells(F.col("embedding"), centroids, 1)[0].alias("cell"),
+        "embedding",
     )
 
 
@@ -996,7 +1024,9 @@ def match_against_ivf_index(
     score = (
         _cosine_pairs_udf()(F.col("qv"), F.col("embedding"))
         if gemm_score
-        else cosine_similarity(F.col("qv"), F.col("embedding"))
+        else _cosine_static_dim(
+            F.col("qv"), F.col("embedding"), len(centroids[0])
+        )
     )
     scored = (
         index.join(F.broadcast(q), "cell")

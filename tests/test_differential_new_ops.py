@@ -781,3 +781,65 @@ def test_argmin_code_matches_struct_sort(spark):
     rows = df.select("id", new.alias("n"), old.alias("o")).collect()
     for r in rows:
         assert r.n == r.o, r
+
+
+def _hof_cosine(a, b):
+    """The HOF cosine_similarity formulation (dedup.cosine_similarity) —
+    the semantic reference for the r12 unrolled hybrid."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    denom = norm(a) * norm(b)
+    return F.when((denom > 0) & ~F.isnan(dot), dot / denom)
+
+
+def test_cosine_static_dim_matches_hof(spark):
+    """_cosine_static_dim / _cosine_vs_literal (r12 unrolled hybrids) vs
+    the HOF cosine on every malformed-vector class: NULL vector, wrong
+    dims (short/long), NULL element, NaN element, zero norm, empty —
+    values must be identical (including NULL-ness) because the fast path
+    replicates the fold order and everything else falls back to the HOF
+    expression itself."""
+    from quackosm_spark.operators.similarity import (
+        _cosine_static_dim,
+        _cosine_vs_literal,
+    )
+
+    vecs = [
+        (0, [1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0]),
+        (1, None, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0], [1.0, 2.0, 3.0, 4.0]),       # short a
+        (3, [1.0] * 6, [1.0, 2.0, 3.0, 4.0]),        # long a
+        (4, [1.0, None, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]),
+        (5, [1.0, float("nan"), 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]),
+        (6, [0.0, 0.0, 0.0, 0.0], [1.0, 2.0, 3.0, 4.0]),  # zero norm
+        (7, [], []),
+        (8, [1.0, 2.0], [1.0, 2.0]),                 # both short (match)
+    ]
+    df = spark.createDataFrame(
+        vecs, "id: long, a: array<double>, b: array<double>"
+    )
+    cent = [1.0, 2.0, 3.0, 4.0]
+    cases = [
+        (
+            _cosine_static_dim(F.col("a"), F.col("b"), 4),
+            _hof_cosine(F.col("a"), F.col("b")),
+        ),
+        (
+            _cosine_vs_literal(F.col("a"), cent),
+            _hof_cosine(F.col("a"), F.array(*[F.lit(x) for x in cent])),
+        ),
+    ]
+    for i, (new, old) in enumerate(cases):
+        for r in df.select("id", new.alias("n"), old.alias("o")).collect():
+            if r.n is None or r.o is None:
+                assert r.n is None and r.o is None, (i, r)
+            elif math.isnan(r.n) or math.isnan(r.o):
+                assert math.isnan(r.n) and math.isnan(r.o), (i, r)
+            else:
+                assert r.n == r.o, (i, r)
